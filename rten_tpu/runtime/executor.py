@@ -1,0 +1,203 @@
+"""Graph executor: trace the IR into a single XLA computation.
+
+Architectural divergence from the reference (by design): rten walks the
+graph node-by-node at inference time with an interpreter + buffer pool
+(`src/graph.rs:771-1286`). On TPU that would leave XLA nothing to fuse and
+pay dispatch per op. Instead we *trace* the whole plan once into a jitted
+function — XLA then does scheduling, fusion and memory planning (the
+BufferPool/in-place machinery of the reference maps to XLA buffer
+assignment + donation). Shape specialization is handled by `jax.jit`'s
+shape-keyed cache, the analog of the reference's `CachedPlan`
+(src/graph/planner.rs:39-83).
+
+`partial_run` evaluates the constant-reachable subset eagerly on CPU — used
+by the optimizer's constant-propagation pass (rten `src/optimize.rs:705`)
+and by the generator's prefix caching.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ir.graph import Constant, Graph, NodeId, Operator, Value
+from ..ops import registry as _registry
+from ..ops.registry import OpError, get_op
+
+
+@dataclasses.dataclass
+class RunConfig:
+    """Engine knobs (analog of rten RunOptions + feature flags)."""
+
+    use_pallas_int8: bool = True
+    use_pallas_int4: bool = True
+    use_flash_attention: bool = True
+    # Flip low-precision matmuls to bf16 (accuracy/perf tradeoff; f32 default
+    # matches the reference's numerics).
+    prefer_bf16: bool = False
+    seed: int = 0
+
+
+class TraceContext:
+    """Per-trace context handed to op lowerings.
+
+    Carries the kernel-selection config, a PRNG-key supply for random ops,
+    the number of outputs the current node declares, and capture scopes for
+    control-flow subgraphs (rten CaptureEnv, src/graph.rs:1165-1181).
+    """
+
+    def __init__(self, executor: "Executor", config: RunConfig, rng_key=None):
+        self.executor = executor
+        self.config = config
+        self._rng_key = rng_key
+        self._rng_counter = 0
+        self.n_outputs = 1
+        self.scopes: List[Dict[str, Any]] = []
+
+    def next_rng(self):
+        if self._rng_key is None:
+            self._rng_key = jax.random.PRNGKey(self.config.seed)
+        self._rng_counter += 1
+        return jax.random.fold_in(self._rng_key, self._rng_counter)
+
+    def lookup_capture(self, name: str):
+        for scope in reversed(self.scopes):
+            if name in scope:
+                return scope[name]
+        return None
+
+    def run_subgraph(self, subgraph: Graph, inputs: Sequence[Any]):
+        """Trace a control-flow subgraph with capture support."""
+        sub_exec = Executor(subgraph, self.config)
+        env: Dict[NodeId, Any] = {}
+        for nid, val in zip(subgraph.input_ids, inputs):
+            env[nid] = val
+        # Resolve captures by name from enclosing scopes.
+        for name in subgraph.captures:
+            v = self.lookup_capture(name)
+            if v is None:
+                raise OpError(f"unresolved capture '{name}' in subgraph")
+            nid = subgraph.find_node(name)
+            if nid is not None:
+                env[nid] = v
+        return sub_exec.trace(env, subgraph.output_ids, ctx=self)
+
+
+class Executor:
+    def __init__(self, graph: Graph, config: Optional[RunConfig] = None):
+        self.graph = graph
+        self.config = config or RunConfig()
+        self._jit_cache: Dict[Tuple, Callable] = {}
+
+    # -- tracing ---------------------------------------------------------
+
+    def trace(
+        self,
+        env: Dict[NodeId, Any],
+        output_ids: Sequence[NodeId],
+        ctx: Optional[TraceContext] = None,
+        allow_missing: bool = False,
+    ) -> List[Any]:
+        """Walk the plan, calling each op's lowering; returns output values."""
+        g = self.graph
+        if ctx is None:
+            ctx = TraceContext(self, self.config)
+        # Publish named values for capture resolution by nested subgraphs.
+        scope: Dict[str, Any] = {}
+        ctx.scopes.append(scope)
+        try:
+            for nid, node in g.nodes.items():
+                if isinstance(node, Constant):
+                    env.setdefault(nid, node.array)
+            for nid in list(env):
+                name = getattr(g.nodes.get(nid), "name", None)
+                if name:
+                    scope[name] = env[nid]
+
+            plan = g.plan(list(env.keys()), list(output_ids), allow_missing_inputs=True)
+            for op_id in plan:
+                op = g.nodes[op_id]
+                assert isinstance(op, Operator)
+                ins = [env.get(i) if i is not None else None for i in op.inputs]
+                op_def = get_op(op.op_type)
+                ctx.n_outputs = len(op.outputs)
+                attrs = dict(op.attrs)
+                attrs["__n_outputs__"] = len(op.outputs)
+                try:
+                    result = op_def.lower(ctx, ins, attrs)
+                except OpError as e:
+                    raise OpError(f"{op.op_type} '{g.node_name(op_id)}': {e}") from e
+                if not isinstance(result, tuple):
+                    result = (result,)
+                if len(result) < len(op.outputs):
+                    raise OpError(
+                        f"{op.op_type} returned {len(result)} outputs, "
+                        f"node declares {len(op.outputs)}"
+                    )
+                for out_id, val in zip(op.outputs, result):
+                    env[out_id] = val
+                    name = g.node_name(out_id)
+                    if name:
+                        scope[name] = val
+            outs = []
+            for oid in output_ids:
+                if oid not in env:
+                    if allow_missing:
+                        outs.append(None)
+                        continue
+                    raise OpError(f"output {g.node_name(oid)} was not computed")
+                outs.append(env[oid])
+            return outs
+        finally:
+            ctx.scopes.pop()
+
+    # -- compiled execution ------------------------------------------------
+
+    def _fn_for(self, input_ids: Tuple[NodeId, ...], output_ids: Tuple[NodeId, ...]):
+        key = (input_ids, output_ids)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+
+            def run(*args):
+                env = dict(zip(input_ids, args))
+                return tuple(self.trace(env, output_ids))
+
+            fn = jax.jit(run)
+            self._jit_cache[key] = fn
+        return fn
+
+    def run(
+        self,
+        inputs: Dict[NodeId, Any],
+        output_ids: Sequence[NodeId],
+        jit: bool = True,
+    ) -> List[Any]:
+        in_ids = tuple(sorted(inputs.keys()))
+        args = [jnp.asarray(inputs[i]) for i in in_ids]
+        if not jit:
+            env = dict(zip(in_ids, args))
+            return self.trace(env, list(output_ids))
+        fn = self._fn_for(in_ids, tuple(output_ids))
+        return list(fn(*args))
+
+    def partial_run(
+        self, inputs: Dict[NodeId, Any], output_ids: Sequence[NodeId]
+    ) -> List[Tuple[NodeId, Any]]:
+        """Eagerly evaluate whatever subset of `output_ids` is reachable.
+
+        Used for constant propagation at load time; runs on CPU to avoid
+        per-node TPU compiles (rten partial_run, src/graph.rs:1335-1384).
+        """
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            env = dict(inputs)
+            outs = self.trace(env, list(output_ids), allow_missing=True)
+        return [
+            (oid, np.asarray(v) if v is not None else None)
+            for oid, v in zip(output_ids, outs)
+        ]
