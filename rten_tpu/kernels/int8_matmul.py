@@ -1,0 +1,218 @@
+"""Fused int8 dequant + matmul on the MXU.
+
+TPU analog of the reference's packed int8 GEMM microkernels
+(rten-gemm `kernels/x86_64.rs:698` VNNI / `aarch64.rs:288` SDOT) and the
+`MatMulIntegerToFloat` fusion (rten `src/optimize/fusions.rs:966`):
+
+    C = ((A - zp_a) . (B - zp_b)) * scale_a * scale_b
+
+computed as a native s8 x s8 -> s32 MXU matmul plus a zero-point correction
+from row/col sums (same algebra as rten `rten-gemm/src/packing/int8.rs:19-46`):
+
+    C_int = A.B - zp_a * col_sums(B) - zp_b * row_sums(A) + K * zp_a * zp_b
+
+The dequant epilogue (correction + scales) runs on the VPU in the same
+kernel, so the int32 accumulator never round-trips through HBM.
+
+Zero-point support: per-tensor or per-row (LHS) / per-col (RHS), matching
+rten `QuantParams` (rten-gemm/src/kernels.rs:104-110). u8 operands are
+reinterpreted as s8 with the sign-bit flip + zp shift (see common.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import cdiv, on_tpu, pad_dim, round_up, u8_to_s8_shift
+
+
+def _as_col(v, m, dtype):
+    """Broadcast scalar-or-[M] to an [M, 1] column."""
+    v = jnp.asarray(v, dtype)
+    if v.ndim == 0:
+        v = jnp.full((m,), v, dtype)
+    return v.reshape(m, 1)
+
+
+def _as_row(v, n, dtype):
+    v = jnp.asarray(v, dtype)
+    if v.ndim == 0:
+        v = jnp.full((n,), v, dtype)
+    return v.reshape(1, n)
+
+
+def _kernel(a_ref, b_ref, rs_ref, azp_ref, sa_ref, cs_ref, bzp_ref, sb_ref,
+            out_ref, acc_ref, *, k_logical: int, has_azp: bool, has_bzp: bool):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        a_ref[:],
+        b_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+    @pl.when(k == pl.num_programs(2) - 1)
+    def _():
+        acc = acc_ref[:]
+        if has_azp:
+            azp = azp_ref[:]  # [BM, 1] int32
+            acc = acc - azp * cs_ref[:]
+        if has_bzp:
+            bzp = bzp_ref[:]  # [1, BN] int32
+            acc = acc - rs_ref[:] * bzp
+        if has_azp and has_bzp:
+            acc = acc + k_logical * azp_ref[:] * bzp_ref[:]
+        out_ref[:] = acc.astype(jnp.float32) * sa_ref[:] * sb_ref[:]
+
+
+def int8_matmul_dequant(
+    a,
+    b,
+    a_scale,
+    b_scale,
+    a_zp=None,
+    b_zp=None,
+    *,
+    block_m: int = 256,
+    block_n: int = 256,
+    block_k: int = 512,
+    interpret: bool = False,
+):
+    """Pallas fused dequant matmul: a [M,K] (u8|s8) x b [K,N] s8 -> f32 [M,N].
+
+    ``a_scale``: scalar or [M]; ``b_scale``: scalar or [N];
+    ``a_zp``: scalar or [M]; ``b_zp``: scalar or [N].
+    """
+    M, K = a.shape
+    K2, N = b.shape
+    assert K == K2, (a.shape, b.shape)
+
+    # Normalize operands to s8 + int32 zero points.
+    if a_zp is None:
+        a_zp_i32 = jnp.int32(0)
+        has_azp = False
+    else:
+        a_zp_i32 = jnp.asarray(a_zp).astype(jnp.int32)
+        has_azp = True
+    if a.dtype == jnp.uint8:
+        a, a_zp_i32 = u8_to_s8_shift(a, a_zp_i32)
+        has_azp = True
+    if b_zp is None:
+        b_zp_i32 = jnp.int32(0)
+        has_bzp = False
+    else:
+        b_zp_i32 = jnp.asarray(b_zp).astype(jnp.int32)
+        has_bzp = True
+    if b.dtype == jnp.uint8:
+        b, b_zp_i32 = u8_to_s8_shift(b, b_zp_i32)
+        has_bzp = True
+
+    # Row/col sums for the zero-point correction (rten packing/int8.rs
+    # appends these to the packed panels; here XLA computes them and the
+    # kernel reads them as [M,1]/[1,N] operands).
+    a32 = a.astype(jnp.int32)
+    b32 = b.astype(jnp.int32)
+    rs = jnp.sum(a32, axis=1, keepdims=True) if has_bzp else jnp.zeros((M, 1), jnp.int32)
+    cs = jnp.sum(b32, axis=0, keepdims=True) if has_azp else jnp.zeros((1, N), jnp.int32)
+
+    azp = _as_col(a_zp_i32, M, jnp.int32)
+    bzp = _as_row(b_zp_i32, N, jnp.int32)
+    sa = _as_col(a_scale, M, jnp.float32)
+    sb = _as_row(b_scale, N, jnp.float32)
+
+    # Tile-align. int8 min tile is (32, 128); f32 out is (8, 128).
+    bm = min(block_m, round_up(M, 32))
+    bn = min(block_n, round_up(N, 128))
+    bk = min(block_k, round_up(K, 128))
+    Mp, Np, Kp = round_up(M, bm), round_up(N, bn), round_up(K, bk)
+    a_p = pad_dim(pad_dim(a, 0, Mp), 1, Kp)
+    b_p = pad_dim(pad_dim(b, 0, Kp), 1, Np)
+    rs_p = pad_dim(rs, 0, Mp)
+    azp_p = pad_dim(azp, 0, Mp)
+    sa_p = pad_dim(sa, 0, Mp)
+    cs_p = pad_dim(cs, 1, Np)
+    bzp_p = pad_dim(bzp, 1, Np)
+    sb_p = pad_dim(sb, 1, Np)
+
+    grid = (Mp // bm, Np // bn, Kp // bk)
+    kernel = functools.partial(
+        _kernel, k_logical=K, has_azp=has_azp, has_bzp=has_bzp
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda m, n, k: (m, k), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda m, n, k: (k, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda m, n, k: (m, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda m, n, k: (0, n), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda m, n, k: (m, n), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * Np * Kp,
+            bytes_accessed=Mp * Kp + Kp * Np + 4 * Mp * Np,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(a_p, b_p, rs_p, azp_p, sa_p, cs_p, bzp_p, sb_p)
+    return out[:M, :N]
+
+
+def int8_matmul_dequant_xla(a, b, a_scale, b_scale, a_zp=None, b_zp=None):
+    """XLA reference implementation (CPU fallback + test golden)."""
+    a32 = a.astype(jnp.int32)
+    b32 = b.astype(jnp.int32)
+    if a_zp is not None:
+        azp = jnp.asarray(a_zp, jnp.int32)
+        a32 = a32 - (azp[..., :, None] if azp.ndim else azp)
+    if b_zp is not None:
+        bzp = jnp.asarray(b_zp, jnp.int32)
+        b32 = b32 - (bzp[None, :] if bzp.ndim else bzp)
+    acc = jnp.matmul(a32, b32, preferred_element_type=jnp.int32)
+    sa = jnp.asarray(a_scale, jnp.float32)
+    sb = jnp.asarray(b_scale, jnp.float32)
+    if sa.ndim == 1:
+        sa = sa[:, None]
+    if sb.ndim == 1:
+        sb = sb[None, :]
+    return acc.astype(jnp.float32) * sa * sb
+
+
+def int8_matmul_dequant_auto(a, b, a_scale, b_scale, a_zp=None, b_zp=None):
+    """Route to the Pallas kernel on TPU, XLA elsewhere.
+
+    ``a`` may have leading batch dims; ``b`` is 2-D [K, N].
+    """
+    lead = a.shape[:-1]
+    K = a.shape[-1]
+    M = int(np.prod(lead)) if lead else 1
+    a2 = a.reshape(M, K)
+    # Per-row quant params follow the flattened M.
+    if on_tpu():
+        out = int8_matmul_dequant(a2, b, a_scale, b_scale, a_zp, b_zp)
+    else:
+        out = int8_matmul_dequant_xla(a2, b, a_scale, b_scale, a_zp, b_zp)
+    return out.reshape(*lead, b.shape[-1])

@@ -104,17 +104,20 @@ def _conv(ctx, inputs, attrs):
     return out.astype(jnp.result_type(x, w))
 
 
-def _im2col_int(x, kernel, strides, dilations, pads):
+def _im2col_int(x, kernel, strides, dilations, pads, pad_value=0):
     """Shifted-slice im2col for integer convs.
 
     Returns patches [N, spatial_out..., C * prod(kernel)] in the input dtype
     so the contraction can run as a native int8 dot on the MXU with exact
     int32 accumulation (analog of rten's virtual Im2Col,
     `rten-gemm/src/im2col.rs:56`).
+
+    ``pad_value`` is the input zero point: padding with it makes padded
+    positions contribute exactly zero after the zero-point correction.
     """
     n_sp = x.ndim - 2
     pad_width = [(0, 0), (0, 0)] + [tuple(p) for p in pads]
-    x = jnp.pad(x, pad_width)
+    x = jnp.pad(x, pad_width, constant_values=jnp.asarray(pad_value, x.dtype))
     in_sp = x.shape[2:]
     out_sp = [
         (in_sp[i] - (kernel[i] - 1) * dilations[i] - 1) // strides[i] + 1
@@ -160,7 +163,9 @@ def conv_integer_impl(x, w, x_zp, w_zp, attrs):
         return jnp.concatenate(outs, axis=1)
 
     kernel = list(w.shape[2:])
-    patches, out_sp = _im2col_int(x, kernel, strides, dilations, pads)
+    patches, out_sp = _im2col_int(
+        x, kernel, strides, dilations, pads, pad_value=x_zp if x_zp is not None else 0
+    )
     N = x.shape[0]
     M = w.shape[0]
     CK = patches.shape[-1]
@@ -171,10 +176,8 @@ def conv_integer_impl(x, w, x_zp, w_zp, attrs):
     a32 = a.astype(jnp.int32)
     b32 = b.astype(jnp.int32)
     acc = jnp.matmul(a32, b32, preferred_element_type=jnp.int32)
-    # Zero-point corrections. NOTE: with spatial padding, pad zeros
-    # contribute (0 - x_zp) * w terms; correcting with col/row sums over the
-    # *padded* patches handles this exactly since patches already include
-    # the zeros.
+    # Zero-point corrections (rten packing/int8.rs:19-46 algebra). Padded
+    # positions hold x_zp, so (patch - x_zp) is exactly zero there.
     if x_zp is not None:
         xzp = jnp.asarray(x_zp, jnp.int32)
         col_sums = jnp.sum(b32, axis=0)  # [M]

@@ -317,6 +317,22 @@ def _cast_like(ctx, inputs, attrs):
     return jnp.asarray(x).astype(jnp.result_type(target))
 
 
+@register("Constant")
+def _constant(ctx, inputs, attrs):
+    # ONNX Constant node: value arrives as one of several attr spellings.
+    # The optimizer folds these away; the lowering exists for unoptimized
+    # runs (rten converts them at load, converter.py handles per-attr).
+    for key in ("value", "value_float", "value_int", "value_floats", "value_ints"):
+        if key in attrs:
+            v = np.asarray(attrs[key])
+            if key in ("value_int", "value_ints"):
+                v = v.astype(np.int32)
+            if key in ("value_float", "value_floats"):
+                v = v.astype(np.float32)
+            return v
+    raise OpError("Constant node has no value attribute")
+
+
 @register("ConstantOfShape")
 def _constant_of_shape(ctx, inputs, attrs):
     shape = static_value(get_input(inputs, 0, "shape"), "shape").astype(int)

@@ -1,0 +1,354 @@
+"""Graph optimizer: constant propagation + fusion pass pipeline.
+
+Reference: rten GraphOptimizer (src/optimize.rs:502-661). The pass set here
+is deliberately smaller than the reference's: on TPU, XLA already fuses
+elementwise chains, bias adds and activations into the surrounding matmuls,
+so fusions like Gelu/Silu/MatMulAdd buy nothing. What matters is:
+
+* constant propagation (shape computations must be static for XLA),
+* rewrites that route quantized patterns into the fused Pallas kernels
+  (MatMulInteger+Cast+Mul -> MatMulIntegerToFloat, same for Conv),
+* graph hygiene (Identity/Dropout elimination, dead-code removal) which
+  shrinks trace time and avoids useless captures.
+
+Passes run to a fixpoint (<=3 iterations, rten optimize.rs:652-659).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .ir.graph import Constant, Graph, NodeId, Operator, Value
+
+# Ops whose results must not be folded even when inputs are constant
+# (rten Operator::is_deterministic, src/operator.rs:560).
+NON_DETERMINISTIC = {
+    "RandomNormal",
+    "RandomNormalLike",
+    "RandomUniform",
+    "RandomUniformLike",
+    "Multinomial",
+}
+
+_DEBUG = os.environ.get("RTEN_OPTIMIZER_DEBUG", "") not in ("", "0")
+
+
+def _log(msg: str):
+    if _DEBUG:
+        print(f"[optimizer] {msg}")
+
+
+# --- constant propagation --------------------------------------------------
+
+
+def propagate_constants(g: Graph) -> bool:
+    """Fold every operator whose inputs are (transitively) constant.
+
+    Implemented as a partial evaluation with no runtime inputs, on CPU
+    (rten optimize.rs:705-750 -> Graph::partial_run). Folded values become
+    Constant nodes in place (same NodeId, so edges stay valid).
+    """
+    from .runtime.executor import Executor, RunConfig
+
+    candidates = []
+    for nid, op in g.operators():
+        if op.op_type in NON_DETERMINISTIC or op.subgraphs():
+            continue
+        candidates.extend(op.outputs)
+    if not candidates:
+        return False
+
+    import jax
+
+    ex = Executor(g, RunConfig())
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        outs = ex.trace({}, candidates, allow_missing=True)
+
+    changed = False
+    folded_values = set()
+    for vid, val in zip(candidates, outs):
+        if val is None:
+            continue
+        node = g.nodes[vid]
+        if isinstance(node, Constant):
+            continue
+        g.nodes[vid] = Constant(
+            name=getattr(node, "name", None), array=np.asarray(val)
+        )
+        folded_values.add(vid)
+        changed = True
+
+    # Remove operators whose outputs are now all constants.
+    dead = [
+        nid
+        for nid, op in list(g.operators())
+        if all(o in folded_values or isinstance(g.nodes[o], Constant) for o in op.outputs)
+    ]
+    if dead:
+        _log(f"constant-folded {len(dead)} operators")
+    g.remove_nodes(dead)
+    return changed
+
+
+# --- fusion helpers --------------------------------------------------------
+
+
+def _producer_map(g: Graph) -> Dict[NodeId, Tuple[NodeId, Operator]]:
+    m = {}
+    for nid, op in g.operators():
+        for out in op.outputs:
+            m[out] = (nid, op)
+    return m
+
+
+def _consumer_count(g: Graph) -> Dict[NodeId, int]:
+    c: Dict[NodeId, int] = {}
+    for _, op in g.operators():
+        for i in op.inputs:
+            if i is not None:
+                c[i] = c.get(i, 0) + 1
+    for o in g.output_ids:
+        c[o] = c.get(o, 0) + 1
+    return c
+
+
+def _const_scalar(g: Graph, nid: Optional[NodeId]):
+    if nid is None:
+        return None
+    node = g.nodes.get(nid)
+    if isinstance(node, Constant) and node.array.size == 1:
+        return node.array.reshape(())
+    return None
+
+
+# --- individual fusions ----------------------------------------------------
+
+
+def fuse_identity(g: Graph) -> bool:
+    """Remove Identity / inference-mode Dropout (rten IdentityFusion)."""
+    changed = False
+    for nid, op in list(g.operators()):
+        if op.op_type == "Identity" or (
+            op.op_type == "Dropout" and len(op.outputs) == 1
+        ):
+            src = op.inputs[0]
+            if src is None:
+                continue
+            out = op.outputs[0]
+            # Preserve graph-output names: only bypass when the output is
+            # not itself a named graph output... renaming is fine since
+            # executor resolves outputs by NodeId; keep the value but alias.
+            g.replace_input(out, src)
+            if out in g.output_ids:
+                # Keep the op so the named output is still produced.
+                continue
+            g.remove_nodes([nid, out])
+            changed = True
+    return changed
+
+
+def fuse_cast_elimination(g: Graph) -> bool:
+    """Drop casts to the value's existing dtype (rten CastElimination)."""
+    changed = False
+    for nid, op in list(g.operators()):
+        if op.op_type != "Cast":
+            continue
+        src = op.inputs[0]
+        src_node = g.nodes.get(src)
+        to = op.attrs.get("to")
+        src_dtype = None
+        if isinstance(src_node, Constant):
+            from .dtypes import DataType
+
+            try:
+                src_dtype = DataType.from_np(src_node.array.dtype)
+            except ValueError:
+                pass
+        elif isinstance(src_node, Value):
+            src_dtype = src_node.dtype
+        if src_dtype is not None and src_dtype == to:
+            out = op.outputs[0]
+            if out in g.output_ids:
+                continue
+            g.replace_input(out, src)
+            g.remove_nodes([nid, out])
+            changed = True
+    return changed
+
+
+def fuse_matmul_integer_to_float(g: Graph) -> bool:
+    """MatMulInteger -> Cast(f32) -> Mul(a_scale*b_scale) [+ Add(bias)]
+    becomes MatMulIntegerToFloat, which lowers to the fused Pallas
+    dequant+MXU kernel (rten src/optimize/fusions.rs:966 analog).
+
+    The scale multiplier may itself be a Mul of the two scales (dynamic
+    quant) or a single constant; both forms are accepted as one input.
+    """
+    producers = _producer_map(g)
+    consumers = _consumer_count(g)
+    changed = False
+    for cast_id, cast_op in list(g.operators()):
+        if cast_op.op_type != "Cast":
+            continue
+        from .dtypes import DataType
+
+        if cast_op.attrs.get("to") != DataType.Float:
+            continue
+        prod = producers.get(cast_op.inputs[0])
+        if prod is None or prod[1].op_type != "MatMulInteger":
+            continue
+        mm_id, mm_op = prod
+        if consumers.get(mm_op.outputs[0], 0) != 1:
+            continue
+        cast_out = cast_op.outputs[0]
+        if consumers.get(cast_out, 0) != 1 or cast_out in g.output_ids:
+            continue
+        # Find the Mul consuming the cast output.
+        mul = None
+        for mnid, mop in g.operators():
+            if mop.op_type == "Mul" and cast_out in mop.inputs:
+                mul = (mnid, mop)
+                break
+        if mul is None:
+            continue
+        mul_id, mul_op = mul
+        scale_id = next(i for i in mul_op.inputs if i != cast_out)
+
+        a, b = mm_op.inputs[0], mm_op.inputs[1]
+        a_zp = mm_op.inputs[2] if len(mm_op.inputs) > 2 else None
+        b_zp = mm_op.inputs[3] if len(mm_op.inputs) > 3 else None
+
+        # Express combined scale as a_scale=scale, b_scale=1.
+        one = g.add_constant(None, np.float32(1.0))
+        new_out = mul_op.outputs[0]
+        g.remove_nodes([mm_id, cast_id, mul_id, mm_op.outputs[0], cast_out])
+        g.add_op(
+            "MatMulIntegerToFloat",
+            [a, b, scale_id, one, a_zp, b_zp],
+            [new_out],
+            name=mm_op.name,
+        )
+        _log(f"fused MatMulIntegerToFloat at {mm_op.name}")
+        changed = True
+        producers = _producer_map(g)
+        consumers = _consumer_count(g)
+    return changed
+
+
+def fuse_conv_integer_to_float(g: Graph) -> bool:
+    """ConvInteger -> Cast(f32) -> Mul(scale) => ConvIntegerToFloat."""
+    producers = _producer_map(g)
+    consumers = _consumer_count(g)
+    changed = False
+    for cast_id, cast_op in list(g.operators()):
+        if cast_op.op_type != "Cast":
+            continue
+        from .dtypes import DataType
+
+        if cast_op.attrs.get("to") != DataType.Float:
+            continue
+        prod = producers.get(cast_op.inputs[0])
+        if prod is None or prod[1].op_type != "ConvInteger":
+            continue
+        conv_id, conv_op = prod
+        if consumers.get(conv_op.outputs[0], 0) != 1:
+            continue
+        cast_out = cast_op.outputs[0]
+        if consumers.get(cast_out, 0) != 1 or cast_out in g.output_ids:
+            continue
+        mul = None
+        for mnid, mop in g.operators():
+            if mop.op_type == "Mul" and cast_out in mop.inputs:
+                mul = (mnid, mop)
+                break
+        if mul is None:
+            continue
+        mul_id, mul_op = mul
+        scale_id = next(i for i in mul_op.inputs if i != cast_out)
+        # Per-channel scale constants arrive shaped [1, C, 1, 1] or [C];
+        # the lowering handles both.
+        x, w = conv_op.inputs[0], conv_op.inputs[1]
+        x_zp = conv_op.inputs[2] if len(conv_op.inputs) > 2 else None
+        w_zp = conv_op.inputs[3] if len(conv_op.inputs) > 3 else None
+        one = g.add_constant(None, np.float32(1.0))
+        new_out = mul_op.outputs[0]
+        g.remove_nodes([conv_id, cast_id, mul_id, conv_op.outputs[0], cast_out])
+        g.add_op(
+            "ConvIntegerToFloat",
+            [x, w, scale_id, one, x_zp, w_zp],
+            [new_out],
+            conv_op.attrs,
+            name=conv_op.name,
+        )
+        _log(f"fused ConvIntegerToFloat at {conv_op.name}")
+        changed = True
+        producers = _producer_map(g)
+        consumers = _consumer_count(g)
+    return changed
+
+
+def eliminate_dead_code(g: Graph) -> bool:
+    """Remove operators (and private values) not reachable from outputs."""
+    needed = set(g.output_ids)
+    producers = _producer_map(g)
+    stack = list(g.output_ids)
+    live_ops = set()
+    while stack:
+        vid = stack.pop()
+        prod = producers.get(vid)
+        if prod is None:
+            continue
+        nid, op = prod
+        if nid in live_ops:
+            continue
+        live_ops.add(nid)
+        for i in op.inputs:
+            if i is not None and i not in needed:
+                needed.add(i)
+                stack.append(i)
+    dead_ops = [nid for nid, _ in g.operators() if nid not in live_ops]
+    if not dead_ops:
+        return False
+    dead_values = []
+    for nid in dead_ops:
+        op = g.nodes[nid]
+        assert isinstance(op, Operator)
+        for o in op.outputs:
+            if o not in needed:
+                dead_values.append(o)
+    g.remove_nodes(dead_ops + dead_values)
+    _log(f"removed {len(dead_ops)} dead operators")
+    return True
+
+
+FUSIONS: List[Callable[[Graph], bool]] = [
+    fuse_identity,
+    fuse_cast_elimination,
+    fuse_matmul_integer_to_float,
+    fuse_conv_integer_to_float,
+]
+
+
+def optimize_graph(g: Graph, constant_prop: bool = True) -> Graph:
+    """The full pipeline (rten optimize.rs:502-661), applied per subgraph."""
+    for _, op in list(g.operators()):
+        for sub in op.subgraphs():
+            # Subgraphs share capture semantics; optimize conservatively
+            # (no constant prop: captures are unknown here).
+            for fusion in (fuse_identity, fuse_cast_elimination):
+                fusion(sub)
+
+    if constant_prop:
+        propagate_constants(g)
+    for _ in range(3):
+        changed = False
+        for fusion in FUSIONS:
+            changed |= fusion(g)
+        if not changed:
+            break
+    eliminate_dead_code(g)
+    return g

@@ -1,0 +1,79 @@
+"""Pallas kernels vs XLA reference goldens (interpret mode on CPU).
+
+Mirrors the reference's per-kernel GEMM testing strategy
+(rten-gemm/src/tests.rs runs every kernel variant against a reference
+implementation); here the 'kernels' are the Pallas bodies run under the
+interpreter, compared against the XLA formulation.
+"""
+
+import numpy as np
+import pytest
+
+from rten_tpu.kernels.int8_matmul import (
+    int8_matmul_dequant,
+    int8_matmul_dequant_xla,
+)
+from rten_tpu.kernels.int4_matmul import (
+    _unpack_zero_points,
+    int4_matmul_pallas,
+    int4_matmul_xla,
+)
+from util import assert_close
+
+RNG = np.random.default_rng(7)
+
+
+@pytest.mark.parametrize(
+    "m,k,n",
+    [(1, 64, 48), (16, 128, 128), (33, 200, 130), (130, 300, 257)],
+)
+@pytest.mark.parametrize("per_channel", [False, True])
+def test_int8_matmul_dequant_interpret(m, k, n, per_channel):
+    a = RNG.integers(0, 255, (m, k)).astype(np.uint8)
+    b = RNG.integers(-127, 127, (k, n)).astype(np.int8)
+    if per_channel:
+        a_zp = RNG.integers(0, 255, (m,)).astype(np.uint8)
+        b_zp = RNG.integers(-20, 20, (n,)).astype(np.int8)
+        a_scale = RNG.uniform(0.005, 0.02, (m,)).astype(np.float32)
+        b_scale = RNG.uniform(0.005, 0.02, (n,)).astype(np.float32)
+    else:
+        a_zp = np.uint8(131)
+        b_zp = np.int8(-7)
+        a_scale = np.float32(0.013)
+        b_scale = np.float32(0.021)
+    got = int8_matmul_dequant(
+        a, b, a_scale, b_scale, a_zp, b_zp, block_m=64, block_n=128, block_k=128,
+        interpret=True,
+    )
+    want = int8_matmul_dequant_xla(a, b, a_scale, b_scale, a_zp, b_zp)
+    assert_close(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_int8_matmul_no_zp():
+    a = RNG.integers(-127, 127, (8, 96)).astype(np.int8)
+    b = RNG.integers(-127, 127, (96, 64)).astype(np.int8)
+    got = int8_matmul_dequant(
+        a, b, np.float32(0.01), np.float32(0.02), None, None, interpret=True
+    )
+    want = int8_matmul_dequant_xla(a, b, np.float32(0.01), np.float32(0.02))
+    assert_close(got, want, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("m,k,n,bs", [(4, 256, 96, 32), (17, 512, 130, 64)])
+@pytest.mark.parametrize("with_zp", [False, True])
+def test_int4_matmul_interpret(m, k, n, bs, with_zp):
+    n_blocks = k // bs
+    a = RNG.standard_normal((m, k)).astype(np.float32)
+    b_packed = RNG.integers(0, 255, (n, k // 2)).astype(np.uint8)
+    scales = RNG.uniform(0.01, 0.1, (n, n_blocks)).astype(np.float32)
+    if with_zp:
+        zp_nibbles = RNG.integers(0, 255, (n * ((n_blocks + 1) // 2),)).astype(np.uint8)
+        zps = _unpack_zero_points(zp_nibbles, n, n_blocks)
+    else:
+        zps = _unpack_zero_points(None, n, n_blocks)
+    got = int4_matmul_pallas(
+        a, b_packed, scales, zps, K=k, N=n, block_size=bs,
+        block_m=32, block_n=64, block_k=256, interpret=True,
+    )
+    want = int4_matmul_xla(a, b_packed, scales, zps, K=k, N=n, block_size=bs)
+    assert_close(got, want, rtol=1e-4, atol=1e-4)
