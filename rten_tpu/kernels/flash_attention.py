@@ -1,0 +1,226 @@
+"""Flash attention: blockwise online-softmax attention on TPU.
+
+The reference's Attention op materializes the full QK^T score matrix
+(rten src/ops/attention.rs:640-920, explicitly "not flash-attention").
+On TPU that wastes HBM bandwidth and VMEM; this kernel computes
+softmax(scale*QK^T + mask)*V blockwise with the online-softmax recurrence
+(running max m, running sum l, rescaled accumulator), so scores never leave
+VMEM. Supports:
+
+* GQA: q head h reads kv head h // (Hq // Hkv) via the index map
+* causal masking anchored at the *end* of the KV sequence (rten
+  attention.rs:873-881): q position i attends kv j iff j <= i + (Tk - Tq)
+* soft capping: softcap * tanh(x / softcap) (rten attention.rs:564)
+* optional additive float mask [Tq, Tk] (broadcast over batch/heads)
+
+The XLA reference path lives in ``mha_xla`` (CPU fallback + golden).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .common import cdiv, on_tpu, pad_dim, round_up
+
+NEG_INF = -1e30
+
+
+def _kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, m_ref, l_ref, acc_ref, *,
+            scale: float, causal: bool, softcap: float, kv_offset: int,
+            q_len: int, kv_len: int, block_q: int, block_k: int,
+            has_mask: bool):
+    kb = pl.program_id(3)
+    qb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q_pos = qb * block_q + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 0
+    )
+    k_pos = kb * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (block_q, block_k), 1
+    )
+
+    def compute():
+        q = q_ref[0, 0]  # [block_q, D]
+        k = k_ref[0, 0]  # [block_k, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        if softcap:
+            s = softcap * jnp.tanh(s / softcap)
+        if has_mask:
+            s = s + mask_ref[0]
+        # Out-of-range padding and causal masking.
+        valid = (q_pos < q_len) & (k_pos < kv_len)
+        if causal:
+            valid &= k_pos <= q_pos + kv_offset
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_prev = m_ref[:]  # [block_q, 1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)  # [block_q, block_k]
+        # Rows with no valid key yet keep m=-inf; exp(NEG_INF - NEG_INF)
+        # would be exp(0)=1. Guard by zeroing those probabilities.
+        p = jnp.where(jnp.broadcast_to(m_new, s.shape) <= NEG_INF / 2, 0.0, p)
+        alpha = jnp.where(m_prev <= NEG_INF / 2, 0.0, jnp.exp(m_prev - m_new))
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[:] = m_new
+
+    if causal:
+        # Skip key blocks entirely above the causal diagonal.
+        first_q = qb * block_q
+        first_k = kb * block_k
+        @pl.when(first_k <= first_q + (block_q - 1) + kv_offset)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(kb == pl.num_programs(3) - 1)
+    def _():
+        l = l_ref[:]
+        l = jnp.where(l == 0.0, 1.0, l)  # fully-masked rows -> zeros
+        out_ref[0, 0] = (acc_ref[:] / l).astype(out_ref.dtype)
+
+
+def mha_pallas(
+    q, k, v,
+    mask=None,
+    *,
+    scale: Optional[float] = None,
+    causal: bool = False,
+    softcap: float = 0.0,
+    block_q: int = 128,
+    block_k: int = 128,
+    interpret: bool = False,
+):
+    """q [B,Hq,Tq,D] x k,v [B,Hkv,Tk,D] -> [B,Hq,Tq,D].
+
+    ``mask``: optional additive f32 [Tq, Tk] (mask==-inf excludes).
+    """
+    B, Hq, Tq, D = q.shape
+    _, Hkv, Tk, _ = k.shape
+    assert Hq % Hkv == 0, (Hq, Hkv)
+    group = Hq // Hkv
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(D))
+
+    bq = min(block_q, round_up(Tq, 8))
+    bk = min(block_k, round_up(Tk, 128))
+    Tqp, Tkp = round_up(Tq, bq), round_up(Tk, bk)
+    Dp = round_up(D, 128)
+    qp = pad_dim(pad_dim(q, 2, Tqp), 3, Dp)
+    kp = pad_dim(pad_dim(k, 2, Tkp), 3, Dp)
+    vp = pad_dim(pad_dim(v, 2, Tkp), 3, Dp)
+    has_mask = mask is not None
+    if has_mask:
+        maskp = pad_dim(pad_dim(mask.astype(jnp.float32), 0, Tqp), 1, Tkp)[None]
+        mask_spec = pl.BlockSpec(
+            (1, bq, bk), lambda b, h, i, j: (0, i, j), memory_space=pltpu.VMEM
+        )
+    else:
+        maskp = jnp.zeros((1, bq, bk), jnp.float32)
+        mask_spec = pl.BlockSpec(
+            (1, bq, bk), lambda b, h, i, j: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+
+    grid = (B, Hq, Tqp // bq, Tkp // bk)
+    kernel = functools.partial(
+        _kernel,
+        scale=float(scale),
+        causal=causal,
+        softcap=float(softcap or 0.0),
+        kv_offset=Tk - Tq,
+        q_len=Tq,
+        kv_len=Tk,
+        block_q=bq,
+        block_k=bk,
+        has_mask=has_mask,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, bq, Dp), lambda b, h, i, j: (b, h, i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, bk, Dp), lambda b, h, i, j: (b, h // group, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, bk, Dp), lambda b, h, i, j: (b, h // group, j, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            mask_spec,
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, bq, Dp), lambda b, h, i, j: (b, h, i, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Tqp, Dp), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, 1), jnp.float32),
+            pltpu.VMEM((bq, Dp), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hq * Tqp * Tkp * Dp,
+            bytes_accessed=2 * B * Hq * Tqp * Dp * 4 + 2 * B * Hkv * Tkp * Dp * 4,
+            transcendentals=B * Hq * Tqp * Tkp,
+        ),
+        interpret=interpret,
+    )(qp, kp, vp, maskp)
+    return out[:, :, :Tq, :D]
+
+
+def mha_xla(q, k, v, mask=None, *, scale=None, causal=False, softcap=0.0):
+    """Reference attention: materialized scores (CPU fallback + golden)."""
+    B, Hq, Tq, D = q.shape
+    _, Hkv, Tk, _ = k.shape
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(D))
+    if Hq != Hkv:
+        k = jnp.repeat(k, Hq // Hkv, axis=1)
+        v = jnp.repeat(v, Hq // Hkv, axis=1)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)) * scale
+    if softcap:
+        s = softcap * jnp.tanh(s / softcap)
+    if mask is not None:
+        s = s + mask.astype(jnp.float32)
+    if causal:
+        q_pos = jnp.arange(Tq)[:, None]
+        k_pos = jnp.arange(Tk)[None, :]
+        s = jnp.where(k_pos <= q_pos + (Tk - Tq), s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
+def mha(q, k, v, mask=None, *, scale=None, causal=False, softcap=0.0,
+        prefer_flash=True):
+    """Dispatch: Pallas flash kernel on TPU (prefill-sized q), XLA otherwise."""
+    if prefer_flash and on_tpu() and q.shape[2] >= 8:
+        return mha_pallas(q, k, v, mask, scale=scale, causal=causal, softcap=softcap)
+    return mha_xla(q, k, v, mask, scale=scale, causal=causal, softcap=softcap)

@@ -1,0 +1,321 @@
+"""Attention ops: ONNX `Attention`, MS contrib `MultiHeadAttention` /
+`GroupQueryAttention`, `RotaryEmbedding` (+MS variant).
+
+Reference coverage: rten `src/ops/attention.rs` (:645 Attention, :564
+softcap, :873-881 causal anchored at KV end) and
+`src/ops/attention/contrib.rs` (:48 MHA, :424 GQA), `src/ops/embedding.rs`
+(:210 RotaryEmbedding). Unlike the reference (which materializes the score
+matrix), lowering routes to the Pallas flash-attention kernel on TPU
+(kernels/flash_attention.py) and a fused XLA formulation elsewhere.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .registry import OpError, get_input, opt_input, register
+
+
+def _use_flash(ctx) -> bool:
+    return ctx is None or ctx.config.use_flash_attention
+
+
+def _attend(ctx, q, k, v, mask=None, *, scale=None, causal=False, softcap=0.0):
+    from ..kernels.flash_attention import mha
+
+    return mha(
+        q, k, v, mask, scale=scale, causal=causal, softcap=softcap,
+        prefer_flash=_use_flash(ctx),
+    )
+
+
+def _split_heads(x, n_heads):
+    # [B, S, H*D] -> [B, H, S, D]
+    B, S, HD = x.shape
+    D = HD // n_heads
+    return x.reshape(B, S, n_heads, D).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    # [B, H, S, D] -> [B, S, H*D]
+    B, H, S, D = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(B, S, H * D)
+
+
+@register("Attention")
+def _attention(ctx, inputs, attrs):
+    """ONNX opset-23 Attention (rten src/ops/attention.rs:645).
+
+    Q [B,Hq,Tq,D] or [B,Tq,Hq*D]; K,V similarly; optional attn_mask
+    (bool: True=keep, or additive float), past_key/past_value appended
+    in front of K/V; outputs Y (+present_key, present_value).
+    """
+    q = get_input(inputs, 0, "query")
+    k = get_input(inputs, 1, "key")
+    v = get_input(inputs, 2, "value")
+    mask = opt_input(inputs, 3)
+    past_k = opt_input(inputs, 4)
+    past_v = opt_input(inputs, 5)
+
+    three_d = q.ndim == 3
+    if three_d:
+        q_heads = attrs.get("q_num_heads")
+        kv_heads = attrs.get("kv_num_heads", q_heads)
+        if q_heads is None:
+            raise OpError("Attention with 3D inputs requires q_num_heads")
+        q = _split_heads(q, q_heads)
+        k = _split_heads(k, kv_heads)
+        v = _split_heads(v, kv_heads)
+
+    if past_k is not None:
+        k = jnp.concatenate([past_k, k], axis=2)
+        v = jnp.concatenate([past_v, v], axis=2)
+    present_k, present_v = k, v
+
+    scale = attrs.get("scale")
+    softcap = attrs.get("softcap", 0.0)
+    causal = bool(attrs.get("is_causal", 0))
+
+    add_mask = None
+    if mask is not None:
+        m = mask
+        if m.dtype == jnp.bool_:
+            add_mask = jnp.where(m, 0.0, -1e30).astype(jnp.float32)
+        else:
+            add_mask = m.astype(jnp.float32)
+        # Broadcast [*, Tq, Tk] -> full; the kernels accept 2D masks, so
+        # fold batch/head mask dims via the XLA path when present.
+        while add_mask.ndim > 2:
+            if add_mask.shape[0] != 1:
+                break
+            add_mask = add_mask[0]
+
+    if add_mask is not None and add_mask.ndim > 2:
+        # Per-batch/head masks: use the XLA path (kernel takes 2D masks).
+        from ..kernels.flash_attention import mha_xla
+
+        while add_mask.ndim < 4:
+            add_mask = add_mask[None]
+        out = mha_xla(q, k, v, add_mask, scale=scale, causal=causal, softcap=softcap)
+    else:
+        out = _attend(ctx, q, k, v, add_mask, scale=scale, causal=causal, softcap=softcap)
+
+    if three_d:
+        out = _merge_heads(out)
+    n_out = attrs.get("__n_outputs__", 1)
+    if n_out >= 3:
+        return (out, present_k, present_v)
+    return out
+
+
+@register("MultiHeadAttention")
+def _multi_head_attention(ctx, inputs, attrs):
+    """MS contrib MultiHeadAttention (rten contrib.rs:48).
+
+    query [B,Tq,H*D] (or packed QKV [B,Tq,H,3,D] when key is absent),
+    key/value [B,Tk,H*D] or pre-split [B,H,Tk,D]; optional bias
+    [3*H*D], key_padding_mask, attention_bias, past_key/past_value.
+    """
+    query = get_input(inputs, 0, "query")
+    key = opt_input(inputs, 1)
+    value = opt_input(inputs, 2)
+    bias = opt_input(inputs, 3)
+    key_padding_mask = opt_input(inputs, 4)
+    attention_bias = opt_input(inputs, 5)
+    past_k = opt_input(inputs, 6)
+    past_v = opt_input(inputs, 7)
+    n_heads = attrs.get("num_heads")
+    if n_heads is None:
+        raise OpError("MultiHeadAttention requires num_heads")
+    scale = attrs.get("scale")
+    causal = bool(attrs.get("unidirectional", 0))
+    mask_filter = attrs.get("mask_filter_value", -10000.0)
+
+    if query.ndim == 5:  # packed QKV [B,S,H,3,D]
+        q = query[:, :, :, 0].transpose(0, 2, 1, 3)
+        k = query[:, :, :, 1].transpose(0, 2, 1, 3)
+        v = query[:, :, :, 2].transpose(0, 2, 1, 3)
+    else:
+        hidden = query.shape[-1]
+        if bias is not None:
+            b = jnp.asarray(bias)
+            query = query + b[:hidden]
+            if key is not None and key.ndim == 3:
+                key = key + b[hidden : 2 * hidden]
+            if value is not None and value.ndim == 3:
+                value = value + b[2 * hidden :]
+        q = _split_heads(query, n_heads)
+        if key is not None and key.ndim == 4:
+            k, v = key, value  # already [B,H,Tk,D]
+        else:
+            k = _split_heads(key, n_heads)
+            v = _split_heads(value, n_heads)
+
+    if past_k is not None:
+        k = jnp.concatenate([past_k, k], axis=2)
+        v = jnp.concatenate([past_v, v], axis=2)
+
+    add_mask = None
+    if attention_bias is not None:
+        add_mask = attention_bias.astype(jnp.float32)
+    if key_padding_mask is not None:
+        kpm = key_padding_mask
+        if kpm.dtype != jnp.bool_:
+            kpm = kpm.astype(jnp.int32) != 0
+        pad = jnp.where(kpm, 0.0, mask_filter)[:, None, None, :]
+        add_mask = pad if add_mask is None else add_mask + pad
+
+    if add_mask is not None:
+        from ..kernels.flash_attention import mha_xla
+
+        while add_mask.ndim < 4:
+            add_mask = add_mask[None]
+        out = mha_xla(q, k, v, add_mask, scale=scale, causal=causal)
+    else:
+        out = _attend(ctx, q, k, v, None, scale=scale, causal=causal)
+    out = _merge_heads(out)
+    n_out = attrs.get("__n_outputs__", 1)
+    if n_out >= 3:
+        return (out, k, v)
+    return out
+
+
+@register("GroupQueryAttention")
+def _group_query_attention(ctx, inputs, attrs):
+    """MS contrib GroupQueryAttention (rten contrib.rs:424).
+
+    query [B,S,Hq*D] (or packed [B,S,(Hq+2Hkv)*D] when key/value absent),
+    past_key/past_value [B,Hkv,cap,D] preallocated buffers, seqlens_k [B]
+    (= total_len-1), total_sequence_length scalar, optional rotary caches.
+    """
+    query = get_input(inputs, 0, "query")
+    key = opt_input(inputs, 1)
+    value = opt_input(inputs, 2)
+    past_k = opt_input(inputs, 3)
+    past_v = opt_input(inputs, 4)
+    seqlens_k = opt_input(inputs, 5)
+    total_seq_len = opt_input(inputs, 6)
+    cos_cache = opt_input(inputs, 7)
+    sin_cache = opt_input(inputs, 8)
+
+    n_heads = attrs.get("num_heads")
+    kv_heads = attrs.get("kv_num_heads")
+    if n_heads is None or kv_heads is None:
+        raise OpError("GroupQueryAttention requires num_heads and kv_num_heads")
+    scale = attrs.get("scale")
+    softcap = attrs.get("softcap", 0.0)
+    do_rotary = bool(attrs.get("do_rotary", 0))
+    interleaved = bool(attrs.get("rotary_interleaved", 0))
+
+    B, S, _ = query.shape
+    if key is None:  # packed QKV
+        D = query.shape[-1] // (n_heads + 2 * kv_heads)
+        q = _split_heads(query[..., : n_heads * D], n_heads)
+        k = _split_heads(query[..., n_heads * D : (n_heads + kv_heads) * D], kv_heads)
+        v = _split_heads(query[..., (n_heads + kv_heads) * D :], kv_heads)
+    else:
+        q = _split_heads(query, n_heads)
+        k = _split_heads(key, kv_heads)
+        v = _split_heads(value, kv_heads)
+
+    past_len = 0
+    if past_k is not None and past_k.shape[2] > 0:
+        # All sequences share one past length in this engine (static shapes);
+        # take it from seqlens_k when constant, else from the buffer size.
+        from .registry import is_tracer
+
+        if seqlens_k is not None and not is_tracer(seqlens_k):
+            past_len = int(np.asarray(seqlens_k).reshape(-1)[0]) + 1 - S
+        else:
+            past_len = past_k.shape[2]
+
+    if do_rotary:
+        if cos_cache is None or sin_cache is None:
+            raise OpError("do_rotary requires cos/sin caches")
+        pos = past_len + jnp.arange(S)
+        pos = jnp.broadcast_to(pos[None], (B, S))
+        q = _rotary(q, cos_cache, sin_cache, pos, interleaved)
+        k = _rotary(k, cos_cache, sin_cache, pos, interleaved)
+
+    if past_k is not None and past_k.shape[2] > 0:
+        if past_len == past_k.shape[2]:
+            k = jnp.concatenate([past_k, k], axis=2)
+            v = jnp.concatenate([past_v, v], axis=2)
+        else:
+            k = jax.lax.dynamic_update_slice(past_k, k.astype(past_k.dtype), (0, 0, past_len, 0))
+            v = jax.lax.dynamic_update_slice(past_v, v.astype(past_v.dtype), (0, 0, past_len, 0))
+
+    total = past_len + S
+    kv_cap = k.shape[2]
+    if kv_cap > total:
+        # Preallocated cache: mask out the unwritten tail.
+        mask = jnp.where(jnp.arange(kv_cap) < total, 0.0, -1e30)[None, :]
+        mask = jnp.broadcast_to(mask, (S, kv_cap))
+        out = _attend(ctx, q, k, v, mask, scale=scale, causal=True, softcap=softcap)
+    else:
+        out = _attend(ctx, q, k, v, None, scale=scale, causal=True, softcap=softcap)
+    out = _merge_heads(out)
+    n_out = attrs.get("__n_outputs__", 1)
+    if n_out >= 3:
+        return (out, k, v)
+    return out
+
+
+def _rotary(x, cos_cache, sin_cache, position_ids, interleaved):
+    """Apply rotary embedding to [B,H,S,D] (rotates first rot_dim dims)."""
+    cos = jnp.asarray(cos_cache)[position_ids]  # [B,S,rot/2]
+    sin = jnp.asarray(sin_cache)[position_ids]
+    rot = cos.shape[-1] * 2
+    x_rot, x_pass = x[..., :rot], x[..., rot:]
+    cos = cos[:, None]  # [B,1,S,rot/2]
+    sin = sin[:, None]
+    if interleaved:
+        x1 = x_rot[..., 0::2]
+        x2 = x_rot[..., 1::2]
+        r1 = x1 * cos - x2 * sin
+        r2 = x1 * sin + x2 * cos
+        rotated = jnp.stack([r1, r2], axis=-1).reshape(x_rot.shape)
+    else:
+        half = rot // 2
+        x1 = x_rot[..., :half]
+        x2 = x_rot[..., half:]
+        rotated = jnp.concatenate([x1 * cos - x2 * sin, x1 * sin + x2 * cos], axis=-1)
+    return jnp.concatenate([rotated, x_pass], axis=-1) if x_pass.shape[-1] else rotated
+
+
+def _rotary_impl(ctx, inputs, attrs):
+    x = get_input(inputs, 0)
+    cos_cache = get_input(inputs, 1, "cos_cache")
+    sin_cache = get_input(inputs, 2, "sin_cache")
+    position_ids = opt_input(inputs, 3)
+    interleaved = bool(attrs.get("interleaved", attrs.get("rotary_interleaved", 0)))
+    n_heads = attrs.get("num_heads", 0)
+
+    three_d = x.ndim == 3
+    if three_d:
+        if not n_heads:
+            raise OpError("RotaryEmbedding with 3D input requires num_heads")
+        x4 = _split_heads(x, n_heads)
+    else:
+        x4 = x
+    B, H, S, D = x4.shape
+    if position_ids is None:
+        position_ids = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+    elif position_ids.ndim == 1:
+        position_ids = jnp.broadcast_to(position_ids[None], (B, S))
+    # Caches may arrive as full rot_dim (duplicated halves); ONNX spec says
+    # [max_pos, rot_dim/2]. MS variant sometimes ships [max_pos, rot_dim]:
+    # detect by comparing against rotary_embedding_dim when given.
+    rot_dim = attrs.get("rotary_embedding_dim", 0)
+    cos_cache = jnp.asarray(cos_cache)
+    if rot_dim and cos_cache.shape[-1] == rot_dim:
+        cos_cache = cos_cache[..., : rot_dim // 2]
+        sin_cache = jnp.asarray(sin_cache)[..., : rot_dim // 2]
+    out = _rotary(x4, cos_cache, sin_cache, position_ids, interleaved)
+    return _merge_heads(out) if three_d else out
+
+
+register("RotaryEmbedding")(_rotary_impl)
+register("RotaryEmbeddingMS")(_rotary_impl)
