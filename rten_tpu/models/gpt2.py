@@ -1,0 +1,214 @@
+"""GPT-2 built in engine IR with Optimum-style KV-cache IO.
+
+Reference flow: rten runs GPT-2 from an Optimum ONNX export
+(rten-examples/src/gpt2.rs) through rten-generate. Here the same graph
+shape — inputs input_ids/attention_mask/position_ids/past_key_values.N.*,
+outputs logits/present.N.* — is built directly from config + weights, so
+the Generator drives it identically to an ONNX-loaded model.
+
+Weights come from a HF transformers GPT2LMHeadModel state_dict (random-init
+in this offline environment; the graph/math is identical to trained GPT-2).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..dtypes import DataType
+from ..ir.builder import Expr, GraphBuilder
+from ..ir.graph import Graph
+from ..model import Model, ModelOptions
+
+
+@dataclasses.dataclass
+class GPT2Config:
+    vocab_size: int = 50257
+    n_positions: int = 1024
+    n_embd: int = 768
+    n_layer: int = 12
+    n_head: int = 12
+    layer_norm_epsilon: float = 1e-5
+
+    @property
+    def head_dim(self) -> int:
+        return self.n_embd // self.n_head
+
+
+# Standard HF checkpoints: gpt2 (124M), gpt2-medium (355M), ...
+CONFIGS = {
+    "gpt2": GPT2Config(),
+    "gpt2-medium": GPT2Config(n_embd=1024, n_layer=24, n_head=16),
+    "gpt2-large": GPT2Config(n_embd=1280, n_layer=36, n_head=20),
+    "gpt2-xl": GPT2Config(n_embd=1600, n_layer=48, n_head=25),
+}
+
+
+def build_graph(cfg: GPT2Config, weights: Dict[str, np.ndarray]) -> Graph:
+    """Build the KV-cached causal-LM graph."""
+    b = GraphBuilder()
+    E, H, D = cfg.n_embd, cfg.n_head, cfg.head_dim
+
+    def w(name):
+        arr = weights[name]
+        return b.constant(name, np.ascontiguousarray(arr, np.float32))
+
+    ids = b.input("input_ids", DataType.Int32, ("batch", "seq"))
+    mask = b.input("attention_mask", DataType.Int32, ("batch", "total_seq"))
+    pos = b.input("position_ids", DataType.Int32, ("batch", "seq"))
+
+    # Embeddings.
+    x = b.op("Gather", [w("transformer.wte.weight"), ids])
+    x = x + b.op("Gather", [w("transformer.wpe.weight"), pos])
+
+    # Additive attention mask [B,1,1,S]: 0 keep, -1e30 drop.
+    mask_f = b.op("Cast", [mask], {"to": DataType.Float})
+    neg = b.constant(None, np.float32(-1e30))
+    one = b.constant(None, np.float32(1.0))
+    add_mask = b.op("Mul", [b.op("Sub", [one, mask_f]), neg])
+    add_mask = b.op(
+        "Unsqueeze", [add_mask, b.constant(None, np.int32([1, 2]))]
+    )
+
+    def layer_norm(h, prefix):
+        return b.op(
+            "LayerNormalization",
+            [h, w(f"{prefix}.weight"), w(f"{prefix}.bias")],
+            {"epsilon": cfg.layer_norm_epsilon},
+        )
+
+    def to_heads(h):
+        # [B,T,E] -> [B,H,T,D]
+        r = b.op(
+            "Reshape", [h, b.constant(None, np.int32([0, 0, H, D]))]
+        )
+        return b.op("Transpose", [r], {"perm": [0, 2, 1, 3]})
+
+    def from_heads(h):
+        r = b.op("Transpose", [h], {"perm": [0, 2, 1, 3]})
+        return b.op("Reshape", [r, b.constant(None, np.int32([0, 0, E]))])
+
+    presents = []
+    for i in range(cfg.n_layer):
+        p = f"transformer.h.{i}"
+        past_k = b.input(
+            f"past_key_values.{i}.key", DataType.Float, ("batch", H, "past_seq", D)
+        )
+        past_v = b.input(
+            f"past_key_values.{i}.value", DataType.Float, ("batch", H, "past_seq", D)
+        )
+        h = layer_norm(x, f"{p}.ln_1")
+        qkv = b.op(
+            "MatMulAdd", [h, w(f"{p}.attn.c_attn.weight"), w(f"{p}.attn.c_attn.bias")],
+            name=f"{p}.attn.c_attn",
+        )
+        q, k, v = b.op(
+            "Split", [qkv], {"axis": -1, "num_outputs": 3}, n_outputs=3
+        )
+        q, k, v = to_heads(q), to_heads(k), to_heads(v)
+        attn, pk, pv = b.op(
+            "Attention",
+            [q, k, v, add_mask, past_k, past_v],
+            {"is_causal": 1},
+            n_outputs=3,
+            output_names=[
+                f"attn_out_{i}", f"present.{i}.key", f"present.{i}.value",
+            ],
+        )
+        presents.extend([pk, pv])
+        attn = from_heads(attn)
+        proj = b.op(
+            "MatMulAdd",
+            [attn, w(f"{p}.attn.c_proj.weight"), w(f"{p}.attn.c_proj.bias")],
+            name=f"{p}.attn.c_proj",
+        )
+        x = x + proj
+        h2 = layer_norm(x, f"{p}.ln_2")
+        fc = b.op(
+            "MatMulAdd", [h2, w(f"{p}.mlp.c_fc.weight"), w(f"{p}.mlp.c_fc.bias")],
+            name=f"{p}.mlp.c_fc",
+        )
+        act = b.op("Gelu", [fc], {"approximate": "tanh"})
+        mlp = b.op(
+            "MatMulAdd", [act, w(f"{p}.mlp.c_proj.weight"), w(f"{p}.mlp.c_proj.bias")],
+            name=f"{p}.mlp.c_proj",
+        )
+        x = x + mlp
+
+    x = layer_norm(x, "transformer.ln_f")
+    lm_w = b.constant(
+        "lm_head.weight_t",
+        np.ascontiguousarray(weights["transformer.wte.weight"].T, np.float32),
+    )
+    logits = b.op("MatMul", [x, lm_w], name="lm_head", output_names=["logits"])
+
+    b.output(logits, *presents)
+    return b.finish()
+
+
+def random_weights(cfg: GPT2Config, seed: int = 0) -> Dict[str, np.ndarray]:
+    """GPT-2-initialization random weights (offline stand-in for trained
+    checkpoints; same shapes/layout as HF `GPT2LMHeadModel.state_dict()`,
+    with Conv1D weights stored [in, out])."""
+    rng = np.random.default_rng(seed)
+    E = cfg.n_embd
+    wdict: Dict[str, np.ndarray] = {}
+
+    def nrm(*shape, std=0.02):
+        return (rng.standard_normal(shape) * std).astype(np.float32)
+
+    wdict["transformer.wte.weight"] = nrm(cfg.vocab_size, E)
+    wdict["transformer.wpe.weight"] = nrm(cfg.n_positions, E, std=0.01)
+    for i in range(cfg.n_layer):
+        p = f"transformer.h.{i}"
+        wdict[f"{p}.ln_1.weight"] = np.ones(E, np.float32)
+        wdict[f"{p}.ln_1.bias"] = np.zeros(E, np.float32)
+        wdict[f"{p}.attn.c_attn.weight"] = nrm(E, 3 * E)
+        wdict[f"{p}.attn.c_attn.bias"] = np.zeros(3 * E, np.float32)
+        wdict[f"{p}.attn.c_proj.weight"] = nrm(E, E, std=0.02 / np.sqrt(2 * cfg.n_layer))
+        wdict[f"{p}.attn.c_proj.bias"] = np.zeros(E, np.float32)
+        wdict[f"{p}.ln_2.weight"] = np.ones(E, np.float32)
+        wdict[f"{p}.ln_2.bias"] = np.zeros(E, np.float32)
+        wdict[f"{p}.mlp.c_fc.weight"] = nrm(E, 4 * E)
+        wdict[f"{p}.mlp.c_fc.bias"] = np.zeros(4 * E, np.float32)
+        wdict[f"{p}.mlp.c_proj.weight"] = nrm(4 * E, E, std=0.02 / np.sqrt(2 * cfg.n_layer))
+        wdict[f"{p}.mlp.c_proj.bias"] = np.zeros(E, np.float32)
+    wdict["transformer.ln_f.weight"] = np.ones(E, np.float32)
+    wdict["transformer.ln_f.bias"] = np.zeros(E, np.float32)
+    return wdict
+
+
+def weights_from_torch(module) -> Dict[str, np.ndarray]:
+    """Extract weights from a transformers GPT2LMHeadModel."""
+    sd = module.state_dict()
+    return {
+        k: v.detach().cpu().numpy()
+        for k, v in sd.items()
+        if not k.endswith(".attn.bias") and not k.endswith(".attn.masked_bias")
+        and k != "lm_head.weight"
+    }
+
+
+def load(
+    cfg: GPT2Config | str = "gpt2",
+    weights: Optional[Dict[str, np.ndarray]] = None,
+    quantize: Optional[str] = None,
+    options: Optional[ModelOptions] = None,
+    seed: int = 0,
+) -> Model:
+    """Build a runnable GPT-2 Model. quantize: None | 'int8'."""
+    if isinstance(cfg, str):
+        cfg = CONFIGS[cfg]
+    if weights is None:
+        weights = random_weights(cfg, seed)
+    graph = build_graph(cfg, weights)
+    options = options or ModelOptions()
+    if quantize == "int8":
+        from ..quantize_pass import quantize_dynamic
+
+        graph = quantize_dynamic(graph)
+    elif quantize is not None:
+        raise ValueError(f"unknown quantize mode {quantize}")
+    return Model(graph, options)

@@ -1,0 +1,92 @@
+"""Dynamic int8 quantization pass over the IR.
+
+The analog of the reference's offline `tools/ort-quantize.py --mode dynamic`
+(docs/quantization.md:219-246): rewrite every
+MatMul/MatMulAdd/Gemm(activation, constant_weight) into
+
+    DynamicQuantizeLinear(act) -> u8 act + per-tensor scale/zp   (runtime)
+    weight -> s8 per-column symmetric (offline, zp = 0)
+    MatMulIntegerToFloat(act_q, w_q, act_scale, w_scales) [+ bias]
+
+which the executor lowers onto the fused Pallas dequant+MXU kernel
+(kernels/int8_matmul.py). Weight quantization follows the same asymmetric/
+symmetric split the reference uses (u8 activations x s8 weights,
+rten src/ops/matmul.rs:582 matmul_integer).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+from .ir.graph import Constant, Graph, Operator
+
+
+def quantize_weight_per_col(w: np.ndarray):
+    """f32 [K, N] -> (s8 [K, N], f32 scales [N]). Symmetric, zp=0."""
+    absmax = np.max(np.abs(w), axis=0)
+    scales = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(w / scales[None, :]), -127, 127).astype(np.int8)
+    return q, scales
+
+
+def quantize_dynamic(
+    g: Graph,
+    min_elements: int = 32 * 32,
+    skip_names: Optional[set] = None,
+) -> Graph:
+    """Rewrite eligible float matmuls to the quantized form, in place.
+
+    ``min_elements`` skips tiny weights where quantization overhead wins
+    (the reference's tooling similarly only quantizes MatMul weights).
+    """
+    skip_names = skip_names or set()
+    # Cache: one quantized copy per weight constant, shared by consumers.
+    quantized: Dict[int, tuple] = {}
+
+    for nid, op in list(g.operators()):
+        if op.op_type not in ("MatMul", "MatMulAdd", "Gemm"):
+            continue
+        if op.name in skip_names:
+            continue
+        if op.op_type == "Gemm" and (
+            op.attrs.get("transA") or op.attrs.get("transB")
+            or op.attrs.get("alpha", 1.0) != 1.0 or op.attrs.get("beta", 1.0) != 1.0
+        ):
+            continue
+        if len(op.inputs) < 2 or op.inputs[1] is None:
+            continue
+        w_node = g.nodes.get(op.inputs[1])
+        if not isinstance(w_node, Constant):
+            continue
+        w = w_node.array
+        if w.ndim != 2 or w.dtype != np.float32 or w.size < min_elements:
+            continue
+        act_id = op.inputs[0]
+        bias_id = op.inputs[2] if len(op.inputs) > 2 else None
+
+        entry = quantized.get(op.inputs[1])
+        if entry is None:
+            q, scales = quantize_weight_per_col(w)
+            wq_id = g.add_constant(
+                (w_node.name or "w") + ".q8", q
+            )
+            ws_id = g.add_constant((w_node.name or "w") + ".scales", scales)
+            entry = (wq_id, ws_id)
+            quantized[op.inputs[1]] = entry
+        wq_id, ws_id = entry
+
+        # DynamicQuantizeLinear: act -> (u8, scale, zp)
+        aq_id = g.add_value(f"{g.node_name(nid)}.act_q")
+        as_id = g.add_value(f"{g.node_name(nid)}.act_scale")
+        azp_id = g.add_value(f"{g.node_name(nid)}.act_zp")
+        g.add_op(
+            "DynamicQuantizeLinear", [act_id], [aq_id, as_id, azp_id],
+            name=f"{op.name or g.node_name(nid)}.dql",
+        )
+        # Replace the op in place: same outputs, new inputs.
+        op.op_type = "MatMulIntegerToFloat"
+        op.inputs = [aq_id, wq_id, as_id, ws_id, azp_id, None, bias_id]
+        op.attrs = {}
+    return g
