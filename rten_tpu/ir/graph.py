@@ -79,6 +79,18 @@ class Operator:
 
 Node = Union[Value, Constant, Operator]
 
+# Dtypes that mark a constant as model-weight-like (vs shape/axes metadata).
+_WEIGHT_DTYPES = ("float32", "bfloat16", "float16", "int8", "uint8")
+
+
+def is_weight_constant(node: "Constant", min_size: int = 16) -> bool:
+    """True for constants that should be runtime arguments (weights), not
+    trace-time literals. Small int32 shape/axes constants must stay
+    embedded — ops like Reshape/Unsqueeze need their values while tracing;
+    big weights must NOT be embedded — XLA would fold megabytes of
+    literals into the executable (and remote-compile request bodies)."""
+    return node.array.dtype.name in _WEIGHT_DTYPES and node.array.size >= min_size
+
 
 class Graph:
     """A DAG of values, constants and operators keyed by integer NodeId."""
@@ -206,8 +218,56 @@ class Graph:
                 producer[out] = nid
 
         plan: List[NodeId] = []
-        planned = set()
-        visiting: List[Tuple[NodeId, bool]] = []
+        # Memoized iterative post-order DFS: each operator is expanded once
+        # ('queued' -> 'visiting' -> 'planned'|'failed'); shared deps are
+        # never re-explored (the naive version was exponential on DAGs with
+        # heavy sharing — e.g. a transformer's residual stream).
+        status: Dict[NodeId, str] = {}
+
+        def schedule(root: NodeId) -> None:
+            if status.get(root) is not None:
+                return
+            stack: List[Tuple[NodeId, bool]] = [(root, False)]
+            status[root] = "queued"
+            while stack:
+                oid, processed = stack.pop()
+                st = status.get(oid)
+                if st in ("planned", "failed"):
+                    continue
+                op = self.nodes[oid]
+                assert isinstance(op, Operator)
+                if not processed:
+                    if st == "visiting":
+                        # Duplicate stack entry for an op already expanded.
+                        continue
+                    status[oid] = "visiting"
+                    stack.append((oid, True))
+                    for inp in op.inputs:
+                        if inp is None or inp in available:
+                            continue
+                        dep = producer.get(inp)
+                        # Re-push 'queued' deps so they finalize before this
+                        # op's processed phase (the stale entry deeper in the
+                        # stack becomes a no-op duplicate).
+                        if dep is not None and status.get(dep) in (None, "queued"):
+                            status[dep] = "queued"
+                            stack.append((dep, False))
+                else:
+                    ok = all(
+                        inp is None
+                        or inp in available
+                        or (
+                            producer.get(inp) is not None
+                            and status.get(producer[inp]) == "planned"
+                        )
+                        for inp in op.inputs
+                    )
+                    if ok:
+                        status[oid] = "planned"
+                        plan.append(oid)
+                        available.update(op.outputs)
+                    else:
+                        status[oid] = "failed"
 
         def resolve(value_id: NodeId) -> bool:
             if value_id in available:
@@ -216,41 +276,7 @@ class Graph:
             if op_id is None:
                 return False
             schedule(op_id)
-            return op_id in planned
-
-        def schedule(op_id: NodeId) -> None:
-            # Iterative DFS to avoid recursion limits on deep graphs.
-            stack: List[Tuple[NodeId, int]] = [(op_id, 0)]
-            on_stack = set()
-            while stack:
-                oid, state = stack.pop()
-                if oid in planned:
-                    continue
-                op = self.nodes[oid]
-                assert isinstance(op, Operator)
-                if state == 0:
-                    if oid in on_stack:
-                        raise ValueError("cycle in graph")
-                    on_stack.add(oid)
-                    stack.append((oid, 1))
-                    for inp in op.inputs:
-                        if inp is None or inp in available:
-                            continue
-                        dep = producer.get(inp)
-                        if dep is not None and dep not in planned:
-                            stack.append((dep, 0))
-                else:
-                    on_stack.discard(oid)
-                    ok = all(
-                        inp is None
-                        or inp in available
-                        or (producer.get(inp) is not None and producer[inp] in planned)
-                        for inp in op.inputs
-                    )
-                    if ok:
-                        planned.add(oid)
-                        plan.append(oid)
-                        available.update(op.outputs)
+            return value_id in available
 
         missing = []
         for out in outputs:

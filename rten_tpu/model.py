@@ -261,12 +261,18 @@ class Model:
         outputs: Optional[Sequence[str]] = None,
         jit: bool = True,
     ) -> List[np.ndarray]:
+        import jax
+
         feed = {}
         for name, val in inputs.items():
             nid = self.graph.find_node(name)
             if nid is None:
                 raise KeyError(f"model has no input named '{name}'")
-            feed[nid] = narrow_array(np.asarray(val))
+            # Device arrays pass through untouched (sharded weights must not
+            # round-trip through host numpy).
+            if not isinstance(val, jax.Array):
+                val = narrow_array(np.asarray(val))
+            feed[nid] = val
         if outputs is None:
             out_ids = list(self.graph.output_ids)
         else:

@@ -93,6 +93,24 @@ class Executor:
         self.graph = graph
         self.config = config or RunConfig()
         self._jit_cache: Dict[Tuple, Callable] = {}
+        self._weights: Optional[Dict[NodeId, Any]] = None
+
+    def _weight_args(self) -> Dict[NodeId, Any]:
+        """Weight constants as device-resident arrays, transferred once.
+
+        The WeightCache analog (rten src/weight_cache.rs): weights become
+        jit *arguments* instead of embedded literals — XLA must not fold
+        megabytes of constants into the executable, and device placement/
+        sharding of weights must survive across calls.
+        """
+        if self._weights is None:
+            from ..ir.graph import is_weight_constant
+
+            self._weights = {}
+            for nid, node in self.graph.nodes.items():
+                if isinstance(node, Constant) and is_weight_constant(node):
+                    self._weights[nid] = jax.device_put(node.array)
+        return self._weights
 
     # -- tracing ---------------------------------------------------------
 
@@ -177,6 +195,10 @@ class Executor:
         output_ids: Sequence[NodeId],
         jit: bool = True,
     ) -> List[Any]:
+        if jit:
+            # Caller-provided values (e.g. sharded weights) override the
+            # executor's own weight cache.
+            inputs = {**self._weight_args(), **inputs}
         in_ids = tuple(sorted(inputs.keys()))
         args = [jnp.asarray(inputs[i]) for i in in_ids]
         if not jit:
