@@ -31,21 +31,35 @@ def quantize_weight_per_col(w: np.ndarray):
     return q, scales
 
 
+def quantize_conv_weight(w: np.ndarray):
+    """f32 [O, C, *k] -> (s8 same shape, f32 scales [O]). Symmetric."""
+    absmax = np.max(np.abs(w.reshape(w.shape[0], -1)), axis=1)
+    scales = np.where(absmax > 0, absmax / 127.0, 1.0).astype(np.float32)
+    shape = (-1,) + (1,) * (w.ndim - 1)
+    q = np.clip(np.round(w / scales.reshape(shape)), -127, 127).astype(np.int8)
+    return q, scales
+
+
 def quantize_dynamic(
     g: Graph,
     min_elements: int = 32 * 32,
     skip_names: Optional[set] = None,
+    quantize_conv: bool = True,
 ) -> Graph:
-    """Rewrite eligible float matmuls to the quantized form, in place.
+    """Rewrite eligible float matmuls (and convs) to the quantized form,
+    in place.
 
     ``min_elements`` skips tiny weights where quantization overhead wins
-    (the reference's tooling similarly only quantizes MatMul weights).
+    (the reference's tooling similarly only quantizes large weights).
     """
     skip_names = skip_names or set()
     # Cache: one quantized copy per weight constant, shared by consumers.
     quantized: Dict[int, tuple] = {}
 
     for nid, op in list(g.operators()):
+        if quantize_conv and op.op_type == "Conv":
+            _maybe_quantize_conv(g, nid, op, min_elements, skip_names)
+            continue
         if op.op_type not in ("MatMul", "MatMulAdd", "Gemm"):
             continue
         if op.name in skip_names:
@@ -90,3 +104,36 @@ def quantize_dynamic(
         op.inputs = [aq_id, wq_id, as_id, ws_id, azp_id, None, bias_id]
         op.attrs = {}
     return g
+
+
+def _maybe_quantize_conv(g: Graph, nid, op: Operator, min_elements, skip_names):
+    """Conv(x, const_w [O,C,*k], bias?) -> DQL + ConvIntegerToFloat.
+
+    u8 dynamic activations x s8 per-output-channel symmetric weights —
+    the ConvInteger analog of the reference's int8 conv path
+    (rten src/ops/conv.rs:479, fused :552)."""
+    if op.name in skip_names or op.attrs.get("group", 1) != 1:
+        return
+    if len(op.inputs) < 2 or op.inputs[1] is None:
+        return
+    w_node = g.nodes.get(op.inputs[1])
+    if not isinstance(w_node, Constant):
+        return
+    w = w_node.array
+    if w.dtype != np.float32 or w.size < min_elements:
+        return
+    q, scales = quantize_conv_weight(w)
+    wq_id = g.add_constant((w_node.name or "w") + ".q8", q)
+    ws_id = g.add_constant((w_node.name or "w") + ".scales", scales)
+    act_id = op.inputs[0]
+    bias_id = op.inputs[2] if len(op.inputs) > 2 else None
+    aq_id = g.add_value(f"{g.node_name(nid)}.act_q")
+    as_id = g.add_value(f"{g.node_name(nid)}.act_scale")
+    azp_id = g.add_value(f"{g.node_name(nid)}.act_zp")
+    g.add_op(
+        "DynamicQuantizeLinear", [act_id], [aq_id, as_id, azp_id],
+        name=f"{op.name or g.node_name(nid)}.dql",
+    )
+    op.op_type = "ConvIntegerToFloat"
+    op.inputs = [aq_id, wq_id, as_id, ws_id, azp_id, None, bias_id]
+    # attrs (strides/pads/dilations/group) carry over unchanged.

@@ -120,8 +120,13 @@ class Executor:
         output_ids: Sequence[NodeId],
         ctx: Optional[TraceContext] = None,
         allow_missing: bool = False,
+        profiler=None,
     ) -> List[Any]:
-        """Walk the plan, calling each op's lowering; returns output values."""
+        """Walk the plan, calling each op's lowering; returns output values.
+
+        With ``profiler`` (eager runs only) each op is dispatched + synced
+        and its wall time recorded (rten RunOptions.timing analog).
+        """
         g = self.graph
         if ctx is None:
             ctx = TraceContext(self, self.config)
@@ -147,7 +152,23 @@ class Executor:
                 attrs = dict(op.attrs)
                 attrs["__n_outputs__"] = len(op.outputs)
                 try:
-                    result = op_def.lower(ctx, ins, attrs)
+                    if profiler is not None:
+                        import time as _time
+
+                        t0 = _time.perf_counter()
+                        result = op_def.lower(ctx, ins, attrs)
+                        jax.block_until_ready(
+                            [r for r in (result if isinstance(result, tuple) else (result,))
+                             if r is not None and not isinstance(r, (list, int, float))]
+                        )
+                        profiler.add(
+                            op.op_type,
+                            g.node_name(op_id),
+                            [getattr(i, "shape", ()) for i in ins if i is not None],
+                            _time.perf_counter() - t0,
+                        )
+                    else:
+                        result = op_def.lower(ctx, ins, attrs)
                 except OpError as e:
                     raise OpError(f"{op.op_type} '{g.node_name(op_id)}': {e}") from e
                 if not isinstance(result, tuple):
@@ -206,6 +227,17 @@ class Executor:
             return self.trace(env, list(output_ids))
         fn = self._fn_for(in_ids, tuple(output_ids))
         return list(fn(*args))
+
+    def profile_run(
+        self, inputs: Dict[NodeId, Any], output_ids: Sequence[NodeId]
+    ):
+        """Eager per-op profiled run -> (outputs, Profiler)."""
+        from .profiler import Profiler
+
+        prof = Profiler()
+        env = {k: jnp.asarray(v) for k, v in inputs.items()}
+        outs = self.trace(env, list(output_ids), profiler=prof)
+        return outs, prof
 
     def partial_run(
         self, inputs: Dict[NodeId, Any], output_ids: Sequence[NodeId]
