@@ -148,6 +148,92 @@ def build_graph(cfg: GPT2Config, weights: Dict[str, np.ndarray]) -> Graph:
     return b.finish()
 
 
+def build_graph_static_cache(
+    cfg: GPT2Config, weights: Dict[str, np.ndarray], capacity: int
+) -> Graph:
+    """Serving-engine variant: KV caches are preallocated [slots, H, cap, D]
+    buffers written in-graph at per-slot offsets (GroupQueryAttention with
+    rten_past_lens), so decode steps donate the buffers and XLA updates
+    them in place — the continuous-batching layout from SURVEY.md section 7
+    (slot-major cache, lax.dynamic_update_slice + donation).
+
+    Inputs: input_ids [slots, T], past_lens [slots], position_ids
+    [slots, T], past_key_values.N.{key,value} [slots, H, cap, D].
+    Outputs: logits, present.N.{key,value} (the updated buffers).
+    """
+    b = GraphBuilder()
+    E, H, D = cfg.n_embd, cfg.n_head, cfg.head_dim
+
+    def w(name):
+        return b.constant(name, np.ascontiguousarray(weights[name], np.float32))
+
+    ids = b.input("input_ids", DataType.Int32, ("slots", "seq"))
+    past_lens = b.input("past_lens", DataType.Int32, ("slots",))
+    pos = b.input("position_ids", DataType.Int32, ("slots", "seq"))
+
+    x = b.op("Gather", [w("transformer.wte.weight"), ids])
+    x = x + b.op("Gather", [w("transformer.wpe.weight"), pos])
+
+    def layer_norm(h, prefix):
+        return b.op(
+            "LayerNormalization",
+            [h, w(f"{prefix}.weight"), w(f"{prefix}.bias")],
+            {"epsilon": cfg.layer_norm_epsilon},
+        )
+
+    presents = []
+    for i in range(cfg.n_layer):
+        p = f"transformer.h.{i}"
+        past_k = b.input(
+            f"past_key_values.{i}.key", DataType.Float, ("slots", H, capacity, D)
+        )
+        past_v = b.input(
+            f"past_key_values.{i}.value", DataType.Float, ("slots", H, capacity, D)
+        )
+        h = layer_norm(x, f"{p}.ln_1")
+        qkv = b.op(
+            "MatMulAdd", [h, w(f"{p}.attn.c_attn.weight"), w(f"{p}.attn.c_attn.bias")],
+            name=f"{p}.attn.c_attn",
+        )
+        q, k, v = b.op("Split", [qkv], {"axis": -1, "num_outputs": 3}, n_outputs=3)
+        attn, pk, pv = b.op(
+            "GroupQueryAttention",
+            [q, k, v, past_k, past_v, past_lens],
+            {"num_heads": H, "kv_num_heads": H, "rten_past_lens": 1},
+            n_outputs=3,
+            output_names=[
+                f"attn_out_{i}", f"present.{i}.key", f"present.{i}.value",
+            ],
+        )
+        presents.extend([pk, pv])
+        proj = b.op(
+            "MatMulAdd",
+            [attn, w(f"{p}.attn.c_proj.weight"), w(f"{p}.attn.c_proj.bias")],
+            name=f"{p}.attn.c_proj",
+        )
+        x = x + proj
+        h2 = layer_norm(x, f"{p}.ln_2")
+        fc = b.op(
+            "MatMulAdd", [h2, w(f"{p}.mlp.c_fc.weight"), w(f"{p}.mlp.c_fc.bias")],
+            name=f"{p}.mlp.c_fc",
+        )
+        act = b.op("Gelu", [fc], {"approximate": "tanh"})
+        mlp = b.op(
+            "MatMulAdd", [act, w(f"{p}.mlp.c_proj.weight"), w(f"{p}.mlp.c_proj.bias")],
+            name=f"{p}.mlp.c_proj",
+        )
+        x = x + mlp
+
+    x = layer_norm(x, "transformer.ln_f")
+    lm_w = b.constant(
+        "lm_head.weight_t",
+        np.ascontiguousarray(weights["transformer.wte.weight"].T, np.float32),
+    )
+    logits = b.op("MatMul", [x, lm_w], name="lm_head", output_names=["logits"])
+    b.output(logits, *presents)
+    return b.finish()
+
+
 def random_weights(cfg: GPT2Config, seed: int = 0) -> Dict[str, np.ndarray]:
     """GPT-2-initialization random weights (offline stand-in for trained
     checkpoints; same shapes/layout as HF `GPT2LMHeadModel.state_dict()`,

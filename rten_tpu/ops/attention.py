@@ -220,12 +220,21 @@ def _group_query_attention(ctx, inputs, attrs):
         k = _split_heads(key, kv_heads)
         v = _split_heads(value, kv_heads)
 
-    past_len = 0
-    if past_k is not None and past_k.shape[2] > 0:
-        # All sequences share one past length in this engine (static shapes);
-        # take it from seqlens_k when constant, else from the buffer size.
-        from .registry import is_tracer
+    from .registry import is_tracer
 
+    # Past lengths. `rten_past_lens` marks our own static-cache graphs
+    # (serving engine): seqlens_k holds per-slot PAST lengths, possibly
+    # traced — KV lands in the preallocated buffer at each slot's offset
+    # via per-batch dynamic_update_slice (the continuous-batching write
+    # path). ORT-compat models carry seqlens_k = total_len - 1.
+    per_slot = bool(attrs.get("rten_past_lens", 0))
+    past_lens = None  # [B] int32
+    past_len = 0
+    if per_slot:
+        if seqlens_k is None:
+            raise OpError("rten_past_lens requires seqlens_k")
+        past_lens = jnp.asarray(seqlens_k, jnp.int32).reshape(B)
+    elif past_k is not None and past_k.shape[2] > 0:
         if seqlens_k is not None and not is_tracer(seqlens_k):
             past_len = int(np.asarray(seqlens_k).reshape(-1)[0]) + 1 - S
         else:
@@ -234,10 +243,35 @@ def _group_query_attention(ctx, inputs, attrs):
     if do_rotary:
         if cos_cache is None or sin_cache is None:
             raise OpError("do_rotary requires cos/sin caches")
-        pos = past_len + jnp.arange(S)
-        pos = jnp.broadcast_to(pos[None], (B, S))
+        if past_lens is not None:
+            pos = past_lens[:, None] + jnp.arange(S)[None]
+        else:
+            pos = jnp.broadcast_to(past_len + jnp.arange(S)[None], (B, S))
         q = _rotary(q, cos_cache, sin_cache, pos, interleaved)
         k = _rotary(k, cos_cache, sin_cache, pos, interleaved)
+
+    if past_lens is not None:
+        cap = past_k.shape[2]
+
+        def upd(buf, new, start):
+            # buf [Hkv, cap, D], new [Hkv, S, D]
+            return jax.lax.dynamic_update_slice(buf, new, (0, start, 0))
+
+        k = jax.vmap(upd)(past_k, k.astype(past_k.dtype), past_lens)
+        v = jax.vmap(upd)(past_v, v.astype(past_v.dtype), past_lens)
+        # Per-slot causal+tail mask [B,1,S,cap]: new token s at global
+        # position past_lens[b]+s attends j <= that position.
+        j = jnp.arange(cap)[None, None, None, :]
+        qpos = past_lens[:, None, None, None] + jnp.arange(S)[None, None, :, None]
+        add_mask = jnp.where(j <= qpos, 0.0, -1e30).astype(jnp.float32)
+        from ..kernels.flash_attention import mha_xla
+
+        out = mha_xla(q, k, v, add_mask, scale=scale, softcap=softcap)
+        out = _merge_heads(out)
+        n_out = attrs.get("__n_outputs__", 1)
+        if n_out >= 3:
+            return (out, k, v)
+        return out
 
     if past_k is not None and past_k.shape[2] > 0:
         if past_len == past_k.shape[2]:

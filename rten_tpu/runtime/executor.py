@@ -197,8 +197,13 @@ class Executor:
 
     # -- compiled execution ------------------------------------------------
 
-    def _fn_for(self, input_ids: Tuple[NodeId, ...], output_ids: Tuple[NodeId, ...]):
-        key = (input_ids, output_ids)
+    def _fn_for(
+        self,
+        input_ids: Tuple[NodeId, ...],
+        output_ids: Tuple[NodeId, ...],
+        donate_argnums: Tuple[int, ...] = (),
+    ):
+        key = (input_ids, output_ids, donate_argnums)
         fn = self._jit_cache.get(key)
         if fn is None:
 
@@ -206,7 +211,7 @@ class Executor:
                 env = dict(zip(input_ids, args))
                 return tuple(self.trace(env, output_ids))
 
-            fn = jax.jit(run)
+            fn = jax.jit(run, donate_argnums=donate_argnums)
             self._jit_cache[key] = fn
         return fn
 
@@ -215,7 +220,11 @@ class Executor:
         inputs: Dict[NodeId, Any],
         output_ids: Sequence[NodeId],
         jit: bool = True,
+        donate: Sequence[NodeId] = (),
     ) -> List[Any]:
+        """``donate``: node ids whose input buffers XLA may reuse for
+        outputs (rten's in-place execution analog, src/graph.rs:967-1049 —
+        here it makes KV-cache updates in-place on device)."""
         if jit:
             # Caller-provided values (e.g. sharded weights) override the
             # executor's own weight cache.
@@ -225,7 +234,10 @@ class Executor:
         if not jit:
             env = dict(zip(in_ids, args))
             return self.trace(env, list(output_ids))
-        fn = self._fn_for(in_ids, tuple(output_ids))
+        donate_argnums = tuple(
+            i for i, nid in enumerate(in_ids) if nid in set(donate)
+        )
+        fn = self._fn_for(in_ids, tuple(output_ids), donate_argnums)
         return list(fn(*args))
 
     def profile_run(

@@ -1,0 +1,211 @@
+"""Continuous-batching engine.
+
+Design (SURVEY.md section 7 / BASELINE north star):
+
+* KV cache: preallocated slot-major device buffers [slots, H, cap, D] per
+  layer (the HBM pool). The model graph (gpt2.build_graph_static_cache)
+  writes new KV at each slot's offset in-graph; decode calls donate the
+  buffers so XLA updates them in place — no per-token reallocation, one
+  compiled decode executable for the whole serving run.
+* Scheduling: iteration-level. Each step() first admits queued requests
+  into free slots (single-slot prefill at a bucketed prompt length, then a
+  device scatter of the prefilled rows into the slot buffers), then decodes
+  ONE token for every active slot in a single batched model call.
+* Shapes: decode is always [slots, 1]; prefill compiles one executable per
+  prompt bucket. Total executables = O(prompt buckets) + 1.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import itertools
+import time
+from collections import deque
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..generate.sampler import ArgMaxSampler, Sampler
+
+
+@dataclasses.dataclass
+class Request:
+    prompt: List[int]
+    max_new_tokens: int = 64
+    eos_id: Optional[int] = None
+    request_id: int = 0
+    # Filled by the engine:
+    generated: List[int] = dataclasses.field(default_factory=list)
+    done: bool = False
+    submitted_at: float = 0.0
+    first_token_at: Optional[float] = None
+    finished_at: Optional[float] = None
+
+    @property
+    def ttft_s(self) -> Optional[float]:
+        if self.first_token_at is None:
+            return None
+        return self.first_token_at - self.submitted_at
+
+
+class ContinuousBatchingEngine:
+    def __init__(
+        self,
+        model,
+        *,
+        n_layer: int,
+        n_head: int,
+        head_dim: int,
+        slots: int = 4,
+        capacity: int = 512,
+        prefill_bucket: int = 64,
+        sampler: Optional[Sampler] = None,
+    ):
+        self.model = model
+        self.executor = model.executor
+        self.g = model.graph
+        self.n_layer = n_layer
+        self.slots = slots
+        self.capacity = capacity
+        self.prefill_bucket = prefill_bucket
+        self.sampler = sampler or ArgMaxSampler()
+
+        self.cache_names = [
+            f"past_key_values.{i}.{kv}"
+            for i in range(n_layer)
+            for kv in ("key", "value")
+        ]
+        self.present_names = [
+            f"present.{i}.{kv}" for i in range(n_layer) for kv in ("key", "value")
+        ]
+        self.cache_ids = [self.g.find_node(n) for n in self.cache_names]
+        self.in_ids = {
+            n: self.g.find_node(n)
+            for n in ("input_ids", "past_lens", "position_ids")
+        }
+        self.out_ids = [self.g.find_node("logits")] + [
+            self.g.find_node(n) for n in self.present_names
+        ]
+
+        self.caches = [
+            jnp.zeros((slots, n_head, capacity, head_dim), jnp.float32)
+            for _ in range(2 * n_layer)
+        ]
+        self.slot_req: List[Optional[Request]] = [None] * slots
+        self.slot_len = np.zeros(slots, np.int32)
+        self.slot_last_tok = np.zeros(slots, np.int32)
+        self.queue: deque[Request] = deque()
+        self._req_counter = itertools.count()
+        self.finished: List[Request] = []
+        self.steps = 0
+        self.decode_tokens = 0
+
+        def _insert_row(cache, row, slot):
+            return jax.lax.dynamic_update_slice(cache, row, (slot, 0, 0, 0))
+
+        # Donate the cache: the scatter happens in place on device.
+        self._insert_row = jax.jit(_insert_row, donate_argnums=0)
+
+    # -- public API ----------------------------------------------------------
+
+    def submit(self, prompt: Sequence[int], max_new_tokens: int = 64,
+               eos_id: Optional[int] = None) -> Request:
+        req = Request(
+            prompt=list(prompt),
+            max_new_tokens=max_new_tokens,
+            eos_id=eos_id,
+            request_id=next(self._req_counter),
+            submitted_at=time.perf_counter(),
+        )
+        self.queue.append(req)
+        return req
+
+    def has_work(self) -> bool:
+        return bool(self.queue) or any(r is not None for r in self.slot_req)
+
+    def run(self) -> List[Request]:
+        """Drain the queue; returns finished requests in completion order."""
+        while self.has_work():
+            self.step()
+        return self.finished
+
+    # -- internals -----------------------------------------------------------
+
+    def _round_up(self, x: int) -> int:
+        m = self.prefill_bucket
+        return ((x + m - 1) // m) * m if x else m
+
+    def _prefill(self, req: Request, slot: int):
+        T = self._round_up(len(req.prompt))
+        if len(req.prompt) > self.capacity - req.max_new_tokens:
+            raise ValueError("prompt too long for KV capacity")
+        ids = np.zeros((1, T), np.int32)
+        ids[0, : len(req.prompt)] = req.prompt
+        feed = {
+            self.in_ids["input_ids"]: ids,
+            self.in_ids["past_lens"]: np.zeros(1, np.int32),
+            self.in_ids["position_ids"]: np.arange(T, dtype=np.int32)[None],
+        }
+        for nid, cache in zip(self.cache_ids, self.caches):
+            feed[nid] = jnp.zeros((1,) + cache.shape[1:], cache.dtype)
+        outs = self.executor.run(feed, self.out_ids, donate=self.cache_ids)
+        logits = np.asarray(outs[0])[0, len(req.prompt) - 1]
+        for li, present in enumerate(outs[1:]):
+            self.caches[li] = self._insert_row(
+                self.caches[li], present, jnp.int32(slot)
+            )
+        tok = int(self.sampler.sample(logits[None])[0])
+        now = time.perf_counter()
+        req.first_token_at = now
+        req.generated.append(tok)
+        self.slot_req[slot] = req
+        self.slot_len[slot] = len(req.prompt)
+        self.slot_last_tok[slot] = tok
+        self._maybe_finish(slot, tok)
+
+    def _maybe_finish(self, slot: int, tok: int):
+        req = self.slot_req[slot]
+        if req is None:
+            return
+        if (req.eos_id is not None and tok == req.eos_id) or len(
+            req.generated
+        ) >= req.max_new_tokens:
+            req.done = True
+            req.finished_at = time.perf_counter()
+            self.finished.append(req)
+            self.slot_req[slot] = None
+            self.slot_len[slot] = 0
+
+    def step(self):
+        # 1. Admit queued requests into free slots.
+        for slot in range(self.slots):
+            if self.slot_req[slot] is None and self.queue:
+                self._prefill(self.queue.popleft(), slot)
+        active = [s for s in range(self.slots) if self.slot_req[s] is not None]
+        if not active:
+            return
+        # 2. One decode step for every slot (inactive slots compute garbage
+        #    into their own cache rows, overwritten at next admission).
+        feed = {
+            self.in_ids["input_ids"]: self.slot_last_tok[:, None].copy(),
+            self.in_ids["past_lens"]: self.slot_len.copy(),
+            self.in_ids["position_ids"]: self.slot_len[:, None].copy(),
+        }
+        for nid, cache in zip(self.cache_ids, self.caches):
+            feed[nid] = cache
+        outs = self.executor.run(feed, self.out_ids, donate=self.cache_ids)
+        self.caches = list(outs[1:])
+        logits = np.asarray(outs[0])[:, 0]  # [slots, V]
+        toks = self.sampler.sample(logits[active])
+        self.steps += 1
+        for tok, slot in zip(toks, active):
+            req = self.slot_req[slot]
+            req.generated.append(int(tok))
+            self.slot_len[slot] += 1
+            self.slot_last_tok[slot] = int(tok)
+            self.decode_tokens += 1
+            if self.slot_len[slot] >= self.capacity - 1:
+                req.done = True  # out of KV room
+            self._maybe_finish(slot, int(tok))
