@@ -553,6 +553,32 @@ class Tokenizer:
                 self.special_tokens[tok["content"]] = tok["id"]
         self.post_processor = _make_post_processor(spec.get("post_processor"), vocab)
         self.decoder = _make_decoder(spec.get("decoder"), self.model)
+        # Optional C++ encode core (rten_tpu/native); silently falls back.
+        self._native = None
+        try:
+            from .. import native as _native_mod
+
+            if _native_mod.get_lib() is not None:
+                if isinstance(self.model, BpeModel):
+                    unk_id = (
+                        vocab.get(self.model.unk_token, -1)
+                        if self.model.unk_token
+                        else -1
+                    )
+                    merges = [
+                        tuple(m.split(" ", 1)) if isinstance(m, str) else tuple(m)
+                        for m in (spec.get("model") or {}).get("merges", [])
+                    ]
+                    self._native = _native_mod.NativeBpe(
+                        vocab, merges, self.model.csp, self.model.eows, unk_id
+                    )
+                elif isinstance(self.model, WordPieceModel):
+                    self._native = _native_mod.NativeWordPiece(
+                        vocab, self.model.prefix, vocab.get(self.model.unk, 0),
+                        self.model.max_chars,
+                    )
+        except Exception:
+            self._native = None
         # Longest-first added-token splitter.
         if self.added_tokens:
             alts = sorted(self.added_tokens, key=len, reverse=True)
@@ -582,9 +608,14 @@ class Tokenizer:
         def encode_chunk(chunk: str):
             chunk = self.normalizer(chunk)
             for piece in self.pre_tokenizer(chunk):
-                for tid, tok in self.model.encode_piece(piece):
-                    ids.append(tid)
-                    tokens.append(tok)
+                if self._native is not None:
+                    for tid in self._native.encode_piece(piece):
+                        ids.append(tid)
+                        tokens.append(self.id_to_token_map.get(tid, ""))
+                else:
+                    for tid, tok in self.model.encode_piece(piece):
+                        ids.append(tid)
+                        tokens.append(tok)
 
         if self._added_rx is not None:
             last = 0
