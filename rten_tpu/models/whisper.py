@@ -1,0 +1,273 @@
+"""Whisper encoder-decoder built in engine IR.
+
+Mirrors the reference's whisper example flow (rten-examples/src/whisper.rs
+driven by rten-generate with cross-attention caches): three graphs —
+
+* encoder: mel [B, n_mels, T] -> conv stack -> transformer -> hidden states
+* cross_kv: encoder states -> per-layer cross-attention K/V (computed ONCE
+  per audio segment, the analog of rten generator.rs:891-915)
+* decoder: tokens + self-attention KV cache (growing, Generator-managed) +
+  frozen cross KV inputs -> logits + present.N.{key,value}
+
+Weights map 1:1 from HF `WhisperForConditionalGeneration.state_dict()`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict
+
+import numpy as np
+
+from ..dtypes import DataType
+from ..ir.builder import GraphBuilder
+from ..ir.graph import Graph
+from ..model import Model, ModelOptions
+
+
+@dataclasses.dataclass
+class WhisperConfig:
+    vocab_size: int = 51865
+    n_mels: int = 80
+    d_model: int = 384
+    encoder_layers: int = 4
+    decoder_layers: int = 4
+    heads: int = 6
+    max_source_positions: int = 1500
+    max_target_positions: int = 448
+
+    @property
+    def head_dim(self):
+        return self.d_model // self.heads
+
+
+def _sinusoids(length: int, channels: int) -> np.ndarray:
+    """Whisper's fixed sinusoidal encoder positions."""
+    log_timescale = np.log(10000) / (channels // 2 - 1)
+    inv = np.exp(-log_timescale * np.arange(channels // 2))
+    scaled = np.arange(length)[:, None] * inv[None, :]
+    return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(np.float32)
+
+
+def build_encoder(cfg: WhisperConfig, w: Dict[str, np.ndarray]) -> Graph:
+    b = GraphBuilder()
+    H, D = cfg.heads, cfg.head_dim
+
+    def c(name):
+        return b.constant(name, np.ascontiguousarray(w[name], np.float32))
+
+    mel = b.input("mel", DataType.Float, ("batch", cfg.n_mels, "frames"))
+    x = b.op(
+        "Conv", [mel, c("model.encoder.conv1.weight"), c("model.encoder.conv1.bias")],
+        {"pads": [1, 1], "strides": [1]},
+    )
+    x = b.op("Gelu", [x])
+    x = b.op(
+        "Conv", [x, c("model.encoder.conv2.weight"), c("model.encoder.conv2.bias")],
+        {"pads": [1, 1], "strides": [2]},
+    )
+    x = b.op("Gelu", [x])
+    x = b.op("Transpose", [x], {"perm": [0, 2, 1]})  # [B, T, D]
+    pos = b.constant(
+        "encoder_positions", _sinusoids(cfg.max_source_positions, cfg.d_model)
+    )
+    # Slice positions to the actual frame count via Shape->Slice.
+    shp = b.op("Shape", [x])
+    t_len = b.op("Gather", [shp, b.constant(None, np.int32(1))])
+    zero = b.constant(None, np.int32([0]))
+    t_vec = b.op("Reshape", [t_len, b.constant(None, np.int32([1]))])
+    pos_sliced = b.op("Slice", [pos, zero, t_vec, b.constant(None, np.int32([0]))])
+    x = x + pos_sliced
+
+    def ln(h, prefix):
+        return b.op(
+            "LayerNormalization", [h, c(f"{prefix}.weight"), c(f"{prefix}.bias")]
+        )
+
+    def linear(h, prefix, bias=True):
+        wt = b.constant(
+            f"{prefix}.weight_t", np.ascontiguousarray(w[f"{prefix}.weight"].T, np.float32)
+        )
+        if bias and f"{prefix}.bias" in w:
+            return b.op("MatMulAdd", [h, wt, c(f"{prefix}.bias")], name=prefix)
+        return b.op("MatMul", [h, wt], name=prefix)
+
+    def heads_of(h):
+        r = b.op("Reshape", [h, b.constant(None, np.int32([0, 0, H, D]))])
+        return b.op("Transpose", [r], {"perm": [0, 2, 1, 3]})
+
+    def merge(h):
+        r = b.op("Transpose", [h], {"perm": [0, 2, 1, 3]})
+        return b.op("Reshape", [r, b.constant(None, np.int32([0, 0, cfg.d_model]))])
+
+    scale = b.constant(None, np.float32(cfg.head_dim ** -0.25))
+    for i in range(cfg.encoder_layers):
+        p = f"model.encoder.layers.{i}"
+        h = ln(x, f"{p}.self_attn_layer_norm")
+        q = heads_of(linear(h, f"{p}.self_attn.q_proj"))
+        k = heads_of(linear(h, f"{p}.self_attn.k_proj", bias=False))
+        v = heads_of(linear(h, f"{p}.self_attn.v_proj"))
+        a = b.op("Attention", [q, k, v], {})
+        x = x + linear(merge(a), f"{p}.self_attn.out_proj")
+        h2 = ln(x, f"{p}.final_layer_norm")
+        fc = b.op("Gelu", [linear(h2, f"{p}.fc1")])
+        x = x + linear(fc, f"{p}.fc2")
+    x = ln(x, "model.encoder.layer_norm")
+    b.graph.nodes[x.node_id].name = "encoder_hidden_states"
+    b.graph._name_to_id["encoder_hidden_states"] = x.node_id
+    b.output(x)
+    return b.finish()
+
+
+def build_cross_kv(cfg: WhisperConfig, w: Dict[str, np.ndarray]) -> Graph:
+    """encoder_hidden_states -> cross K/V per decoder layer (computed once)."""
+    b = GraphBuilder()
+    H, D = cfg.heads, cfg.head_dim
+    enc = b.input("encoder_hidden_states", DataType.Float, ("batch", "frames", cfg.d_model))
+
+    outs = []
+    for i in range(cfg.decoder_layers):
+        p = f"model.decoder.layers.{i}.encoder_attn"
+        kt = b.constant(
+            f"{p}.k_proj.weight_t", np.ascontiguousarray(w[f"{p}.k_proj.weight"].T, np.float32)
+        )
+        vt = b.constant(
+            f"{p}.v_proj.weight_t", np.ascontiguousarray(w[f"{p}.v_proj.weight"].T, np.float32)
+        )
+        vb = b.constant(f"{p}.v_proj.bias", np.ascontiguousarray(w[f"{p}.v_proj.bias"], np.float32))
+        k = b.op("MatMul", [enc, kt])
+        v = b.op("MatMulAdd", [enc, vt, vb])
+        for val, name in ((k, f"cross.{i}.key"), (v, f"cross.{i}.value")):
+            r = b.op("Reshape", [val, b.constant(None, np.int32([0, 0, H, D]))])
+            t = b.op("Transpose", [r], {"perm": [0, 2, 1, 3]}, output_names=[name])
+            outs.append(t)
+    b.output(*outs)
+    return b.finish()
+
+
+def build_decoder(cfg: WhisperConfig, w: Dict[str, np.ndarray]) -> Graph:
+    b = GraphBuilder()
+    H, D = cfg.heads, cfg.head_dim
+
+    def c(name):
+        return b.constant(name, np.ascontiguousarray(w[name], np.float32))
+
+    ids = b.input("input_ids", DataType.Int32, ("batch", "seq"))
+    attn_mask = b.input("attention_mask", DataType.Int32, ("batch", "total_seq"))
+    pos = b.input("position_ids", DataType.Int32, ("batch", "seq"))
+
+    x = b.op("Gather", [c("model.decoder.embed_tokens.weight"), ids])
+    x = x + b.op("Gather", [c("model.decoder.embed_positions.weight"), pos])
+
+    mask_f = b.op("Cast", [attn_mask], {"to": DataType.Float})
+    one = b.constant(None, np.float32(1.0))
+    neg = b.constant(None, np.float32(-1e30))
+    add_mask = b.op("Mul", [b.op("Sub", [one, mask_f]), neg])
+    add_mask = b.op("Unsqueeze", [add_mask, b.constant(None, np.int32([1, 2]))])
+
+    def ln(h, prefix):
+        return b.op(
+            "LayerNormalization", [h, c(f"{prefix}.weight"), c(f"{prefix}.bias")]
+        )
+
+    def linear(h, prefix, bias=True):
+        wt = b.constant(
+            f"{prefix}.weight_t", np.ascontiguousarray(w[f"{prefix}.weight"].T, np.float32)
+        )
+        if bias and f"{prefix}.bias" in w:
+            return b.op("MatMulAdd", [h, wt, c(f"{prefix}.bias")], name=prefix)
+        return b.op("MatMul", [h, wt], name=prefix)
+
+    def heads_of(h):
+        r = b.op("Reshape", [h, b.constant(None, np.int32([0, 0, H, D]))])
+        return b.op("Transpose", [r], {"perm": [0, 2, 1, 3]})
+
+    def merge(h):
+        r = b.op("Transpose", [h], {"perm": [0, 2, 1, 3]})
+        return b.op("Reshape", [r, b.constant(None, np.int32([0, 0, cfg.d_model]))])
+
+    presents = []
+    for i in range(cfg.decoder_layers):
+        p = f"model.decoder.layers.{i}"
+        past_k = b.input(
+            f"past_key_values.{i}.decoder.key", DataType.Float, ("batch", H, "past", D)
+        )
+        past_v = b.input(
+            f"past_key_values.{i}.decoder.value", DataType.Float, ("batch", H, "past", D)
+        )
+        cross_k = b.input(
+            f"cross.{i}.key", DataType.Float, ("batch", H, "frames", D)
+        )
+        cross_v = b.input(
+            f"cross.{i}.value", DataType.Float, ("batch", H, "frames", D)
+        )
+        h = ln(x, f"{p}.self_attn_layer_norm")
+        q = heads_of(linear(h, f"{p}.self_attn.q_proj"))
+        k = heads_of(linear(h, f"{p}.self_attn.k_proj", bias=False))
+        v = heads_of(linear(h, f"{p}.self_attn.v_proj"))
+        a, pk, pv = b.op(
+            "Attention",
+            [q, k, v, add_mask, past_k, past_v],
+            {"is_causal": 1},
+            n_outputs=3,
+            output_names=[
+                f"self_attn_{i}",
+                f"present.{i}.decoder.key",
+                f"present.{i}.decoder.value",
+            ],
+        )
+        presents.extend([pk, pv])
+        x = x + linear(merge(a), f"{p}.self_attn.out_proj")
+        # Cross attention over frozen encoder K/V (no mask, not causal).
+        h2 = ln(x, f"{p}.encoder_attn_layer_norm")
+        q2 = heads_of(linear(h2, f"{p}.encoder_attn.q_proj"))
+        a2 = b.op("Attention", [q2, cross_k, cross_v], {})
+        x = x + linear(merge(a2), f"{p}.encoder_attn.out_proj")
+        h3 = ln(x, f"{p}.final_layer_norm")
+        fc = b.op("Gelu", [linear(h3, f"{p}.fc1")])
+        x = x + linear(fc, f"{p}.fc2")
+
+    x = ln(x, "model.decoder.layer_norm")
+    lm = b.constant(
+        "proj_out.weight_t",
+        np.ascontiguousarray(w["model.decoder.embed_tokens.weight"].T, np.float32),
+    )
+    b.output(b.op("MatMul", [x, lm], output_names=["logits"]))
+    for pr in presents:
+        b.graph.output_ids.append(pr.node_id)
+    return b.finish()
+
+
+def weights_from_torch(module) -> Dict[str, np.ndarray]:
+    return {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+
+
+class WhisperModel:
+    """Bundled encoder + cross-kv + decoder, Generator-ready."""
+
+    def __init__(self, cfg: WhisperConfig, weights: Dict[str, np.ndarray],
+                 options: ModelOptions = None):
+        options = options or ModelOptions()
+        self.cfg = cfg
+        self.encoder = Model(build_encoder(cfg, weights), options)
+        self.cross_kv = Model(build_cross_kv(cfg, weights), options)
+        self.decoder = Model(build_decoder(cfg, weights), options)
+
+    def encode(self, mel: np.ndarray):
+        """mel [B, n_mels, frames] -> dict of per-step constant inputs for
+        the decoder (encoder states already folded into cross K/V)."""
+        enc = self.encoder.run({"mel": mel})[0]
+        kv = self.cross_kv.run({"encoder_hidden_states": enc})
+        names = [
+            f"cross.{i}.{k}" for i in range(self.cfg.decoder_layers)
+            for k in ("key", "value")
+        ]
+        return dict(zip(names, kv)), enc
+
+    def generator(self, mel: np.ndarray, prompt_ids, config=None):
+        from ..generate import Generator, GeneratorConfig
+
+        cross, _ = self.encode(mel)
+        config = config or GeneratorConfig(bucket_size=32, max_seq_len=self.cfg.max_target_positions)
+        config.constant_inputs = {**config.constant_inputs, **cross}
+        return Generator(self.decoder, prompt_ids, config)

@@ -29,6 +29,20 @@ from ..ir.graph import Constant, Graph, NodeId, Operator, Value
 from ..ops import registry as _registry
 from ..ops.registry import OpError, get_op
 
+# Ops that must not be folded at trace time even on concrete inputs.
+_NON_FOLDABLE = {
+    "RandomNormal", "RandomNormalLike", "RandomUniform", "RandomUniformLike",
+    "Multinomial", "Dropout",
+}
+
+
+def _contains_tracer(x) -> bool:
+    if isinstance(x, jax.core.Tracer):
+        return True
+    if isinstance(x, (list, tuple)):
+        return any(_contains_tracer(i) for i in x)
+    return False
+
 
 @dataclasses.dataclass
 class RunConfig:
@@ -151,8 +165,22 @@ class Executor:
                 ctx.n_outputs = len(op.outputs)
                 attrs = dict(op.attrs)
                 attrs["__n_outputs__"] = len(op.outputs)
+                # Shape-computation chains (Shape -> Gather -> Slice ...)
+                # must stay concrete at trace time: evaluate ops whose
+                # inputs are all non-tracers eagerly (the generic analog of
+                # rten's ComputeShapeFusion/ShapeSliceToConstant,
+                # src/optimize/fusions.rs). Weight args arrive as tracers,
+                # so only genuinely static values take this path.
+                eval_eagerly = (
+                    op.op_type not in _NON_FOLDABLE
+                    and not op.subgraphs()
+                    and not any(_contains_tracer(i) for i in ins)
+                )
                 try:
-                    if profiler is not None:
+                    if eval_eagerly and profiler is None:
+                        with jax.ensure_compile_time_eval():
+                            result = op_def.lower(ctx, ins, attrs)
+                    elif profiler is not None:
                         import time as _time
 
                         t0 = _time.perf_counter()
