@@ -77,12 +77,25 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("-q", "--quiet", action="store_true")
     ap.add_argument("--eager", action="store_true", help="run without jit")
+    ap.add_argument("--quantize", choices=["int8"],
+                    help="dynamic int8 quantization (ort-quantize analog)")
+    ap.add_argument("--save-model", dest="save_model", metavar="OUT.rtpu",
+                    help="write the optimized/quantized model as .rtpu")
     args = ap.parse_args(argv)
 
     t0 = time.perf_counter()
     model = Model.load_file(
         args.model, ModelOptions(optimize=not args.no_optimize)
     )
+    if args.quantize == "int8":
+        from .quantize_pass import quantize_dynamic
+
+        quantize_dynamic(model.graph)
+        model.executor._weights = None
+    if args.save_model:
+        model.save(args.save_model)
+        if not args.quiet:
+            print(f"saved {args.save_model}")
     load_s = time.perf_counter() - t0
 
     if not args.quiet:

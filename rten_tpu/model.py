@@ -24,6 +24,22 @@ class LoadError(Exception):
     """Model deserialization failure (rten src/model/load_error.rs)."""
 
 
+def _sniff_rtpu(path: str) -> bool:
+    """File-type sniffing (rten src/model/file_type.rs): .rtpu models are
+    safetensors containers (8-byte LE header length then '{'); ONNX
+    protobuf starts with a field-1 varint tag (0x08)."""
+    try:
+        size = os.path.getsize(path)
+        with open(path, "rb") as f:
+            head = f.read(9)
+        if len(head) < 9:
+            return False
+        hlen = int.from_bytes(head[:8], "little")
+        return head[8:9] == b"{" and hlen <= size
+    except OSError:
+        return False
+
+
 @dataclasses.dataclass
 class ModelOptions:
     """Load-time options (rten ModelOptions, src/model.rs:672-757)."""
@@ -210,6 +226,14 @@ class Model:
     @classmethod
     def load_file(cls, path: Union[str, os.PathLike], options: Optional[ModelOptions] = None) -> "Model":
         path = os.fspath(path)
+        if _sniff_rtpu(path):
+            from .formats.rtpu import load_model_graph
+
+            graph, meta = load_model_graph(path)
+            opts = options or ModelOptions()
+            # .rtpu models were optimized at save time.
+            opts = dataclasses.replace(opts, optimize=False)
+            return cls(graph, opts, metadata=meta)
         # mmap so giant models are paged, not copied (rten Model::load_mmap).
         data = np.memmap(path, dtype=np.uint8, mode="r")
         return cls.load(
@@ -217,6 +241,12 @@ class Model:
             options,
             base_dir=os.path.dirname(os.path.abspath(path)),
         )
+
+    def save(self, path: Union[str, os.PathLike], metadata: Dict[str, str] = None):
+        """Write the (optimized/quantized) graph as a .rtpu container."""
+        from .formats.rtpu import save_model
+
+        save_model(self.graph, os.fspath(path), metadata={**self.metadata, **(metadata or {})})
 
     @classmethod
     def load(

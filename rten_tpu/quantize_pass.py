@@ -64,11 +64,15 @@ def quantize_dynamic(
             continue
         if op.name in skip_names:
             continue
-        if op.op_type == "Gemm" and (
-            op.attrs.get("transA") or op.attrs.get("transB")
-            or op.attrs.get("alpha", 1.0) != 1.0 or op.attrs.get("beta", 1.0) != 1.0
-        ):
-            continue
+        trans_b = False
+        if op.op_type == "Gemm":
+            if (
+                op.attrs.get("transA")
+                or op.attrs.get("alpha", 1.0) != 1.0
+                or op.attrs.get("beta", 1.0) != 1.0
+            ):
+                continue
+            trans_b = bool(op.attrs.get("transB", 0))
         if len(op.inputs) < 2 or op.inputs[1] is None:
             continue
         w_node = g.nodes.get(op.inputs[1])
@@ -77,10 +81,14 @@ def quantize_dynamic(
         w = w_node.array
         if w.ndim != 2 or w.dtype != np.float32 or w.size < min_elements:
             continue
+        if trans_b:
+            # torch Linear exports Gemm(transB=1): fold the transpose into
+            # the offline weight quantization.
+            w = np.ascontiguousarray(w.T)
         act_id = op.inputs[0]
         bias_id = op.inputs[2] if len(op.inputs) > 2 else None
 
-        entry = quantized.get(op.inputs[1])
+        entry = quantized.get((op.inputs[1], trans_b))
         if entry is None:
             q, scales = quantize_weight_per_col(w)
             wq_id = g.add_constant(
@@ -88,7 +96,7 @@ def quantize_dynamic(
             )
             ws_id = g.add_constant((w_node.name or "w") + ".scales", scales)
             entry = (wq_id, ws_id)
-            quantized[op.inputs[1]] = entry
+            quantized[(op.inputs[1], trans_b)] = entry
         wq_id, ws_id = entry
 
         # DynamicQuantizeLinear: act -> (u8, scale, zp)
