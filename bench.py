@@ -1,96 +1,143 @@
-"""Headline benchmark: GPT-2 int8 autoregressive decode on one TPU chip.
+"""Headline benchmark: GPT-2 (124M) int8 continuous-batching decode on TPU.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-The reference publishes no absolute numbers (BASELINE.md), and its Rust
-toolchain is not present in this image, so the baseline is self-measured:
-the same int8 GPT-2 decode executed by this engine on the host CPU backend
-(XLA-CPU fallback kernels) — the closest available stand-in for the
-reference's CPU inference. vs_baseline = TPU tokens/s / CPU tokens/s.
+Workload: the serving engine (slot-based continuous batching, in-graph KV
+writes, donated buffers, on-device greedy sampling) decoding a wave of
+prompt-128 requests. Value = aggregate decode tokens/s on one chip.
+
+The reference publishes no absolute numbers and its Rust toolchain is not
+in this image (BASELINE.md), so vs_baseline is self-measured: the same
+engine on the host CPU backend (XLA-CPU), the closest stand-in for the
+reference's CPU execution. Set RTEN_BENCH_SKIP_CPU=1 to reuse the cached
+baseline in bench_baseline.json.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
+import time
 
 import numpy as np
 
+N_LAYER = 12           # gpt2-small
 PROMPT_LEN = 128
-DECODE_TOKENS = 32
-BATCH = 1
-BUCKET = 128
+NEW_TOKENS = 32
+SLOTS = 8
+CAPACITY = 256
+WAVE = 16              # timed requests
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_BASELINE_CACHE = os.path.join(_HERE, "bench_baseline.json")
 
 
-def run_decode(n_layer=12):
-    from rten_tpu.generate import Generator, GeneratorConfig
+def build_engine():
+    from rten_tpu.model import Model, ModelOptions
     from rten_tpu.models import gpt2
+    from rten_tpu.quantize_pass import quantize_dynamic
+    from rten_tpu.serving import ContinuousBatchingEngine
 
-    cfg = gpt2.GPT2Config(n_layer=n_layer)
+    cfg = gpt2.GPT2Config(n_layer=N_LAYER)
     weights = gpt2.random_weights(cfg, seed=0)
-    model = gpt2.load(cfg, weights, quantize="int8")
-    rng = np.random.default_rng(0)
-    prompt = rng.integers(0, cfg.vocab_size, (BATCH, PROMPT_LEN)).astype(np.int32)
-    gen = Generator(
+    graph = gpt2.build_graph_static_cache(cfg, weights, capacity=CAPACITY)
+    quantize_dynamic(graph)
+    model = Model(graph, ModelOptions(optimize=True))
+    return cfg, ContinuousBatchingEngine(
         model,
-        prompt,
-        GeneratorConfig(bucket_size=BUCKET, max_seq_len=PROMPT_LEN + DECODE_TOKENS + BUCKET),
+        n_layer=cfg.n_layer,
+        n_head=cfg.n_head,
+        head_dim=cfg.head_dim,
+        slots=SLOTS,
+        capacity=CAPACITY,
+        prefill_bucket=PROMPT_LEN,
+        greedy_on_device=True,
     )
-    gen.generate(DECODE_TOKENS)
-    m = gen.metrics
-    return m.tokens_per_sec(skip_warmup=2), m.ttft_s()
+
+
+def run_workload():
+    rng = np.random.default_rng(0)
+    cfg, engine = build_engine()
+
+    def prompts(n):
+        return [
+            rng.integers(0, cfg.vocab_size, PROMPT_LEN).tolist() for _ in range(n)
+        ]
+
+    # Warmup: compiles prefill, decode and cache-insert executables.
+    for p in prompts(SLOTS):
+        engine.submit(p, max_new_tokens=2)
+    engine.run()
+
+    # Timed wave.
+    engine.finished.clear()
+    engine.decode_tokens = 0
+    reqs = [engine.submit(p, max_new_tokens=NEW_TOKENS) for p in prompts(WAVE)]
+    t0 = time.perf_counter()
+    engine.run()
+    elapsed = time.perf_counter() - t0
+    total_tokens = sum(len(r.generated) for r in reqs)
+    tps = total_tokens / elapsed
+    ttfts = sorted(r.ttft_s for r in reqs if r.ttft_s is not None)
+    ttft_p50 = statistics.median(ttfts) if ttfts else 0.0
+    # Single-stream rate: decode steps per second (each step = 1 token for
+    # one sequence; shapes identical regardless of active count).
+    steps_per_s = engine.steps / elapsed if elapsed > 0 else 0.0
+    return {
+        "tps": tps,
+        "ttft_p50_s": ttft_p50,
+        "single_stream_tps": steps_per_s,
+        "total_tokens": total_tokens,
+        "elapsed_s": elapsed,
+    }
 
 
 def cpu_baseline() -> float:
-    """Same workload on the CPU backend, in a subprocess (fresh JAX)."""
+    if os.environ.get("RTEN_BENCH_SKIP_CPU") or os.path.exists(_BASELINE_CACHE):
+        try:
+            return float(json.load(open(_BASELINE_CACHE))["tps"])
+        except Exception:
+            if os.environ.get("RTEN_BENCH_SKIP_CPU"):
+                return 0.0
     code = (
-        "import os; os.environ['JAX_PLATFORMS']='cpu';"
         "import jax; jax.config.update('jax_platforms','cpu');"
         "import bench, json;"
-        "tps, ttft = bench.run_decode(n_layer=12);"
-        "print(json.dumps({'tps': tps}))"
+        "r = bench.run_workload();"
+        "print('CPU_BASELINE ' + json.dumps(r))"
     )
     try:
         out = subprocess.run(
-            [sys.executable, "-c", code],
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            capture_output=True, text=True, timeout=1800,
+            [sys.executable, "-c", code], cwd=_HERE,
+            capture_output=True, text=True, timeout=2400,
         )
-        for line in reversed(out.stdout.strip().splitlines()):
-            try:
-                return float(json.loads(line)["tps"])
-            except (json.JSONDecodeError, KeyError):
-                continue
+        for line in out.stdout.splitlines():
+            if line.startswith("CPU_BASELINE "):
+                r = json.loads(line[len("CPU_BASELINE "):])
+                json.dump({"tps": r["tps"]}, open(_BASELINE_CACHE, "w"))
+                return float(r["tps"])
     except Exception:
         pass
     return 0.0
 
 
 def main():
-    tps, ttft = run_decode()
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_baseline.json")
-    cpu_tps = 0.0
-    if os.path.exists(cache):
-        try:
-            cpu_tps = float(json.load(open(cache))["tps"])
-        except Exception:
-            cpu_tps = 0.0
-    if not cpu_tps:
-        cpu_tps = cpu_baseline()
-        if cpu_tps:
-            json.dump({"tps": cpu_tps}, open(cache, "w"))
-    vs = tps / cpu_tps if cpu_tps else 0.0
+    r = run_workload()
+    cpu_tps = cpu_baseline()
     print(
         json.dumps(
             {
-                "metric": "gpt2_int8_decode_tokens_per_sec_per_chip",
-                "value": round(tps, 2),
+                "metric": "gpt2_int8_continuous_batching_tokens_per_sec_per_chip",
+                "value": round(r["tps"], 2),
                 "unit": "tokens/s",
-                "vs_baseline": round(vs, 3),
-                "ttft_ms": round((ttft or 0) * 1e3, 1),
+                "vs_baseline": round(r["tps"] / cpu_tps, 3) if cpu_tps else 0.0,
+                "ttft_p50_ms": round(r["ttft_p50_s"] * 1e3, 1),
+                "single_stream_tokens_per_sec": round(r["single_stream_tps"], 2),
                 "baseline_cpu_tokens_per_sec": round(cpu_tps, 2),
+                "slots": SLOTS,
+                "prompt_len": PROMPT_LEN,
             }
         )
     )

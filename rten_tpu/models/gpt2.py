@@ -230,7 +230,15 @@ def build_graph_static_cache(
         np.ascontiguousarray(weights["transformer.wte.weight"].T, np.float32),
     )
     logits = b.op("MatMul", [x, lm_w], name="lm_head", output_names=["logits"])
+    # On-device greedy token: callers that only need argmax sampling fetch
+    # this [slots, T] int output instead of the [slots, T, V] logits —
+    # shrinking the per-step device->host transfer by V/1.
+    next_tok = b.op(
+        "ArgMax", [logits], {"axis": -1, "keepdims": 0},
+        output_names=["next_token"],
+    )
     b.output(logits, *presents)
+    b.graph.output_ids.append(next_tok.node_id)
     return b.finish()
 
 

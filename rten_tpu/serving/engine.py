@@ -62,6 +62,7 @@ class ContinuousBatchingEngine:
         capacity: int = 512,
         prefill_bucket: int = 64,
         sampler: Optional[Sampler] = None,
+        greedy_on_device: bool = False,
     ):
         self.model = model
         self.executor = model.executor
@@ -85,7 +86,14 @@ class ContinuousBatchingEngine:
             n: self.g.find_node(n)
             for n in ("input_ids", "past_lens", "position_ids")
         }
-        self.out_ids = [self.g.find_node("logits")] + [
+        # Greedy-on-device: fetch the tiny argmax output instead of the full
+        # [slots, T, V] logits (XLA prunes the logits transfer entirely).
+        self.greedy_on_device = (
+            greedy_on_device and self.g.find_node("next_token") is not None
+            and sampler is None
+        )
+        tok_out = "next_token" if self.greedy_on_device else "logits"
+        self.out_ids = [self.g.find_node(tok_out)] + [
             self.g.find_node(n) for n in self.present_names
         ]
 
@@ -151,12 +159,15 @@ class ContinuousBatchingEngine:
         for nid, cache in zip(self.cache_ids, self.caches):
             feed[nid] = jnp.zeros((1,) + cache.shape[1:], cache.dtype)
         outs = self.executor.run(feed, self.out_ids, donate=self.cache_ids)
-        logits = np.asarray(outs[0])[0, len(req.prompt) - 1]
         for li, present in enumerate(outs[1:]):
             self.caches[li] = self._insert_row(
                 self.caches[li], present, jnp.int32(slot)
             )
-        tok = int(self.sampler.sample(logits[None])[0])
+        if self.greedy_on_device:
+            tok = int(np.asarray(outs[0])[0, len(req.prompt) - 1])
+        else:
+            logits = np.asarray(outs[0])[0, len(req.prompt) - 1]
+            tok = int(self.sampler.sample(logits[None])[0])
         now = time.perf_counter()
         req.first_token_at = now
         req.generated.append(tok)
@@ -197,8 +208,11 @@ class ContinuousBatchingEngine:
             feed[nid] = cache
         outs = self.executor.run(feed, self.out_ids, donate=self.cache_ids)
         self.caches = list(outs[1:])
-        logits = np.asarray(outs[0])[:, 0]  # [slots, V]
-        toks = self.sampler.sample(logits[active])
+        if self.greedy_on_device:
+            toks = np.asarray(outs[0])[active, 0]
+        else:
+            logits = np.asarray(outs[0])[:, 0]  # [slots, V]
+            toks = self.sampler.sample(logits[active])
         self.steps += 1
         for tok, slot in zip(toks, active):
             req = self.slot_req[slot]
