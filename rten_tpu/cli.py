@@ -77,6 +77,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("-q", "--quiet", action="store_true")
     ap.add_argument("--eager", action="store_true", help="run without jit")
+    ap.add_argument("--infer-shapes", dest="infer_shapes", action="store_true",
+                    help="run symbolic shape inference and print value shapes")
     ap.add_argument("--quantize", choices=["int8"],
                     help="dynamic int8 quantization (ort-quantize analog)")
     ap.add_argument("--save-model", dest="save_model", metavar="OUT.rtpu",
@@ -106,6 +108,19 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"outputs: {', '.join(model.output_names())}")
         if model.metadata:
             print(f"metadata: {model.metadata}")
+
+    if args.infer_shapes:
+        from .shape_inference import infer_shapes
+
+        info = infer_shapes(model.graph)
+        for nid, op_node in model.graph.operators():
+            for out in op_node.outputs:
+                dt, sh = info.get(out, (None, None))
+                print(
+                    f"  {model.graph.node_name(out)}: "
+                    f"{dt.value if dt else '?'} {list(sh) if sh else '?'}"
+                )
+        return 0
 
     dim_sizes = _parse_size_spec(args.size)
     lo, hi = (float(x) for x in args.range.split(":"))

@@ -1,0 +1,621 @@
+"""Symbolic shape & dtype inference over the IR.
+
+Analog of rten-shape-inference (sym_expr.rs/sym_tensor.rs + per-op rules)
+and the glue in rten src/infer_shapes.rs:47-179. Dims are `int`, a symbol
+name (`"batch"`), or `None` (unknown). The executor itself is shape-
+concrete (jit specializes), so inference serves validation, model
+inspection (CLI --infer-shapes), and optimizer passes — matching the
+reference's ShapeInference=On mode rather than Strict.
+
+Rules cover the op families real models exercise; unknown ops yield
+unknown shapes rather than failing (reference behavior for opt-in mode).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .dtypes import DataType
+from .ir.graph import Constant, Dim, Graph, NodeId, Operator, Value
+
+Shape = Optional[Tuple[Dim, ...]]
+Info = Tuple[Optional[DataType], Shape]
+
+RULES: Dict[str, Callable] = {}
+
+
+def rule(*names):
+    def deco(fn):
+        for n in names:
+            RULES[n] = fn
+        return fn
+
+    return deco
+
+
+class ShapeError(Exception):
+    pass
+
+
+def _dim_eq(a: Dim, b: Dim) -> bool:
+    return a == b or a is None or b is None
+
+
+def broadcast_dims(a: Dim, b: Dim) -> Dim:
+    if a == 1:
+        return b
+    if b == 1:
+        return a
+    if a is None:
+        return b if b is not None else None
+    if b is None:
+        return a
+    if a != b:
+        raise ShapeError(f"cannot broadcast dims {a} and {b}")
+    return a
+
+
+def broadcast_shapes(a: Shape, b: Shape) -> Shape:
+    if a is None or b is None:
+        return None
+    la, lb = len(a), len(b)
+    n = max(la, lb)
+    out: List[Dim] = []
+    for i in range(n):
+        da = a[la - n + i] if la - n + i >= 0 else 1
+        db = b[lb - n + i] if lb - n + i >= 0 else 1
+        out.append(broadcast_dims(da, db))
+    return tuple(out)
+
+
+# --- rules -----------------------------------------------------------------
+
+_ELEMENTWISE = (
+    "Add Sub Mul Div Pow Mod Max Min Sum Mean And Or Xor PRelu "
+    "Greater GreaterOrEqual Less LessOrEqual Equal"
+).split()
+
+_UNARY = (
+    "Abs Acos Acosh Asin Asinh Atan Atanh Ceil Clip Cos Cosh Elu Erf Exp "
+    "Floor Gelu HardSigmoid HardSwish Identity LeakyRelu Log Neg Not "
+    "Reciprocal Relu Round Sigmoid Sign Sin Sinh Softplus Sqrt Swish Tan "
+    "Tanh Softmax LogSoftmax SafeSoftmax Dropout LpNormalization "
+    "QuickGelu GeluMicrosoft"
+).split()
+
+_BOOL_OUT = {"Greater", "GreaterOrEqual", "Less", "LessOrEqual", "Equal",
+             "And", "Or", "Xor", "Not", "IsInf", "IsNaN"}
+
+
+@rule(*_ELEMENTWISE)
+def _r_elementwise(op, ins, g=None):
+    shape = None
+    dtype = None
+    first = True
+    for dt, sh in ins:
+        if sh is not None:
+            shape = sh if first or shape is None else broadcast_shapes(shape, sh)
+            first = False
+        if dtype is None:
+            dtype = dt
+    if op.op_type in _BOOL_OUT:
+        dtype = DataType.Bool
+    return [(dtype, shape)]
+
+
+@rule(*_UNARY)
+def _r_unary(op, ins, g=None):
+    dt, sh = ins[0]
+    if op.op_type in _BOOL_OUT:
+        dt = DataType.Bool
+    return [(dt, sh)]
+
+
+@rule("Cast", "CastLike")
+def _r_cast(op, ins, g=None):
+    to = op.attrs.get("to")
+    dt = to if isinstance(to, DataType) else (ins[1][0] if len(ins) > 1 else None)
+    return [(dt, ins[0][1])]
+
+
+@rule("MatMul", "MatMulAdd", "FusedMatMul")
+def _r_matmul(op, ins, g=None):
+    (da, a), (_, b) = ins[0], ins[1]
+    if a is None or b is None:
+        return [(da, None)]
+    if len(a) == 0 or len(b) == 0:
+        return [(da, None)]
+    if len(a) == 1:
+        a = (1,) + tuple(a)
+    if len(b) == 1:
+        b = tuple(b) + (1,)
+    batch = broadcast_shapes(a[:-2], b[:-2])
+    if batch is None:
+        return [(da, None)]
+    if not _dim_eq(a[-1], b[-2]):
+        raise ShapeError(f"matmul K mismatch: {a} x {b}")
+    return [(da, tuple(batch) + (a[-2], b[-1]))]
+
+
+@rule("Gemm")
+def _r_gemm(op, ins, g=None):
+    (da, a), (_, b) = ins[0], ins[1]
+    if a is None or b is None:
+        return [(da, None)]
+    m = a[1] if op.attrs.get("transA") else a[0]
+    n = b[0] if op.attrs.get("transB") else b[1]
+    return [(da, (m, n))]
+
+
+@rule("MatMulInteger")
+def _r_matmul_int(op, ins, g=None):
+    out = _r_matmul(op, ins[:2])
+    return [(DataType.Int32, out[0][1])]
+
+
+@rule("MatMulIntegerToFloat")
+def _r_mmitf(op, ins, g=None):
+    out = _r_matmul(op, ins[:2])
+    return [(DataType.Float, out[0][1])]
+
+
+def _conv_spatial(x_sp, kernel, strides, pads, dilations):
+    out = []
+    for i, d in enumerate(x_sp):
+        if not isinstance(d, int):
+            out.append(None)
+            continue
+        k_eff = (kernel[i] - 1) * dilations[i] + 1
+        out.append((d + pads[i] + pads[i + len(x_sp)] - k_eff) // strides[i] + 1)
+    return out
+
+
+@rule("Conv", "ConvInteger", "ConvIntegerToFloat")
+def _r_conv(op, ins, g=None):
+    (dx, x), (dw, w) = ins[0], ins[1]
+    dtype = {
+        "Conv": dx, "ConvInteger": DataType.Int32,
+        "ConvIntegerToFloat": DataType.Float,
+    }[op.op_type]
+    if x is None or w is None:
+        return [(dtype, None)]
+    n_sp = len(x) - 2
+    kernel = [k if isinstance(k, int) else None for k in w[2:]]
+    if any(k is None for k in kernel):
+        return [(dtype, None)]
+    strides = op.attrs.get("strides", [1] * n_sp)
+    dilations = op.attrs.get("dilations", [1] * n_sp)
+    pads = op.attrs.get("pads", [0] * (2 * n_sp))
+    if op.attrs.get("auto_pad", "NOTSET") not in ("NOTSET", "", None):
+        return [(dtype, (x[0], w[0]) + (None,) * n_sp)]
+    sp = _conv_spatial(x[2:], kernel, strides, pads, dilations)
+    return [(dtype, (x[0], w[0]) + tuple(sp))]
+
+
+@rule("MaxPool", "AveragePool")
+def _r_pool(op, ins, g=None):
+    dx, x = ins[0]
+    if x is None:
+        return [(dx, None)]
+    n_sp = len(x) - 2
+    kernel = op.attrs.get("kernel_shape")
+    strides = op.attrs.get("strides", kernel)
+    pads = op.attrs.get("pads", [0] * (2 * n_sp))
+    if kernel is None:
+        return [(dx, None)]
+    ceil_mode = op.attrs.get("ceil_mode", 0)
+    sp = []
+    for i, d in enumerate(x[2:]):
+        if not isinstance(d, int):
+            sp.append(None)
+            continue
+        total = d + pads[i] + pads[i + n_sp] - kernel[i]
+        sp.append(-(-total // strides[i]) + 1 if ceil_mode else total // strides[i] + 1)
+    return [(dx, (x[0], x[1]) + tuple(sp))]
+
+
+@rule("GlobalAveragePool", "GlobalMaxPool")
+def _r_global_pool(op, ins, g=None):
+    dx, x = ins[0]
+    if x is None:
+        return [(dx, None)]
+    return [(dx, (x[0], x[1]) + (1,) * (len(x) - 2))]
+
+
+@rule("Transpose")
+def _r_transpose(op, ins, g=None):
+    dx, x = ins[0]
+    if x is None:
+        return [(dx, None)]
+    perm = op.attrs.get("perm") or list(range(len(x)))[::-1]
+    return [(dx, tuple(x[p] for p in perm))]
+
+
+@rule("Shape")
+def _r_shape(op, ins, g=None):
+    _, x = ins[0]
+    return [(DataType.Int32, (len(x),) if x is not None else None)]
+
+
+@rule("Size")
+def _r_size(op, ins, g=None):
+    return [(DataType.Int32, ())]
+
+
+@rule("LayerNormalization", "RMSNormalization", "BatchNormalization",
+      "InstanceNormalization", "SimplifiedLayerNormalization",
+      "SkipLayerNormalization", "SkipSimplifiedLayerNormalization")
+def _r_norm(op, ins, g=None):
+    return [ins[0]] * max(op.attrs.get("__n_outputs__", 1), 1)
+
+
+@rule("Concat")
+def _r_concat(op, ins, g=None):
+    shapes = [sh for _, sh in ins if True]
+    dt = ins[0][0]
+    if any(sh is None for sh in shapes):
+        return [(dt, None)]
+    axis = op.attrs.get("axis", 0)
+    rank = len(shapes[0])
+    axis = axis + rank if axis < 0 else axis
+    total = 0
+    for sh in shapes:
+        d = sh[axis]
+        if not isinstance(d, int):
+            total = None
+            break
+        total += d
+    out = list(shapes[0])
+    out[axis] = total
+    return [(dt, tuple(out))]
+
+
+@rule("Unsqueeze")
+def _r_unsqueeze(op, ins, g=None):
+    dt, sh = ins[0]
+    axes = op.attrs.get("axes")
+    if sh is None or axes is None:
+        # axes may be a (constant) input; without it rank is unknown
+        return [(dt, None)]
+    rank = len(sh) + len(axes)
+    axes = sorted(a + rank if a < 0 else a for a in axes)
+    out = list(sh)
+    for a in axes:
+        out.insert(a, 1)
+    return [(dt, tuple(out))]
+
+
+@rule("Attention")
+def _r_attention(op, ins, g=None):
+    dq, q = ins[0]
+    n_out = max(op.attrs.get("__n_outputs__", 1), 1)
+    outs = [(dq, q)]
+    # present K/V = concat(past, new) along the sequence axis.
+    for kv_idx in (1, 2):
+        if len(outs) >= n_out:
+            break
+        dk, k = ins[kv_idx] if kv_idx < len(ins) else (None, None)
+        past = ins[3 + kv_idx][1] if len(ins) > 3 + kv_idx else None
+        if k is not None and len(k) == 4:
+            seq = k[2]
+            if past is not None:
+                seq = (
+                    past[2] + k[2]
+                    if isinstance(past[2], int) and isinstance(k[2], int)
+                    else None
+                )
+            outs.append((dk, (k[0], k[1], seq, k[3])))
+        else:
+            outs.append((dk, None))
+    while len(outs) < n_out:
+        outs.append((dq, None))
+    return outs
+
+
+@rule("Where")
+def _r_where(op, ins, g=None):
+    _, c = ins[0]
+    dt, a = ins[1]
+    _, b = ins[2]
+    return [(dt, broadcast_shapes(broadcast_shapes(c, a), b))]
+
+
+def _reduce_shape(sh, axes, keepdims):
+    if sh is None:
+        return None
+    rank = len(sh)
+    if axes is None:
+        axes = list(range(rank))
+    axes = [a + rank if a < 0 else a for a in axes]
+    out = []
+    for i, d in enumerate(sh):
+        if i in axes:
+            if keepdims:
+                out.append(1)
+        else:
+            out.append(d)
+    return tuple(out)
+
+
+@rule("ReduceSum", "ReduceMean", "ReduceMax", "ReduceMin", "ReduceProd",
+      "ReduceL1", "ReduceL2", "ReduceLogSum", "ReduceLogSumExp",
+      "ReduceSumSquare")
+def _r_reduce(op, ins, g=None):
+    dt, sh = ins[0]
+    axes = op.attrs.get("axes")
+    return [(dt, _reduce_shape(sh, axes, op.attrs.get("keepdims", 1)))]
+
+
+@rule("ArgMax", "ArgMin")
+def _r_arg(op, ins, g=None):
+    _, sh = ins[0]
+    axis = op.attrs.get("axis", 0)
+    return [(DataType.Int32, _reduce_shape(sh, [axis], op.attrs.get("keepdims", 1)))]
+
+
+@rule("Gather")
+def _r_gather(op, ins, g=None):
+    dt, data = ins[0]
+    _, idx = ins[1]
+    if data is None or idx is None:
+        return [(dt, None)]
+    axis = op.attrs.get("axis", 0)
+    axis = axis + len(data) if axis < 0 else axis
+    return [(dt, tuple(data[:axis]) + tuple(idx) + tuple(data[axis + 1:]))]
+
+
+@rule("Flatten")
+def _r_flatten(op, ins, g=None):
+    dt, sh = ins[0]
+    if sh is None:
+        return [(dt, None)]
+    axis = op.attrs.get("axis", 1)
+
+    def prod(dims):
+        out = 1
+        for d in dims:
+            if not isinstance(d, int):
+                return None
+            out *= d
+        return out
+
+    return [(dt, (prod(sh[:axis]), prod(sh[axis:])))]
+
+
+@rule("DynamicQuantizeLinear")
+def _r_dql(op, ins, g=None):
+    _, sh = ins[0]
+    return [(DataType.UInt8, sh), (DataType.Float, ()), (DataType.UInt8, ())]
+
+
+@rule("QuantizeLinear")
+def _r_quant(op, ins, g=None):
+    zp_dt = ins[2][0] if len(ins) > 2 and ins[2] else DataType.UInt8
+    return [(zp_dt or DataType.UInt8, ins[0][1])]
+
+
+@rule("DequantizeLinear")
+def _r_dequant(op, ins, g=None):
+    return [(DataType.Float, ins[0][1])]
+
+
+def _const_ints(g, op, idx):
+    """Constant-input values as an int list, else None."""
+    if g is None or idx >= len(op.inputs) or op.inputs[idx] is None:
+        return None
+    node = g.nodes.get(op.inputs[idx])
+    if isinstance(node, Constant):
+        return np.asarray(node.array).reshape(-1).astype(np.int64).tolist()
+    return None
+
+
+@rule("Split")
+def _r_split(op, ins, g=None):
+    dt, sh = ins[0]
+    n_out = max(op.attrs.get("__n_outputs__", op.attrs.get("num_outputs", 1)), 1)
+    if sh is None:
+        return [(dt, None)] * n_out
+    axis = op.attrs.get("axis", 0)
+    axis = axis + len(sh) if axis < 0 else axis
+    sizes = op.attrs.get("split") or _const_ints(g, op, 1)
+    dim = sh[axis]
+    outs = []
+    if sizes is None:
+        if isinstance(dim, int):
+            chunk = -(-dim // n_out)
+            rem = dim
+            for _ in range(n_out):
+                s = list(sh)
+                s[axis] = min(chunk, rem)
+                rem -= s[axis]
+                outs.append((dt, tuple(s)))
+            return outs
+        return [(dt, tuple(None if i == axis else d for i, d in enumerate(sh)))] * n_out
+    for size in sizes:
+        s = list(sh)
+        s[axis] = int(size)
+        outs.append((dt, tuple(s)))
+    return outs
+
+
+@rule("Reshape")
+def _r_reshape(op, ins, g=None):
+    dt, sh = ins[0]
+    target = _const_ints(g, op, 1)
+    if target is None:
+        return [(dt, None)]
+    out: List[Dim] = []
+    neg_idx = None
+    known = 1
+    for i, d in enumerate(target):
+        if d == 0 and not op.attrs.get("allowzero", 0):
+            src = sh[i] if sh is not None and i < len(sh) else None
+            out.append(src)
+        elif d == -1:
+            neg_idx = i
+            out.append(None)
+        else:
+            out.append(int(d))
+    if neg_idx is not None and sh is not None and all(
+        isinstance(d, int) for d in sh
+    ) and all(isinstance(d, int) for i, d in enumerate(out) if i != neg_idx):
+        total = int(np.prod([d for d in sh])) if sh else 1
+        rest = int(np.prod([d for i, d in enumerate(out) if i != neg_idx]) or 1)
+        if rest:
+            out[neg_idx] = total // rest
+    return [(dt, tuple(out))]
+
+
+@rule("Squeeze")
+def _r_squeeze(op, ins, g=None):
+    dt, sh = ins[0]
+    axes = op.attrs.get("axes") or _const_ints(g, op, 1)
+    if sh is None:
+        return [(dt, None)]
+    if axes is None:
+        if any(not isinstance(d, int) for d in sh):
+            return [(dt, None)]
+        return [(dt, tuple(d for d in sh if d != 1))]
+    rank = len(sh)
+    axes = {a + rank if a < 0 else a for a in axes}
+    return [(dt, tuple(d for i, d in enumerate(sh) if i not in axes))]
+
+
+@rule("Slice")
+def _r_slice(op, ins, g=None):
+    dt, sh = ins[0]
+    if sh is None:
+        return [(dt, None)]
+    starts = op.attrs.get("starts") or _const_ints(g, op, 1)
+    ends = op.attrs.get("ends") or _const_ints(g, op, 2)
+    axes = op.attrs.get("axes") or _const_ints(g, op, 3)
+    steps = _const_ints(g, op, 4)
+    if starts is None or ends is None:
+        return [(dt, None)]
+    if axes is None:
+        axes = list(range(len(starts)))
+    if steps is None:
+        steps = [1] * len(starts)
+    out = list(sh)
+    for st, en, ax, sp in zip(starts, ends, axes, steps):
+        ax = ax + len(sh) if ax < 0 else ax
+        d = sh[ax]
+        if not isinstance(d, int):
+            out[ax] = None
+            continue
+        st_c = min(max(st + d if st < 0 else st, 0), d)
+        en_c = min(max(en + d if en < 0 else en, 0), d)
+        out[ax] = max(0, -(-(en_c - st_c) // sp)) if sp > 0 else max(
+            0, -(-(st_c - en_c) // -sp)
+        )
+    return [(dt, tuple(out))]
+
+
+@rule("Expand")
+def _r_expand(op, ins, g=None):
+    dt, sh = ins[0]
+    target = _const_ints(g, op, 1)
+    if target is None:
+        return [(dt, None)]
+    try:
+        return [(dt, broadcast_shapes(sh, tuple(int(t) for t in target)))]
+    except ShapeError:
+        return [(dt, None)]
+
+
+@rule("GroupQueryAttention", "MultiHeadAttention")
+def _r_gqa(op, ins, g=None):
+    dq, q = ins[0]
+    n_out = max(op.attrs.get("__n_outputs__", 1), 1)
+    outs = [(dq, q)]
+    # presents: the past buffers' shapes (static-cache) or unknown.
+    past_idx = 3 if op.op_type == "GroupQueryAttention" else 6
+    for kv in range(2):
+        if len(outs) >= n_out:
+            break
+        pd, psh = ins[past_idx + kv] if past_idx + kv < len(ins) else (None, None)
+        outs.append((pd, psh if op.attrs.get("rten_past_lens") else None))
+    while len(outs) < n_out:
+        outs.append((dq, None))
+    return outs
+
+
+@rule("Range")
+def _r_range(op, ins, g=None):
+    vals = [_const_ints(g, op, i) for i in range(3)]
+    if all(v is not None and len(v) == 1 for v in vals):
+        n = max(0, -(-(vals[1][0] - vals[0][0]) // vals[2][0]))
+        return [(ins[0][0] or DataType.Int32, (n,))]
+    return [(ins[0][0] or DataType.Int32, None)]
+
+
+@rule("Unsqueeze")
+def _r_unsqueeze2(op, ins, g=None):
+    dt, sh = ins[0]
+    axes = op.attrs.get("axes") or _const_ints(g, op, 1)
+    if sh is None or axes is None:
+        return [(dt, None)]
+    rank = len(sh) + len(axes)
+    axes = sorted(a + rank if a < 0 else a for a in axes)
+    out = list(sh)
+    for a in axes:
+        out.insert(a, 1)
+    return [(dt, tuple(out))]
+
+
+# --- driver ----------------------------------------------------------------
+
+
+def infer_shapes(g: Graph, overrides: Optional[Dict[str, Shape]] = None) -> Dict[NodeId, Info]:
+    """Walk operators in plan order, applying rules; annotates Value nodes
+    in place (only filling unknowns) and returns {value_id: (dtype, shape)}.
+    """
+    info: Dict[NodeId, Info] = {}
+    for nid, node in g.nodes.items():
+        if isinstance(node, Constant):
+            info[nid] = (node.dtype, tuple(node.shape))
+        elif isinstance(node, Value):
+            shape = node.shape
+            if overrides and node.name in overrides:
+                shape = overrides[node.name]
+            info[nid] = (node.dtype, shape)
+
+    produced = {o for _, op in g.operators() for o in op.outputs}
+    free_values = [
+        nid for nid, node in g.nodes.items()
+        if isinstance(node, Value) and nid not in produced
+    ]
+    plan = g.plan(free_values, list(g.output_ids), allow_missing_inputs=True)
+    for op_id in plan:
+        op = g.nodes[op_id]
+        assert isinstance(op, Operator)
+        rule_fn = RULES.get(op.op_type)
+        ins = [
+            info.get(i, (None, None)) if i is not None else (None, None)
+            for i in op.inputs
+        ]
+        attrs = dict(op.attrs)
+        attrs["__n_outputs__"] = len(op.outputs)
+        op_view = Operator(op.op_type, op.name, attrs, op.inputs, op.outputs)
+        if rule_fn is None:
+            outs = [(None, None)] * len(op.outputs)
+        else:
+            try:
+                outs = rule_fn(op_view, ins, g)
+            except ShapeError:
+                raise
+            except Exception:
+                outs = [(None, None)] * len(op.outputs)
+        while len(outs) < len(op.outputs):
+            outs.append((None, None))
+        for out_id, (dt, sh) in zip(op.outputs, outs):
+            info[out_id] = (dt, sh)
+            node = g.nodes.get(out_id)
+            if isinstance(node, Value):
+                if node.dtype is None:
+                    node.dtype = dt
+                if node.shape is None and sh is not None:
+                    node.shape = sh
+    return info
