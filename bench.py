@@ -30,6 +30,7 @@ NEW_TOKENS = 32
 SLOTS = 8
 CAPACITY = 256
 WAVE = 16              # timed requests
+STEPS_PER_DISPATCH = 8 # fused on-device decode steps per dispatch
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _BASELINE_CACHE = os.path.join(_HERE, "bench_baseline.json")
@@ -55,6 +56,7 @@ def build_engine():
         capacity=CAPACITY,
         prefill_bucket=PROMPT_LEN,
         greedy_on_device=True,
+        steps_per_dispatch=STEPS_PER_DISPATCH,
     )
 
 

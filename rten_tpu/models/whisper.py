@@ -49,6 +49,66 @@ def _sinusoids(length: int, channels: int) -> np.ndarray:
     return np.concatenate([np.sin(scaled), np.cos(scaled)], axis=1).astype(np.float32)
 
 
+def log_mel_spectrogram(
+    audio: np.ndarray,
+    n_mels: int = 80,
+    n_fft: int = 400,
+    hop: int = 160,
+    sample_rate: int = 16000,
+) -> np.ndarray:
+    """Whisper's mel front-end (reference: rten whisper example feeds
+    precomputed features; here the STFT+mel filterbank is built in,
+    mirroring openai/whisper's audio.py math). audio [T] -> [n_mels, frames].
+    """
+    audio = np.asarray(audio, np.float32)
+    window = np.hanning(n_fft + 1)[:-1].astype(np.float32)
+    pad = n_fft // 2
+    padded = np.pad(audio, pad, mode="reflect")
+    n_frames = 1 + (len(padded) - n_fft) // hop
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    frames = padded[idx] * window
+    spec = np.abs(np.fft.rfft(frames, axis=-1)) ** 2  # [frames, bins]
+    mel_fb = _mel_filterbank(sample_rate, n_fft, n_mels)
+    mel = mel_fb @ spec[:-1].T  # whisper drops the last frame
+    log_spec = np.log10(np.maximum(mel, 1e-10))
+    log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
+    return ((log_spec + 4.0) / 4.0).astype(np.float32)
+
+
+def _mel_filterbank(sr: int, n_fft: int, n_mels: int) -> np.ndarray:
+    """Slaney-style mel filterbank (librosa-compatible)."""
+    fmax = sr / 2
+    n_bins = n_fft // 2 + 1
+    freqs = np.linspace(0, fmax, n_bins)
+
+    def hz_to_mel(f):
+        f = np.asarray(f, np.float64)
+        mel = f / 66.6666666
+        log_region = f >= 1000.0
+        mel = np.where(
+            log_region, 15.0 + np.log(np.maximum(f, 1e-9) / 1000.0) / np.log(6.4) * 27.0, mel
+        )
+        return mel
+
+    def mel_to_hz(m):
+        m = np.asarray(m, np.float64)
+        hz = m * 66.6666666
+        log_region = m >= 15.0
+        return np.where(log_region, 1000.0 * np.exp(np.log(6.4) * (m - 15.0) / 27.0), hz)
+
+    mels = np.linspace(hz_to_mel(0.0), hz_to_mel(fmax), n_mels + 2)
+    pts = mel_to_hz(mels)
+    fb = np.zeros((n_mels, n_bins))
+    for i in range(n_mels):
+        lo, center, hi = pts[i], pts[i + 1], pts[i + 2]
+        up = (freqs - lo) / max(center - lo, 1e-9)
+        down = (hi - freqs) / max(hi - center, 1e-9)
+        fb[i] = np.maximum(0, np.minimum(up, down))
+        # Slaney normalization.
+        fb[i] *= 2.0 / (hi - lo)
+    return fb.astype(np.float32)
+
+
 def build_encoder(cfg: WhisperConfig, w: Dict[str, np.ndarray]) -> Graph:
     b = GraphBuilder()
     H, D = cfg.heads, cfg.head_dim

@@ -63,6 +63,7 @@ class ContinuousBatchingEngine:
         prefill_bucket: int = 64,
         sampler: Optional[Sampler] = None,
         greedy_on_device: bool = False,
+        steps_per_dispatch: int = 1,
     ):
         self.model = model
         self.executor = model.executor
@@ -115,6 +116,44 @@ class ContinuousBatchingEngine:
 
         # Donate the cache: the scatter happens in place on device.
         self._insert_row = jax.jit(_insert_row, donate_argnums=0)
+
+        # Fused multi-step decode: k greedy steps chained on device via
+        # lax.scan, one dispatch per k*slots tokens (amortizes host/tunnel
+        # round-trip latency — the dominant cost of per-token dispatch).
+        self.steps_per_dispatch = (
+            steps_per_dispatch if self.greedy_on_device else 1
+        )
+        self._multi_step = None
+        if self.steps_per_dispatch > 1:
+            self._multi_step = self._build_multi_step(self.steps_per_dispatch)
+
+    def _build_multi_step(self, k: int):
+        executor = self.executor
+        in_ids = self.in_ids
+        cache_ids = self.cache_ids
+        out_ids = self.out_ids  # [next_token, presents...]
+        n_caches = len(cache_ids)
+
+        def fn(weights: Dict, caches, toks, lens):
+            def body(carry, _):
+                caches, toks, lens = carry
+                env = dict(weights)
+                env[in_ids["input_ids"]] = toks[:, None]
+                env[in_ids["past_lens"]] = lens
+                env[in_ids["position_ids"]] = lens[:, None]
+                for nid, c in zip(cache_ids, caches):
+                    env[nid] = c
+                outs = executor.trace(env, out_ids)
+                new_toks = outs[0][:, 0].astype(jnp.int32)
+                return (tuple(outs[1:]), new_toks, lens + 1), new_toks
+
+            (caches, toks, lens), tok_seq = jax.lax.scan(
+                body, (tuple(caches), toks, lens), None, length=k
+            )
+            return caches, tok_seq.T  # [slots, k]
+
+        # Donate the caches (arg 1) so updates stay in place.
+        return jax.jit(fn, donate_argnums=(1,))
 
     # -- public API ----------------------------------------------------------
 
@@ -197,7 +236,35 @@ class ContinuousBatchingEngine:
         active = [s for s in range(self.slots) if self.slot_req[s] is not None]
         if not active:
             return
-        # 2. One decode step for every slot (inactive slots compute garbage
+        # 2a. Fused multi-step decode when enabled and there is KV room.
+        k = self.steps_per_dispatch
+        if (
+            self._multi_step is not None
+            and k > 1
+            and all(self.slot_len[s] + k < self.capacity - 1 for s in active)
+        ):
+            caches, tok_seq = self._multi_step(
+                self.executor._weight_args(),
+                self.caches,
+                jnp.asarray(self.slot_last_tok),
+                jnp.asarray(self.slot_len),
+            )
+            self.caches = list(caches)
+            tok_seq = np.asarray(tok_seq)  # [slots, k]
+            self.steps += k
+            for slot in active:
+                req = self.slot_req[slot]
+                for j in range(k):
+                    tok = int(tok_seq[slot, j])
+                    req.generated.append(tok)
+                    self.slot_len[slot] += 1
+                    self.slot_last_tok[slot] = tok
+                    self.decode_tokens += 1
+                    self._maybe_finish(slot, tok)
+                    if self.slot_req[slot] is None:
+                        break
+            return
+        # 2b. One decode step for every slot (inactive slots compute garbage
         #    into their own cache rows, overwritten at next admission).
         feed = {
             self.in_ids["input_ids"]: self.slot_last_tok[:, None].copy(),

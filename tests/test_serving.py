@@ -21,7 +21,7 @@ def models():
     return cfg, weights, seq_model, static_model
 
 
-def make_engine(cfg, static_model, slots=3):
+def make_engine(cfg, static_model, slots=3, **kw):
     return ContinuousBatchingEngine(
         static_model,
         n_layer=cfg.n_layer,
@@ -30,6 +30,7 @@ def make_engine(cfg, static_model, slots=3):
         slots=slots,
         capacity=64,
         prefill_bucket=8,
+        **kw,
     )
 
 
@@ -57,6 +58,27 @@ def test_engine_matches_generator(models):
         assert req.done
         assert req.generated == want[i], f"request {i}"
         assert req.ttft_s is not None and req.finished_at is not None
+
+
+@pytest.mark.parametrize("steps_per_dispatch", [1, 4])
+def test_engine_greedy_on_device(models, steps_per_dispatch):
+    """On-device argmax + fused multi-step decode match the Generator."""
+    cfg, weights, seq_model, static_model = models
+    prompts = [[5, 9, 23, 40, 7], [3, 8, 11], [77, 2, 19, 50, 4, 33, 6]]
+    n_new = 9  # not a multiple of steps_per_dispatch
+    want = [
+        Generator(seq_model, [p], GeneratorConfig(bucket_size=8)).generate(n_new)[0].tolist()
+        for p in prompts
+    ]
+    engine = make_engine(
+        cfg, static_model, slots=2,
+        greedy_on_device=True, steps_per_dispatch=steps_per_dispatch,
+    )
+    reqs = [engine.submit(p, max_new_tokens=n_new) for p in prompts]
+    engine.run()
+    for req, exp in zip(reqs, want):
+        assert req.generated == exp
+        assert len(req.generated) == n_new
 
 
 def test_engine_more_requests_than_slots(models):
