@@ -64,7 +64,12 @@ class ContinuousBatchingEngine:
         sampler: Optional[Sampler] = None,
         greedy_on_device: bool = False,
         steps_per_dispatch: int = 1,
+        params: Optional[Dict[int, object]] = None,
     ):
+        """``params``: optional {node_id: device array} weight overrides —
+        e.g. mesh-sharded copies from parallel.shard_constants, making the
+        whole serving engine tensor-parallel (GSPMD propagates from the
+        committed weight shardings through decode and cache updates)."""
         self.model = model
         self.executor = model.executor
         self.g = model.graph
@@ -73,6 +78,7 @@ class ContinuousBatchingEngine:
         self.capacity = capacity
         self.prefill_bucket = prefill_bucket
         self.sampler = sampler or ArgMaxSampler()
+        self.params = dict(params) if params else None
 
         self.cache_names = [
             f"past_key_values.{i}.{kv}"
@@ -197,6 +203,8 @@ class ContinuousBatchingEngine:
         }
         for nid, cache in zip(self.cache_ids, self.caches):
             feed[nid] = jnp.zeros((1,) + cache.shape[1:], cache.dtype)
+        if self.params:
+            feed.update(self.params)
         outs = self.executor.run(feed, self.out_ids, donate=self.cache_ids)
         for li, present in enumerate(outs[1:]):
             self.caches[li] = self._insert_row(
@@ -244,7 +252,7 @@ class ContinuousBatchingEngine:
             and all(self.slot_len[s] + k < self.capacity - 1 for s in active)
         ):
             caches, tok_seq = self._multi_step(
-                self.executor._weight_args(),
+                {**self.executor._weight_args(), **(self.params or {})},
                 self.caches,
                 jnp.asarray(self.slot_last_tok),
                 jnp.asarray(self.slot_len),
@@ -273,6 +281,8 @@ class ContinuousBatchingEngine:
         }
         for nid, cache in zip(self.cache_ids, self.caches):
             feed[nid] = cache
+        if self.params:
+            feed.update(self.params)
         outs = self.executor.run(feed, self.out_ids, donate=self.cache_ids)
         self.caches = list(outs[1:])
         if self.greedy_on_device:
