@@ -149,7 +149,8 @@ def build_graph(cfg: GPT2Config, weights: Dict[str, np.ndarray]) -> Graph:
 
 
 def build_graph_static_cache(
-    cfg: GPT2Config, weights: Dict[str, np.ndarray], capacity: int
+    cfg: GPT2Config, weights: Dict[str, np.ndarray], capacity: int,
+    kv_quant: bool = False,
 ) -> Graph:
     """Serving-engine variant: KV caches are preallocated [slots, H, cap, D]
     buffers written in-graph at per-slot offsets (GroupQueryAttention with
@@ -184,28 +185,55 @@ def build_graph_static_cache(
     presents = []
     for i in range(cfg.n_layer):
         p = f"transformer.h.{i}"
-        past_k = b.input(
-            f"past_key_values.{i}.key", DataType.Float, ("slots", H, capacity, D)
-        )
-        past_v = b.input(
-            f"past_key_values.{i}.value", DataType.Float, ("slots", H, capacity, D)
-        )
         h = layer_norm(x, f"{p}.ln_1")
         qkv = b.op(
             "MatMulAdd", [h, w(f"{p}.attn.c_attn.weight"), w(f"{p}.attn.c_attn.bias")],
             name=f"{p}.attn.c_attn",
         )
         q, k, v = b.op("Split", [qkv], {"axis": -1, "num_outputs": 3}, n_outputs=3)
-        attn, pk, pv = b.op(
-            "GroupQueryAttention",
-            [q, k, v, past_k, past_v, past_lens],
-            {"num_heads": H, "kv_num_heads": H, "rten_past_lens": 1},
-            n_outputs=3,
-            output_names=[
-                f"attn_out_{i}", f"present.{i}.key", f"present.{i}.value",
-            ],
-        )
-        presents.extend([pk, pv])
+        if kv_quant:
+            past_k = b.input(
+                f"past_key_values.{i}.key", DataType.Int8, ("slots", H, capacity, D)
+            )
+            k_sc = b.input(
+                f"past_key_values.{i}.key_scale", DataType.Float,
+                ("slots", H, capacity, 1),
+            )
+            past_v = b.input(
+                f"past_key_values.{i}.value", DataType.Int8, ("slots", H, capacity, D)
+            )
+            v_sc = b.input(
+                f"past_key_values.{i}.value_scale", DataType.Float,
+                ("slots", H, capacity, 1),
+            )
+            attn, pk, pks, pv, pvs = b.op(
+                "QuantizedKVAttention",
+                [q, k, v, past_k, k_sc, past_v, v_sc, past_lens],
+                {"num_heads": H},
+                n_outputs=5,
+                output_names=[
+                    f"attn_out_{i}", f"present.{i}.key", f"present.{i}.key_scale",
+                    f"present.{i}.value", f"present.{i}.value_scale",
+                ],
+            )
+            presents.extend([pk, pks, pv, pvs])
+        else:
+            past_k = b.input(
+                f"past_key_values.{i}.key", DataType.Float, ("slots", H, capacity, D)
+            )
+            past_v = b.input(
+                f"past_key_values.{i}.value", DataType.Float, ("slots", H, capacity, D)
+            )
+            attn, pk, pv = b.op(
+                "GroupQueryAttention",
+                [q, k, v, past_k, past_v, past_lens],
+                {"num_heads": H, "kv_num_heads": H, "rten_past_lens": 1},
+                n_outputs=3,
+                output_names=[
+                    f"attn_out_{i}", f"present.{i}.key", f"present.{i}.value",
+                ],
+            )
+            presents.extend([pk, pv])
         proj = b.op(
             "MatMulAdd",
             [attn, w(f"{p}.attn.c_proj.weight"), w(f"{p}.attn.c_proj.bias")],

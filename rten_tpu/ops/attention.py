@@ -297,6 +297,68 @@ def _group_query_attention(ctx, inputs, attrs):
     return out
 
 
+@register("QuantizedKVAttention")
+def _quantized_kv_attention(ctx, inputs, attrs):
+    """Self-attention over an INT8 KV cache (BASELINE north star: 'INT8
+    KV-cache in HBM'). Engine-internal op for static-cache serving graphs.
+
+    New K/V quantize per (slot, head, position) with absmax/127 scales at
+    write time; reads dequantize on the fly (XLA fuses the dequant into the
+    attention consumer, so HBM traffic for the cache is ~4x smaller than
+    f32 while scores/outputs stay f32).
+
+    inputs: q, k, v [B,S,H*D] f32; past_k_q8 [B,H,cap,D] s8;
+            k_scales [B,H,cap,1] f32; past_v_q8; v_scales; past_lens [B]
+    outputs: out [B,S,H*D], new_k_q8, new_k_scales, new_v_q8, new_v_scales
+    """
+    q = get_input(inputs, 0, "query")
+    k = get_input(inputs, 1, "key")
+    v = get_input(inputs, 2, "value")
+    past_k_q8 = get_input(inputs, 3, "past_k_q8")
+    k_scales = get_input(inputs, 4, "k_scales")
+    past_v_q8 = get_input(inputs, 5, "past_v_q8")
+    v_scales = get_input(inputs, 6, "v_scales")
+    past_lens = jnp.asarray(get_input(inputs, 7, "past_lens"), jnp.int32)
+    n_heads = attrs.get("num_heads")
+    scale = attrs.get("scale")
+
+    B, S, _ = q.shape
+    q4 = _split_heads(q, n_heads)
+    k4 = _split_heads(k, n_heads)
+    v4 = _split_heads(v, n_heads)
+
+    def quantize(x4):
+        absmax = jnp.max(jnp.abs(x4), axis=-1, keepdims=True)  # [B,H,S,1]
+        s = jnp.maximum(absmax / 127.0, 1e-8)
+        q8 = jnp.clip(jnp.round(x4 / s), -127, 127).astype(jnp.int8)
+        return q8, s.astype(jnp.float32)
+
+    k_q8, k_s = quantize(k4)
+    v_q8, v_s = quantize(v4)
+
+    def upd(buf, new, start):
+        return jax.lax.dynamic_update_slice(buf, new, (0, start, 0))
+
+    lens = past_lens.reshape(B)
+    new_k_q8 = jax.vmap(upd)(past_k_q8, k_q8, lens)
+    new_k_s = jax.vmap(upd)(k_scales, k_s, lens)
+    new_v_q8 = jax.vmap(upd)(past_v_q8, v_q8, lens)
+    new_v_s = jax.vmap(upd)(v_scales, v_s, lens)
+
+    # Dequantized views (fused into the attention reads by XLA).
+    k_full = new_k_q8.astype(jnp.float32) * new_k_s
+    v_full = new_v_q8.astype(jnp.float32) * new_v_s
+
+    cap = past_k_q8.shape[2]
+    j = jnp.arange(cap)[None, None, None, :]
+    qpos = lens[:, None, None, None] + jnp.arange(S)[None, None, :, None]
+    add_mask = jnp.where(j <= qpos, 0.0, -1e30).astype(jnp.float32)
+    from ..kernels.flash_attention import mha_xla
+
+    out = mha_xla(q4, k_full, v_full, add_mask, scale=scale)
+    return (_merge_heads(out), new_k_q8, new_k_s, new_v_q8, new_v_s)
+
+
 def _rotary(x, cos_cache, sin_cache, position_ids, interleaved):
     """Apply rotary embedding to [B,H,S,D] (rotates first rot_dim dims)."""
     cos = jnp.asarray(cos_cache)[position_ids]  # [B,S,rot/2]

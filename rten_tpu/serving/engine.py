@@ -80,13 +80,28 @@ class ContinuousBatchingEngine:
         self.sampler = sampler or ArgMaxSampler()
         self.params = dict(params) if params else None
 
-        self.cache_names = [
-            f"past_key_values.{i}.{kv}"
-            for i in range(n_layer)
-            for kv in ("key", "value")
-        ]
+        # Discover cache buffers from graph IO: every input named
+        # past_key_values.* is an engine-managed per-slot buffer whose
+        # declared [slots, ...] shape/dtype drives allocation (supports
+        # f32 KV, int8 KV + scale buffers, etc. without hardcoding).
+        self.cache_names = []
+        self._cache_alloc = []  # (shape-tail, dtype)
+        for nid in self.g.input_ids:
+            name = self.g.node_name(nid)
+            if not name.startswith("past_key_values."):
+                continue
+            node = self.g.nodes[nid]
+            tail = tuple(node.shape[1:]) if node.shape else None
+            if tail is None or any(not isinstance(d, int) for d in tail):
+                raise ValueError(
+                    f"cache input {name} needs concrete trailing dims, got "
+                    f"{node.shape}"
+                )
+            dtype = node.dtype.np_dtype if node.dtype else np.float32
+            self.cache_names.append(name)
+            self._cache_alloc.append((tail, dtype))
         self.present_names = [
-            f"present.{i}.{kv}" for i in range(n_layer) for kv in ("key", "value")
+            "present." + n[len("past_key_values."):] for n in self.cache_names
         ]
         self.cache_ids = [self.g.find_node(n) for n in self.cache_names]
         self.in_ids = {
@@ -105,8 +120,8 @@ class ContinuousBatchingEngine:
         ]
 
         self.caches = [
-            jnp.zeros((slots, n_head, capacity, head_dim), jnp.float32)
-            for _ in range(2 * n_layer)
+            jnp.zeros((slots,) + tail, dtype)
+            for tail, dtype in self._cache_alloc
         ]
         self.slot_req: List[Optional[Request]] = [None] * slots
         self.slot_len = np.zeros(slots, np.int32)
