@@ -26,11 +26,11 @@ import numpy as np
 
 N_LAYER = 12           # gpt2-small
 PROMPT_LEN = 128
-NEW_TOKENS = 32
-SLOTS = 8
+NEW_TOKENS = 64
+SLOTS = 16
 CAPACITY = 256
-WAVE = 16              # timed requests
-STEPS_PER_DISPATCH = 8 # fused on-device decode steps per dispatch
+WAVE = 32              # timed requests
+STEPS_PER_DISPATCH = 32  # fused on-device decode steps per dispatch
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _BASELINE_CACHE = os.path.join(_HERE, "bench_baseline.json")

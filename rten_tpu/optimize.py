@@ -291,6 +291,128 @@ def fuse_conv_integer_to_float(g: Graph) -> bool:
     return changed
 
 
+def fuse_attention(g: Graph) -> bool:
+    """Decomposed attention -> fused Attention op (flash kernel on TPU).
+
+    Matches the shape real exporters emit (torch sdpa/BERT-style):
+
+        MatMul(q, Transpose(k, [..., -1, -2]))
+          -> Div(c) | Mul(c)            (optional)
+          -> Add(mask)                  (optional)
+          -> Softmax(axis=-1)
+          -> MatMul(., v)
+
+    The reference does the same family of rewrites (AddSoftmax /
+    Attention-related fusions, src/optimize/fusions.rs); here the payoff is
+    routing onto the blockwise flash-attention kernel instead of
+    materializing the score matrix.
+    """
+    producers = _producer_map(g)
+    consumers = _consumer_count(g)
+    changed = False
+
+    def single(prod_out):
+        return consumers.get(prod_out, 0) == 1 and prod_out not in g.output_ids
+
+    for sm_id, sm in list(g.operators()):
+        if sm.op_type != "Softmax" or sm.attrs.get("axis", -1) not in (-1, 3):
+            continue
+        # Downstream: the only consumer is MatMul(probs, v).
+        sm_out = sm.outputs[0]
+        if consumers.get(sm_out, 0) != 1 or sm_out in g.output_ids:
+            continue
+        mm2 = next(
+            ((nid, op) for nid, op in g.operators()
+             if op.op_type == "MatMul" and op.inputs[0] == sm_out),
+            None,
+        )
+        if mm2 is None:
+            continue
+        mm2_id, mm2_op = mm2
+        v_id = mm2_op.inputs[1]
+
+        # Upstream chain: optional Add(mask) | Where(cond, fill, .),
+        # optional Div/Mul(scale), then MatMul(q, kT).
+        cur = sm.inputs[0]
+        mask_add_id = None   # additive mask value id
+        where_mask = None    # (cond_id, fill_id) to synthesize one
+        scale = None
+        chain = [sm_id]
+        for _ in range(2):
+            prod = producers.get(cur)
+            if prod is None:
+                break
+            pid, pop = prod
+            if (
+                pop.op_type == "Add" and mask_add_id is None
+                and where_mask is None and single(cur)
+            ):
+                lhs, rhs = pop.inputs[0], pop.inputs[1]
+                lhs_prod = producers.get(lhs)
+                if lhs_prod and lhs_prod[1].op_type in ("MatMul", "Div", "Mul"):
+                    cur, mask_add_id = lhs, rhs
+                else:
+                    cur, mask_add_id = rhs, lhs
+                chain.append(pid)
+            elif (
+                pop.op_type == "Where" and mask_add_id is None
+                and where_mask is None and single(cur)
+            ):
+                # Where(cond, fill, scores): blocked positions take `fill`.
+                cond_id, fill_id, src = pop.inputs[0], pop.inputs[1], pop.inputs[2]
+                if _const_scalar(g, fill_id) is None:
+                    break
+                where_mask = (cond_id, fill_id)
+                cur = src
+                chain.append(pid)
+            elif pop.op_type in ("Div", "Mul") and scale is None and single(cur):
+                c = _const_scalar(g, pop.inputs[1])
+                if c is None:
+                    break
+                scale = (1.0 / float(c)) if pop.op_type == "Div" else float(c)
+                cur = pop.inputs[0]
+                chain.append(pid)
+            else:
+                break
+        prod = producers.get(cur)
+        if prod is None or prod[1].op_type != "MatMul" or not single(cur):
+            continue
+        mm1_id, mm1_op = prod
+        q_id, kt_id = mm1_op.inputs[0], mm1_op.inputs[1]
+        chain.append(mm1_id)
+
+        out_id = mm2_op.outputs[0]
+        # Remove the matched ops (+ their intermediate values).
+        dead_vals = {sm_out, cur}
+        for nid in chain:
+            node = g.nodes.get(nid)
+            if isinstance(node, Operator):
+                for o in node.outputs:
+                    if o != out_id:
+                        dead_vals.add(o)
+        g.remove_nodes(set(chain + [mm2_id]) | dead_vals)
+
+        # K arrives pre-transposed for the score matmul; restore [B,H,T,D]
+        # (XLA folds the double transpose away).
+        k_id = g.add_value(None)
+        g.add_op("Transpose", [kt_id], [k_id], {"perm": [0, 1, 3, 2]})
+        if where_mask is not None:
+            cond_id, fill_id = where_mask
+            zero = g.add_constant(None, np.float32(0.0))
+            mask_add_id = g.add_value(None)
+            g.add_op("Where", [cond_id, fill_id, zero], [mask_add_id])
+        attrs = {"scale": scale if scale is not None else 1.0}
+        g.add_op(
+            "Attention", [q_id, k_id, v_id, mask_add_id], [out_id], attrs,
+            name=mm2_op.name or "fused_attention",
+        )
+        _log("fused decomposed attention")
+        changed = True
+        producers = _producer_map(g)
+        consumers = _consumer_count(g)
+    return changed
+
+
 def eliminate_dead_code(g: Graph) -> bool:
     """Remove operators (and private values) not reachable from outputs."""
     needed = set(g.output_ids)
@@ -330,6 +452,7 @@ FUSIONS: List[Callable[[Graph], bool]] = [
     fuse_cast_elimination,
     fuse_matmul_integer_to_float,
     fuse_conv_integer_to_float,
+    fuse_attention,
 ]
 
 
