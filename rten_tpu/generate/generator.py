@@ -98,6 +98,7 @@ class Generator:
         self.batch = prompt.shape[0]
 
         self._discover_io()
+        self._jit_helpers: Dict = {}  # shape-keyed padded/append helpers
         self._cache: List[Any] = []  # device arrays [B, H, t, D]
         self._cache_len = 0
         self._mask: Optional[np.ndarray] = None  # host [B, t] int32
@@ -215,19 +216,40 @@ class Generator:
         kv_pad = cap - t
         past = self._cache
         if kv_pad:
-            past = [
-                jnp.pad(c, ((0, 0), (0, 0), (0, kv_pad), (0, 0))) for c in past
-            ]
+            # One jitted call pads every layer's cache (per-layer jnp.pad
+            # from Python would be 2L separate device dispatches — ruinous
+            # through a remote-dispatch tunnel).
+            key = ("pad", kv_pad)
+            fn = self._jit_helpers.get(key)
+            if fn is None:
+                import jax
+
+                fn = jax.jit(
+                    lambda cs, _p=kv_pad: [
+                        jnp.pad(c, ((0, 0), (0, 0), (0, _p), (0, 0))) for c in cs
+                    ]
+                )
+                self._jit_helpers[key] = fn
+            past = fn(past)
         mask = np.pad(self._mask, ((0, 0), (0, kv_pad)))
         mask = np.concatenate([mask, np.ones((B, 1), np.int32)], 1)
         positions = self._mask.sum(axis=1, dtype=np.int32)[:, None]
         logits, presents = self._run(tokens[:, None], mask, positions, past)
         # New token's KV lives at index cap of each present; keep the cache
-        # contiguous at logical length t+1.
-        self._cache = [
-            jnp.concatenate([c, p[:, :, cap : cap + 1]], axis=2)
-            for c, p in zip(self._cache, presents)
-        ]
+        # contiguous at logical length t+1 (single jitted call, see above).
+        key = ("append", cap, t)
+        fn = self._jit_helpers.get(key)
+        if fn is None:
+            import jax
+
+            fn = jax.jit(
+                lambda cs, ps, _c=cap: [
+                    jnp.concatenate([c, p[:, :, _c : _c + 1]], axis=2)
+                    for c, p in zip(cs, ps)
+                ]
+            )
+            self._jit_helpers[key] = fn
+        self._cache = fn(self._cache, presents)
         self._cache_len = t + 1
         self._mask = np.concatenate([self._mask, np.ones((B, 1), np.int32)], 1)
         self._pending_logits = np.asarray(logits[:, -1]).astype(np.float32)
