@@ -261,7 +261,12 @@ class Model:
         except Exception as e:
             raise LoadError(f"failed to parse ONNX model: {e}") from e
         external = ExternalDataLoader(options.external_data_dir or base_dir)
-        graph = graph_from_onnx(proto.graph, external)
+        try:
+            graph = graph_from_onnx(proto.graph, external)
+        except LoadError:
+            raise
+        except Exception as e:
+            raise LoadError(f"failed to build graph: {e}") from e
         return cls(graph, options, metadata=dict(proto.metadata_props))
 
     # -- introspection ---------------------------------------------------
