@@ -193,6 +193,26 @@ class ContinuousBatchingEngine:
     def has_work(self) -> bool:
         return bool(self.queue) or any(r is not None for r in self.slot_req)
 
+    def stats(self) -> Dict:
+        """Aggregate serving metrics (rten Metrics analog, per-engine)."""
+        import statistics
+
+        ttfts = [r.ttft_s for r in self.finished if r.ttft_s is not None]
+        lat = [
+            r.finished_at - r.submitted_at
+            for r in self.finished
+            if r.finished_at is not None
+        ]
+        return {
+            "finished_requests": len(self.finished),
+            "decode_tokens": self.decode_tokens,
+            "decode_steps": self.steps,
+            "ttft_p50_s": statistics.median(ttfts) if ttfts else None,
+            "latency_p50_s": statistics.median(lat) if lat else None,
+            "active_slots": sum(r is not None for r in self.slot_req),
+            "queued": len(self.queue),
+        }
+
     def run(self) -> List[Request]:
         """Drain the queue; returns finished requests in completion order."""
         while self.has_work():
