@@ -59,7 +59,11 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap = argparse.ArgumentParser(
         prog="rten_tpu", description="Inspect and benchmark ONNX models on TPU"
     )
-    ap.add_argument("model", help="path to .onnx model")
+    from . import __version__
+
+    ap.add_argument("model", help="path to .onnx or .rtpu model")
+    ap.add_argument("-V", "--version", action="version",
+                    version=f"rten_tpu {__version__}")
     ap.add_argument("-n", "--iters", type=int, default=1, help="timed iterations")
     ap.add_argument("--no-optimize", action="store_true", help="skip graph optimizer")
     ap.add_argument("--profile", "-p", action="store_true",

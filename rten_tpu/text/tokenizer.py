@@ -633,6 +633,30 @@ class Tokenizer:
         ids, tokens = self.post_processor(ids, tokens, add_special_tokens)
         return Encoding(ids=ids, tokens=tokens)
 
+    def encode_chunks(
+        self, text: str, max_tokens: int, overlap: int = 0,
+        add_special_tokens: bool = True,
+    ) -> List[Encoding]:
+        """Split a long text into encodings of at most ``max_tokens`` ids,
+        optionally overlapping (rten-text Tokenizer::encode_chunks)."""
+        if max_tokens <= 0:
+            raise TokenizerError("max_tokens must be positive")
+        if overlap >= max_tokens:
+            raise TokenizerError("overlap must be smaller than max_tokens")
+        full = self.encode(text, add_special_tokens=False)
+        chunks: List[Encoding] = []
+        step = max_tokens - overlap
+        for start in range(0, max(len(full.ids), 1), step):
+            ids = full.ids[start : start + max_tokens]
+            toks = full.tokens[start : start + max_tokens]
+            if not ids and chunks:
+                break
+            ids2, toks2 = self.post_processor(ids, toks, add_special_tokens)
+            chunks.append(Encoding(ids=ids2, tokens=toks2))
+            if start + max_tokens >= len(full.ids):
+                break
+        return chunks
+
     # -- decoding ------------------------------------------------------------
 
     def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
