@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Per-config benchmarks for the BASELINE table: MNIST, ResNet-50 int8,
+DistilBERT int8, Whisper encoder. Prints one JSON line per config.
+
+Models are built at real sizes with random weights (no network); the
+numbers measure engine throughput, which is weight-independent.
+
+Usage: python tools/bench_models.py [--configs resnet50,distilbert,...]
+       [--iters 10] (JAX_PLATFORMS=cpu honored)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rten_tpu.utils import honor_jax_platforms_env
+
+honor_jax_platforms_env()
+
+
+def _timed(fn, iters):
+    import jax
+
+    jax.block_until_ready(fn())  # compile
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def bench_mnist(iters):
+    from rten_tpu.models import mnist
+
+    for quant in (None, "int8"):
+        model = mnist.load("cnn", quantize=quant)
+        B = 256
+        x = np.random.default_rng(0).normal(0, 0.3, (B, 1, 28, 28)).astype(np.float32)
+        t = _timed(lambda: model.run({"image": x})[0], iters)
+        yield {
+            "config": f"mnist_cnn_{quant or 'f32'}",
+            "value": round(B / t, 1),
+            "unit": "images/s",
+            "batch": B,
+        }
+
+
+def bench_resnet50(iters):
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests"))
+    import torch
+
+    from onnx_export_util import export_onnx
+    from torch_models import resnet50
+
+    from rten_tpu.model import Model, ModelOptions
+    from rten_tpu.quantize_pass import quantize_dynamic
+
+    torch.manual_seed(0)
+    m = resnet50().eval()
+    import tempfile
+
+    path = os.path.join(tempfile.mkdtemp(), "resnet50.onnx")
+    export_onnx(m, torch.randn(1, 3, 224, 224), path, ["image"], ["logits"])
+    model = Model.load_file(path, ModelOptions(optimize=True))
+    quantize_dynamic(model.graph)
+    model.executor._weights = None
+    B = 16
+    x = np.random.default_rng(0).normal(0, 1, (B, 3, 224, 224)).astype(np.float32)
+    t = _timed(lambda: model.run({"image": x})[0], iters)
+    yield {
+        "config": "resnet50_int8",
+        "value": round(B / t, 1),
+        "unit": "images/s",
+        "batch": B,
+    }
+
+
+def bench_distilbert(iters):
+    import torch
+
+    from transformers import DistilBertConfig, DistilBertForSequenceClassification
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests"))
+    from onnx_export_util import export_onnx
+
+    from rten_tpu.model import Model, ModelOptions
+    from rten_tpu.quantize_pass import quantize_dynamic
+
+    torch.manual_seed(0)
+    cfg = DistilBertConfig()  # base: 66M params
+    m = DistilBertForSequenceClassification(cfg).eval()
+    import tempfile
+
+    path = os.path.join(tempfile.mkdtemp(), "distilbert.onnx")
+    B, T = 32, 128
+    ids = torch.randint(0, cfg.vocab_size, (B, T))
+    mask = torch.ones_like(ids)
+    export_onnx(m, (ids, mask), path, ["input_ids", "attention_mask"], ["logits"])
+    model = Model.load_file(path, ModelOptions(optimize=True))
+    quantize_dynamic(model.graph)
+    model.executor._weights = None
+    feed = {"input_ids": ids.numpy(), "attention_mask": mask.numpy()}
+    t = _timed(lambda: model.run(feed)[0], iters)
+    yield {
+        "config": "distilbert_base_int8",
+        "value": round(B / t, 1),
+        "unit": "seqs/s",
+        "batch": B,
+        "seq_len": T,
+    }
+
+
+def bench_whisper_encoder(iters):
+    import torch
+
+    from transformers import WhisperConfig as HFConfig
+    from transformers import WhisperForConditionalGeneration
+
+    from rten_tpu.models import whisper
+
+    # whisper-small dims.
+    cfg = whisper.WhisperConfig(
+        d_model=768, encoder_layers=12, decoder_layers=12, heads=12,
+        max_source_positions=1500,
+    )
+    torch.manual_seed(0)
+    hf = WhisperForConditionalGeneration(HFConfig(
+        vocab_size=cfg.vocab_size, num_mel_bins=cfg.n_mels, d_model=cfg.d_model,
+        encoder_layers=cfg.encoder_layers, decoder_layers=cfg.decoder_layers,
+        encoder_attention_heads=cfg.heads, decoder_attention_heads=cfg.heads,
+        encoder_ffn_dim=4 * cfg.d_model, decoder_ffn_dim=4 * cfg.d_model,
+        max_source_positions=cfg.max_source_positions,
+    ))
+    model = whisper.WhisperModel(cfg, whisper.weights_from_torch(hf))
+    mel = np.random.default_rng(0).normal(
+        0, 1, (1, cfg.n_mels, cfg.max_source_positions * 2)
+    ).astype(np.float32)
+    t = _timed(lambda: model.encoder.run({"mel": mel})[0], iters)
+    yield {
+        "config": "whisper_small_encoder",
+        "value": round(30.0 / t, 1),  # one 30s audio window per pass
+        "unit": "audio-s/s",
+    }
+
+
+BENCHES = {
+    "mnist": bench_mnist,
+    "resnet50": bench_resnet50,
+    "distilbert": bench_distilbert,
+    "whisper_encoder": bench_whisper_encoder,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--configs", default=",".join(BENCHES))
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+    import jax
+
+    backend = jax.default_backend()
+    for name in args.configs.split(","):
+        for result in BENCHES[name.strip()](args.iters):
+            result["backend"] = backend
+            print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()
