@@ -273,6 +273,43 @@ class Generator:
         self.metrics.end_step()
         return int(tokens[0]) if self.batch == 1 else tokens
 
+    # -- session checkpoint --------------------------------------------------
+
+    def save_session(self, path) -> None:
+        """Serialize the generation state (KV cache + bookkeeping) so a
+        conversation can resume later without re-prefilling (SURVEY.md
+        section 5: the KV cache is the engine's only runtime state)."""
+        from ..serialize import write_safetensors
+
+        tensors = {
+            f"cache.{i}": np.asarray(c) for i, c in enumerate(self._cache)
+        }
+        tensors["mask"] = self._mask
+        tensors["generated"] = (
+            np.stack(self._generated, 1)
+            if self._generated
+            else np.zeros((self.batch, 0), np.int32)
+        )
+        tensors["pending_logits"] = self._pending_logits
+        tensors["finished"] = self._finished
+        write_safetensors(
+            path, tensors, metadata={"cache_len": str(self._cache_len)}
+        )
+
+    def restore_session(self, path) -> None:
+        from ..serialize import read_safetensors
+
+        data = read_safetensors(path)
+        self._cache = [
+            jnp.asarray(data[f"cache.{i}"]) for i in range(len(self.kv))
+        ]
+        self._cache_len = self._cache[0].shape[2] if self.kv else 0
+        self._mask = np.array(data["mask"])
+        gen = np.array(data["generated"])
+        self._generated = [gen[:, i] for i in range(gen.shape[1])]
+        self._pending_logits = np.array(data["pending_logits"])
+        self._finished = np.array(data["finished"])
+
     # -- conveniences --------------------------------------------------------
 
     def generate(self, max_tokens: int) -> np.ndarray:

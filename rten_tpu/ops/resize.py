@@ -130,9 +130,13 @@ def _resize_impl(x, scales, sizes, mode, coord_mode, nearest_mode, exclude_outsi
 @register("Resize")
 def _resize(ctx, inputs, attrs):
     x = get_input(inputs, 0)
-    # inputs: X, roi, scales, sizes
-    scales = opt_input(inputs, 2)
-    sizes = opt_input(inputs, 3)
+    # opset>=11: (X, roi, scales, sizes); opset 10: (X, scales).
+    if len(inputs) == 2:
+        scales = opt_input(inputs, 1)
+        sizes = None
+    else:
+        scales = opt_input(inputs, 2)
+        sizes = opt_input(inputs, 3)
     if scales is not None and np.asarray(scales).size == 0:
         scales = None
     if scales is None and sizes is None:

@@ -75,3 +75,19 @@ def test_sampled_generation_reproducible(model):
     a = Generator(m, [[3, 4]], conf()).generate(6)[0]
     b = Generator(m, [[3, 4]], conf()).generate(6)[0]
     np.testing.assert_array_equal(a, b)
+
+
+def test_session_save_resume(model, tmp_path):
+    cfg, m = model
+    prompt = [3, 9, 12, 30]
+    full = Generator(m, [prompt], GeneratorConfig(bucket_size=8)).generate(10)[0]
+
+    g = Generator(m, [prompt], GeneratorConfig(bucket_size=8))
+    first = g.generate(4)[0]
+    p = str(tmp_path / "session.safetensors")
+    g.save_session(p)
+
+    g2 = Generator(m, [prompt], GeneratorConfig(bucket_size=8))
+    g2.restore_session(p)
+    rest = g2.generate(6)[0]
+    np.testing.assert_array_equal(np.concatenate([first, rest]), full)
