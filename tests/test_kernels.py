@@ -49,6 +49,42 @@ def test_int8_matmul_dequant_interpret(m, k, n, per_channel):
     assert_close(got, want, rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.parametrize(
+    "bm,bn,bk",
+    [(32, 128, 128), (64, 256, 256), (256, 128, 512)],
+)
+def test_int8_matmul_block_sizes(bm, bn, bk):
+    """Every block configuration must agree with the reference — the
+    analog of rten-gemm running its suite against every kernel variant."""
+    m, k, n = 70, 300, 200
+    a = RNG.integers(0, 255, (m, k)).astype(np.uint8)
+    b = RNG.integers(-127, 127, (k, n)).astype(np.int8)
+    got = int8_matmul_dequant(
+        a, b, np.float32(0.01), np.float32(0.02), np.uint8(7), np.int8(3),
+        block_m=bm, block_n=bn, block_k=bk, interpret=True,
+    )
+    want = int8_matmul_dequant_xla(
+        a, b, np.float32(0.01), np.float32(0.02), np.uint8(7), np.int8(3)
+    )
+    assert_close(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_flash_attention_mask_and_blocks():
+    from rten_tpu.kernels.flash_attention import mha_pallas, mha_xla
+
+    B, H, Tq, Tk, D = 1, 2, 24, 40, 16
+    q = RNG.standard_normal((B, H, Tq, D)).astype(np.float32)
+    k = RNG.standard_normal((B, H, Tk, D)).astype(np.float32)
+    v = RNG.standard_normal((B, H, Tk, D)).astype(np.float32)
+    mask = np.where(RNG.random((Tq, Tk)) > 0.2, 0.0, -1e30).astype(np.float32)
+    for bq, bk in ((8, 128), (16, 128)):
+        got = mha_pallas(
+            q, k, v, mask, block_q=bq, block_k=bk, interpret=True
+        )
+        want = mha_xla(q, k, v, mask)
+        assert_close(got, want, rtol=1e-4, atol=1e-5, msg=f"bq={bq}")
+
+
 def test_int8_matmul_no_zp():
     a = RNG.integers(-127, 127, (8, 96)).astype(np.int8)
     b = RNG.integers(-127, 127, (96, 64)).astype(np.int8)
