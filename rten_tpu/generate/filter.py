@@ -6,7 +6,7 @@ A filter maps [B, V] logits -> [B, V] logits before sampling; compose with
 
 from __future__ import annotations
 
-from typing import Callable, Iterable, List, Optional
+from typing import Iterable
 
 import numpy as np
 

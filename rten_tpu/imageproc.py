@@ -8,7 +8,7 @@ not the TPU compute path). Points are (row, col) like the reference.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

@@ -27,7 +27,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import cdiv, on_tpu, pad_dim, round_up
+from .common import on_tpu, pad_dim, round_up
 
 NEG_INF = -1e30
 

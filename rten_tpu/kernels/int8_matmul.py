@@ -22,15 +22,13 @@ reinterpreted as s8 with the sign-bit flip + zp shift (see common.py).
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .common import cdiv, on_tpu, pad_dim, round_up, u8_to_s8_shift
+from .common import on_tpu, pad_dim, round_up, u8_to_s8_shift
 
 
 def _as_col(v, m, dtype):

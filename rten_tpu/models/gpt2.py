@@ -18,7 +18,7 @@ from typing import Dict, Optional
 import numpy as np
 
 from ..dtypes import DataType
-from ..ir.builder import Expr, GraphBuilder
+from ..ir.builder import GraphBuilder
 from ..ir.graph import Graph
 from ..model import Model, ModelOptions
 

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from .norm import _layer_norm, _rms_norm
 from .registry import get_input, opt_input, register

@@ -12,7 +12,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .registry import OpError, get_input, opt_input, register
+from .registry import OpError, get_input, register
 
 
 def _norm_indices(indices, dim_size):

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .registry import OpError, get_input, is_tracer, opt_input, register
+from .registry import OpError, get_input, opt_input, register
 
 
 @register("MatMul")

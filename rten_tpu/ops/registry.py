@@ -23,7 +23,7 @@ Lowering signature::
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, List, Optional
+from typing import Callable, Dict, List
 
 import jax
 import numpy as np

@@ -18,15 +18,13 @@ and by the generator's prefix caching.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ir.graph import Constant, Graph, NodeId, Operator, Value
-from ..ops import registry as _registry
+from ..ir.graph import Constant, Graph, NodeId, Operator
 from ..ops.registry import OpError, get_op
 
 # Ops that must not be folded at trace time even on concrete inputs.

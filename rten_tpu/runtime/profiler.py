@@ -12,7 +12,7 @@ from __future__ import annotations
 import dataclasses
 import time
 from collections import defaultdict
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import List, Tuple
 
 
 @dataclasses.dataclass

@@ -8,11 +8,9 @@ the safetensors package, mirroring the reference's from-scratch approach.
 
 from __future__ import annotations
 
-import io
 import json
 import os
 import struct
-import zipfile
 from typing import Dict, Union
 
 import numpy as np

@@ -13,7 +13,7 @@ unknown shapes rather than failing (reference behavior for opt-in mode).
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 

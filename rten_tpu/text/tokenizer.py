@@ -23,7 +23,7 @@ import dataclasses
 import functools
 import json
 import unicodedata
-from typing import Any, Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 try:
     import regex as _re  # \p{L} classes needed by GPT-2's split pattern
