@@ -131,7 +131,10 @@ def mha_pallas(
     vp = pad_dim(pad_dim(v, 2, Tkp), 3, Dp)
     has_mask = mask is not None
     if has_mask:
-        maskp = pad_dim(pad_dim(mask.astype(jnp.float32), 0, Tqp), 1, Tkp)[None]
+        # Broadcast first: a (1, Tk) mask must apply to EVERY query row —
+        # zero-padding the row dim would silently unmask rows >= 1.
+        mask = jnp.broadcast_to(mask.astype(jnp.float32), (Tq, Tk))
+        maskp = pad_dim(pad_dim(mask, 0, Tqp), 1, Tkp)[None]
         mask_spec = pl.BlockSpec(
             (1, bq, bk), lambda b, h, i, j: (0, i, j), memory_space=pltpu.VMEM
         )

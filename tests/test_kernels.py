@@ -113,3 +113,18 @@ def test_int4_matmul_interpret(m, k, n, bs, with_zp):
     )
     want = int4_matmul_xla(a, b_packed, scales, zps, K=k, N=n, block_size=bs)
     assert_close(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_flash_attention_broadcast_mask_row():
+    """A (1, Tk) mask must mask every query row (regression: zero-padding
+    the row dim silently unmasked rows >= 1 — hit left-padded prefill)."""
+    from rten_tpu.kernels.flash_attention import mha_pallas, mha_xla
+
+    B, H, Tq, Tk, D = 1, 2, 12, 24, 8
+    q = RNG.standard_normal((B, H, Tq, D)).astype(np.float32)
+    k = RNG.standard_normal((B, H, Tk, D)).astype(np.float32)
+    v = RNG.standard_normal((B, H, Tk, D)).astype(np.float32)
+    mask = np.where(np.arange(Tk) < 5, -1e30, 0.0).astype(np.float32)[None, :]
+    got = mha_pallas(q, k, v, mask, causal=True, block_q=8, interpret=True)
+    want = mha_xla(q, k, v, mask, causal=True)
+    assert_close(got, want, rtol=1e-4, atol=1e-5)
