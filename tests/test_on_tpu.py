@@ -1,0 +1,93 @@
+"""Real-TPU validation: kernels in compiled (non-interpret) mode and the
+TPU-selected code paths vs their XLA/CPU-fallback goldens.
+
+Skipped unless RTEN_TPU_TESTS=1 (the default suite forces the CPU backend;
+these tests need the real chip and its remote-compile latency budget).
+Run: RTEN_TPU_TESTS=1 python -m pytest tests/test_on_tpu.py -q -p no:cacheprovider
+(WITHOUT the conftest CPU forcing — i.e. from a shell where JAX_PLATFORMS
+is unset; conftest only forces CPU when the env doesn't opt in).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+if not os.environ.get("RTEN_TPU_TESTS"):
+    pytest.skip("RTEN_TPU_TESTS not set", allow_module_level=True)
+
+import jax
+
+if jax.default_backend() != "tpu":
+    pytest.skip("no TPU backend", allow_module_level=True)
+
+RNG = np.random.default_rng(5)
+
+
+def test_int8_matmul_on_tpu():
+    from rten_tpu.kernels.int8_matmul import (
+        int8_matmul_dequant,
+        int8_matmul_dequant_xla,
+    )
+
+    a = RNG.integers(0, 255, (130, 300)).astype(np.uint8)
+    b = RNG.integers(-127, 127, (300, 257)).astype(np.int8)
+    got = np.asarray(int8_matmul_dequant(a, b, np.float32(0.01), np.float32(0.02),
+                                         np.uint8(120), np.int8(-5)))
+    want = np.asarray(int8_matmul_dequant_xla(a, b, np.float32(0.01),
+                                              np.float32(0.02), np.uint8(120),
+                                              np.int8(-5)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-4)
+
+
+def test_flash_attention_on_tpu():
+    from rten_tpu.kernels.flash_attention import mha_pallas, mha_xla
+
+    B, H, Tq, Tk, D = 1, 4, 128, 256, 64
+    q = RNG.standard_normal((B, H, Tq, D)).astype(np.float32)
+    k = RNG.standard_normal((B, H, Tk, D)).astype(np.float32)
+    v = RNG.standard_normal((B, H, Tk, D)).astype(np.float32)
+    mask = np.where(np.arange(Tk) < 40, -1e30, 0.0).astype(np.float32)[None, :]
+    got = np.asarray(mha_pallas(q, k, v, mask, causal=True))
+    want = np.asarray(mha_xla(q, k, v, mask, causal=True))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-3)
+
+
+def test_generator_tpu_matches_cpu_tokens():
+    """Greedy decode on TPU must produce the same tokens as the traced
+    graph evaluated without the Pallas/flash fast paths."""
+    from rten_tpu.generate import Generator, GeneratorConfig
+    from rten_tpu.model import Model, ModelOptions
+    from rten_tpu.models import gpt2
+    from rten_tpu.runtime.executor import RunConfig
+
+    cfg = gpt2.GPT2Config(vocab_size=128, n_positions=64, n_embd=64,
+                          n_layer=2, n_head=4)
+    weights = gpt2.random_weights(cfg, seed=3)
+    fast = gpt2.load(cfg, weights)
+    slow = gpt2.load(
+        cfg, weights,
+        options=ModelOptions(run_config=RunConfig(
+            use_pallas_int8=False, use_flash_attention=False)),
+    )
+    prompt = [5, 9, 23, 40, 7]
+    a = Generator(fast, [prompt], GeneratorConfig(bucket_size=8)).generate(10)[0]
+    b = Generator(slow, [prompt], GeneratorConfig(bucket_size=8)).generate(10)[0]
+    np.testing.assert_array_equal(a, b)
+
+
+def test_int4_matmul_on_tpu():
+    from rten_tpu.kernels.int4_matmul import (
+        _unpack_zero_points,
+        int4_matmul_pallas,
+        int4_matmul_xla,
+    )
+
+    k, n, bs = 512, 256, 32
+    a = RNG.standard_normal((16, k)).astype(np.float32)
+    bp = RNG.integers(0, 255, (n, k // 2)).astype(np.uint8)
+    sc = RNG.uniform(0.01, 0.1, (n, k // bs)).astype(np.float32)
+    zps = np.asarray(_unpack_zero_points(None, n, k // bs))
+    got = np.asarray(int4_matmul_pallas(a, bp, sc, zps, K=k, N=n, block_size=bs))
+    want = np.asarray(int4_matmul_xla(a, bp, sc, zps, K=k, N=n, block_size=bs))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
