@@ -56,6 +56,9 @@ def _gen_input(name, dtype, shape, dim_sizes, rng, lo, hi):
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    from .utils import honor_jax_platforms_env
+
+    honor_jax_platforms_env()
     ap = argparse.ArgumentParser(
         prog="rten_tpu", description="Inspect and benchmark ONNX models on TPU"
     )
