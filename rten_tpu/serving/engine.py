@@ -297,15 +297,20 @@ class ContinuousBatchingEngine:
             self.steps += k
             for slot in active:
                 req = self.slot_req[slot]
-                for j in range(k):
-                    tok = int(tok_seq[slot, j])
-                    req.generated.append(tok)
-                    self.slot_len[slot] += 1
-                    self.slot_last_tok[slot] = tok
-                    self.decode_tokens += 1
-                    self._maybe_finish(slot, tok)
-                    if self.slot_req[slot] is None:
-                        break
+                toks = tok_seq[slot]
+                # Accept up to the request budget, cut at the first eos.
+                cut = min(k, req.max_new_tokens - len(req.generated))
+                if req.eos_id is not None:
+                    hits = np.nonzero(toks[:cut] == req.eos_id)[0]
+                    if hits.size:
+                        cut = int(hits[0]) + 1
+                accepted = toks[:cut]
+                req.generated.extend(int(t) for t in accepted)
+                self.slot_len[slot] += cut
+                self.slot_last_tok[slot] = int(accepted[-1]) if cut else self.slot_last_tok[slot]
+                self.decode_tokens += cut
+                if cut:
+                    self._maybe_finish(slot, int(accepted[-1]))
             return
         # 2b. One decode step for every slot (inactive slots compute garbage
         #    into their own cache rows, overwritten at next admission).
