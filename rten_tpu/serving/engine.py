@@ -149,47 +149,32 @@ class ContinuousBatchingEngine:
             self._multi_step = self._build_multi_step(self.steps_per_dispatch)
 
     def _build_multi_step(self, k: int):
-        """k decode steps per host round-trip.
-
-        Implementation: k CHAINED async dispatches of one single-step
-        executable, with tokens/lengths staying on device between steps
-        (jax dispatch is asynchronous, so enqueue overhead and tunnel
-        latency overlap with device execution). Measured ~4x faster than
-        the equivalent lax.scan-fused executable on the remote runtime —
-        and it reuses the ordinary step executable instead of compiling a
-        second giant one.
-        """
         executor = self.executor
         in_ids = self.in_ids
         cache_ids = self.cache_ids
         out_ids = self.out_ids  # [next_token, presents...]
+        n_caches = len(cache_ids)
 
-        def step(weights: Dict, caches, toks, lens):
-            env = dict(weights)
-            env[in_ids["input_ids"]] = toks[:, None]
-            env[in_ids["past_lens"]] = lens
-            env[in_ids["position_ids"]] = lens[:, None]
-            for nid, c in zip(cache_ids, caches):
-                env[nid] = c
-            outs = executor.trace(env, out_ids)
-            new_toks = outs[0][:, 0].astype(jnp.int32)
-            return tuple(outs[1:]), new_toks, lens + 1
+        def fn(weights: Dict, caches, toks, lens):
+            def body(carry, _):
+                caches, toks, lens = carry
+                env = dict(weights)
+                env[in_ids["input_ids"]] = toks[:, None]
+                env[in_ids["past_lens"]] = lens
+                env[in_ids["position_ids"]] = lens[:, None]
+                for nid, c in zip(cache_ids, caches):
+                    env[nid] = c
+                outs = executor.trace(env, out_ids)
+                new_toks = outs[0][:, 0].astype(jnp.int32)
+                return (tuple(outs[1:]), new_toks, lens + 1), new_toks
 
-        # Donate only the caches: token/length buffers are kept as history
-        # (donating them would invalidate the saved references), and they
-        # are tiny.
-        step_fn = jax.jit(step, donate_argnums=(1,))
+            (caches, toks, lens), tok_seq = jax.lax.scan(
+                body, (tuple(caches), toks, lens), None, length=k
+            )
+            return caches, tok_seq.T  # [slots, k]
 
-        def multi(weights: Dict, caches, toks, lens):
-            toks = jnp.asarray(toks)
-            lens = jnp.asarray(lens)
-            tok_hist = []
-            for _ in range(k):
-                caches, toks, lens = step_fn(weights, caches, toks, lens)
-                tok_hist.append(toks)
-            return caches, jnp.stack(tok_hist, axis=1)  # [slots, k]
-
-        return multi
+        # Donate the caches (arg 1) so updates stay in place.
+        return jax.jit(fn, donate_argnums=(1,))
 
     # -- public API ----------------------------------------------------------
 
