@@ -114,6 +114,93 @@ def quantize_dynamic(
     return g
 
 
+def pack_int4_weight(w: np.ndarray, block_size: int = 32):
+    """f32 [K, N] -> MatMulNBits operands: packed nibbles [N, nb, bs/2],
+    scales [N, nb] (unsigned 4-bit, zero point 8 — the ort-quantize nbits
+    layout, rten block_quant.rs)."""
+    K, N = w.shape
+    nb = -(-K // block_size)
+    wt = np.zeros((N, nb * block_size), np.float32)
+    wt[:, :K] = np.ascontiguousarray(w.T)
+    blocks = wt.reshape(N, nb, block_size)
+    absmax = np.abs(blocks).max(axis=2)
+    scales = np.where(absmax > 0, absmax / 7.0, 1.0).astype(np.float32)
+    q = np.clip(np.round(blocks / scales[:, :, None]) + 8, 0, 15).astype(np.uint8)
+    lo = q[:, :, 0::2]
+    hi = q[:, :, 1::2]
+    packed = (lo | (hi << 4)).astype(np.uint8)  # [N, nb, bs/2]
+    return packed, scales
+
+
+def quantize_weight_only_int4(
+    g: Graph,
+    block_size: int = 32,
+    min_elements: int = 64 * 64,
+    skip_names: Optional[set] = None,
+) -> Graph:
+    """Weight-only int4: MatMul/MatMulAdd/Gemm(transB ok) with constant
+    weights become MatMulNBits (+ a separate bias Add), lowering onto the
+    Pallas int4 block-dequant kernel. Activations stay f32 — the
+    memory-bound-decode tradeoff (8x less weight bandwidth than f32),
+    rten's MatMulNBits path (docs/quantization.md nbits mode).
+    """
+    skip_names = skip_names or set()
+    cache: Dict[tuple, tuple] = {}
+    for nid, op in list(g.operators()):
+        if op.op_type not in ("MatMul", "MatMulAdd", "Gemm"):
+            continue
+        if op.name in skip_names:
+            continue
+        trans_b = False
+        if op.op_type == "Gemm":
+            if (
+                op.attrs.get("transA")
+                or op.attrs.get("alpha", 1.0) != 1.0
+                or op.attrs.get("beta", 1.0) != 1.0
+            ):
+                continue
+            trans_b = bool(op.attrs.get("transB", 0))
+        if len(op.inputs) < 2 or op.inputs[1] is None:
+            continue
+        w_node = g.nodes.get(op.inputs[1])
+        if not isinstance(w_node, Constant):
+            continue
+        w = w_node.array
+        if w.ndim != 2 or w.dtype != np.float32 or w.size < min_elements:
+            continue
+        if trans_b:
+            w = np.ascontiguousarray(w.T)
+        K, N = w.shape
+        entry = cache.get((op.inputs[1], trans_b))
+        if entry is None:
+            packed, scales = pack_int4_weight(w, block_size)
+            pk_id = g.add_constant((w_node.name or "w") + ".q4", packed)
+            sc_id = g.add_constant((w_node.name or "w") + ".q4scales", scales)
+            entry = (pk_id, sc_id)
+            cache[(op.inputs[1], trans_b)] = entry
+        pk_id, sc_id = entry
+        act_id = op.inputs[0]
+        bias_id = op.inputs[2] if len(op.inputs) > 2 else None
+
+        if bias_id is not None:
+            mm_out = g.add_value(f"{g.node_name(nid)}.q4_out")
+            out_id = op.outputs[0]
+            g.add_op(
+                "MatMulNBits", [act_id, pk_id, sc_id],
+                [mm_out],
+                {"K": K, "N": N, "bits": 4, "block_size": block_size},
+                name=op.name,
+            )
+            op.op_type = "Add"
+            op.inputs = [mm_out, bias_id]
+            op.attrs = {}
+        else:
+            op.op_type = "MatMulNBits"
+            op.inputs = [act_id, pk_id, sc_id]
+            op.attrs = {"K": K, "N": N, "bits": 4, "block_size": block_size}
+    return g
+
+
 def _maybe_quantize_conv(g: Graph, nid, op: Operator, min_elements, skip_names):
     """Conv(x, const_w [O,C,*k], bias?) -> DQL + ConvIntegerToFloat.
 
