@@ -86,8 +86,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     ap.add_argument("--eager", action="store_true", help="run without jit")
     ap.add_argument("--infer-shapes", dest="infer_shapes", action="store_true",
                     help="run symbolic shape inference and print value shapes")
-    ap.add_argument("--quantize", choices=["int8"],
-                    help="dynamic int8 quantization (ort-quantize analog)")
+    ap.add_argument("--quantize", choices=["int8", "int4"],
+                    help="int8 dynamic or int4 weight-only quantization")
     ap.add_argument("--save-model", dest="save_model", metavar="OUT.rtpu",
                     help="write the optimized/quantized model as .rtpu")
     args = ap.parse_args(argv)
@@ -100,6 +100,11 @@ def main(argv: Optional[List[str]] = None) -> int:
         from .quantize_pass import quantize_dynamic
 
         quantize_dynamic(model.graph)
+        model.executor._weights = None
+    elif args.quantize == "int4":
+        from .quantize_pass import quantize_weight_only_int4
+
+        quantize_weight_only_int4(model.graph)
         model.executor._weights = None
     if args.save_model:
         model.save(args.save_model)

@@ -331,6 +331,10 @@ def load(
         from ..quantize_pass import quantize_dynamic
 
         graph = quantize_dynamic(graph)
+    elif quantize == "int4":
+        from ..quantize_pass import quantize_weight_only_int4
+
+        graph = quantize_weight_only_int4(graph)
     elif quantize is not None:
         raise ValueError(f"unknown quantize mode {quantize}")
     return Model(graph, options)
