@@ -335,8 +335,11 @@ class ExternalDataLoader:
                 f"directory is known (load from a file path, or pass "
                 f"external_data dir)"
             )
-        path = os.path.normpath(os.path.join(self.base_dir, location))
-        if not path.startswith(os.path.normpath(self.base_dir)):
+        base = os.path.realpath(self.base_dir)
+        path = os.path.realpath(os.path.join(base, location))
+        # commonpath (not a string prefix) so '../foo-evil' can't slip past a
+        # base of '/models/foo'; realpath also resolves symlink escapes.
+        if os.path.commonpath([base, path]) != base:
             raise ProtobufError(f"external data path escapes model dir: {location}")
         mm = self._files.get(path)
         if mm is None:

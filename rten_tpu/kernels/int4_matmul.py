@@ -35,9 +35,14 @@ def _unpack_zero_points(zero_points, N, n_blocks):
         return jnp.full((N, n_blocks), 8, jnp.int32)
     zp = jnp.asarray(zero_points)
     if zp.dtype == jnp.uint8:
+        # ORT packs ceil(n_blocks/2) bytes PER COLUMN (each column padded to
+        # a byte boundary) — unpack per row so odd n_blocks stays aligned.
+        bytes_per_col = (n_blocks + 1) // 2
+        zp = zp.reshape(N, bytes_per_col)
         lo = (zp & 0x0F).astype(jnp.int32)
         hi = ((zp >> 4) & 0x0F).astype(jnp.int32)
-        zp = jnp.stack([lo, hi], axis=-1).reshape(-1)[: N * n_blocks]
+        zp = jnp.stack([lo, hi], axis=-1).reshape(N, bytes_per_col * 2)
+        zp = zp[:, :n_blocks]
     return zp.reshape(N, n_blocks).astype(jnp.int32)
 
 

@@ -194,9 +194,13 @@ def dequant_nbits(b_packed, scales, zero_points, *, K, N, block_size):
     if zero_points is not None:
         zp = jnp.asarray(zero_points)
         if zp.dtype == jnp.uint8:  # packed nibble zero-points
-            zp_lo = (zp & 0x0F).astype(jnp.int32)
-            zp_hi = ((zp >> 4) & 0x0F).astype(jnp.int32)
-            zp = jnp.stack([zp_lo, zp_hi], axis=-1).reshape(-1)[: N * n_blocks]
+            # ceil(n_blocks/2) bytes per output column (columns are padded to
+            # a byte boundary) — unpack per row, then trim each row.
+            bpc = (n_blocks + 1) // 2
+            zp2 = zp.reshape(N, bpc)
+            zp_lo = (zp2 & 0x0F).astype(jnp.int32)
+            zp_hi = ((zp2 >> 4) & 0x0F).astype(jnp.int32)
+            zp = jnp.stack([zp_lo, zp_hi], axis=-1).reshape(N, bpc * 2)[:, :n_blocks]
         zp = zp.reshape(N, n_blocks, 1).astype(jnp.int32)
     else:
         zp = 8

@@ -53,11 +53,25 @@ def propagate_constants(g: Graph) -> bool:
     """
     from .runtime.executor import Executor, RunConfig
 
+    # Values transitively downstream of a non-deterministic op must not be
+    # folded either: folding would freeze one random sample forever (rten
+    # excludes them via Operator::is_deterministic on the whole chain).
+    tainted: set = set()
+    while True:  # fixpoint: node order is not guaranteed topological
+        n_before = len(tainted)
+        for nid, op in g.operators():
+            if op.op_type in NON_DETERMINISTIC or any(
+                i in tainted for i in op.inputs if i is not None
+            ):
+                tainted.update(op.outputs)
+        if len(tainted) == n_before:
+            break
+
     candidates = []
     for nid, op in g.operators():
-        if op.op_type in NON_DETERMINISTIC or op.subgraphs():
+        if op.subgraphs():
             continue
-        candidates.extend(op.outputs)
+        candidates.extend(o for o in op.outputs if o not in tainted)
     if not candidates:
         return False
 
@@ -139,13 +153,13 @@ def fuse_identity(g: Graph) -> bool:
             if src is None:
                 continue
             out = op.outputs[0]
-            # Preserve graph-output names: only bypass when the output is
-            # not itself a named graph output... renaming is fine since
-            # executor resolves outputs by NodeId; keep the value but alias.
-            g.replace_input(out, src)
+            # Preserve graph-output names: if the Identity's output is itself
+            # a named graph output, keep the op so the name is still produced
+            # (replace_input would rewrite output_ids and lose the name —
+            # same ordering as fuse_cast_elimination).
             if out in g.output_ids:
-                # Keep the op so the named output is still produced.
                 continue
+            g.replace_input(out, src)
             g.remove_nodes([nid, out])
             changed = True
     return changed

@@ -106,6 +106,18 @@ class Executor:
         self.config = config or RunConfig()
         self._jit_cache: Dict[Tuple, Callable] = {}
         self._weights: Optional[Dict[NodeId, Any]] = None
+        self._run_counter = 0
+
+    def _needs_fresh_rng(self) -> bool:
+        """True if the graph contains unseeded random ops: their PRNG key
+        must be a jit ARGUMENT (fresh per run), not a traced constant —
+        otherwise the compiled executable replays one frozen sample forever
+        (rten re-draws randomness every Graph::run)."""
+        for _, op in self.graph.operators():
+            if op.op_type in _NON_FOLDABLE and op.op_type != "Dropout" \
+                    and op.attrs.get("seed") is None:
+                return True
+        return False
 
     def _weight_args(self) -> Dict[NodeId, Any]:
         """Weight constants as device-resident arrays, transferred once.
@@ -232,12 +244,32 @@ class Executor:
         key = (input_ids, output_ids, donate_argnums)
         fn = self._jit_cache.get(key)
         if fn is None:
+            if self._needs_fresh_rng():
 
-            def run(*args):
-                env = dict(zip(input_ids, args))
-                return tuple(self.trace(env, output_ids))
+                def run(rng_key, *args):
+                    env = dict(zip(input_ids, args))
+                    ctx = TraceContext(self, self.config, rng_key=rng_key)
+                    return tuple(self.trace(env, output_ids, ctx=ctx))
 
-            fn = jax.jit(run, donate_argnums=donate_argnums)
+                # rng key is arg 0; shift donation indices by one.
+                fn_inner = jax.jit(
+                    run, donate_argnums=tuple(d + 1 for d in donate_argnums)
+                )
+
+                def fn(*args):
+                    self._run_counter += 1
+                    k = jax.random.fold_in(
+                        jax.random.PRNGKey(self.config.seed), self._run_counter
+                    )
+                    return fn_inner(k, *args)
+
+            else:
+
+                def run(*args):
+                    env = dict(zip(input_ids, args))
+                    return tuple(self.trace(env, output_ids))
+
+                fn = jax.jit(run, donate_argnums=donate_argnums)
             self._jit_cache[key] = fn
         return fn
 

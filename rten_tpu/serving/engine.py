@@ -180,6 +180,14 @@ class ContinuousBatchingEngine:
 
     def submit(self, prompt: Sequence[int], max_new_tokens: int = 64,
                eos_id: Optional[int] = None) -> Request:
+        # Validate here, not in _prefill: a bad request must fail at submit
+        # time instead of crashing the serving loop mid-step (losing every
+        # in-flight request).
+        if len(prompt) > self.capacity - max_new_tokens:
+            raise ValueError(
+                f"prompt ({len(prompt)} tokens) + max_new_tokens "
+                f"({max_new_tokens}) exceeds KV capacity {self.capacity}"
+            )
         req = Request(
             prompt=list(prompt),
             max_new_tokens=max_new_tokens,
@@ -227,8 +235,6 @@ class ContinuousBatchingEngine:
 
     def _prefill(self, req: Request, slot: int):
         T = self._round_up(len(req.prompt))
-        if len(req.prompt) > self.capacity - req.max_new_tokens:
-            raise ValueError("prompt too long for KV capacity")
         ids = np.zeros((1, T), np.int32)
         ids[0, : len(req.prompt)] = req.prompt
         feed = {
