@@ -64,7 +64,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     )
     from . import __version__
 
-    ap.add_argument("model", help="path to .onnx or .rtpu model")
+    ap.add_argument("model", help="path to .onnx, .rten or .rtpu model")
     ap.add_argument("-V", "--version", action="version",
                     version=f"rten_tpu {__version__}")
     ap.add_argument("-n", "--iters", type=int, default=1, help="timed iterations")
@@ -88,8 +88,10 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="run symbolic shape inference and print value shapes")
     ap.add_argument("--quantize", choices=["int8", "int4"],
                     help="int8 dynamic or int4 weight-only quantization")
-    ap.add_argument("--save-model", dest="save_model", metavar="OUT.rtpu",
-                    help="write the optimized/quantized model as .rtpu")
+    ap.add_argument("--save-model", dest="save_model", metavar="OUT",
+                    help="write the optimized/quantized model (.rtpu, or "
+                         ".rten for the reference-compatible container — "
+                         "the rten-convert analog)")
     args = ap.parse_args(argv)
 
     t0 = time.perf_counter()

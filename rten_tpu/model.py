@@ -242,11 +242,27 @@ class Model:
             base_dir=os.path.dirname(os.path.abspath(path)),
         )
 
+    @staticmethod
+    def _sniff_rten(head: bytes) -> bool:
+        """.rten magic: V2 has 'RTEN' at offset 0; V1 is a bare flatbuffers
+        buffer with the file identifier at offset 4 (rten
+        src/model/file_type.rs behavior)."""
+        return head[:4] == b"RTEN" or head[4:8] == b"RTEN"
+
     def save(self, path: Union[str, os.PathLike], metadata: Dict[str, str] = None):
-        """Write the (optimized/quantized) graph as a .rtpu container."""
+        """Write the (optimized/quantized) graph as a .rtpu container, or a
+        reference-compatible .rten file when the path ends in '.rten'
+        (rten-convert parity; contrib/fused ops have no .rten encoding)."""
+        path = os.fspath(path)
+        meta = {**self.metadata, **(metadata or {})}
+        if path.endswith(".rten"):
+            from .formats.rten import save_rten
+
+            save_rten(self.graph, path, metadata=meta)
+            return
         from .formats.rtpu import save_model
 
-        save_model(self.graph, os.fspath(path), metadata={**self.metadata, **(metadata or {})})
+        save_model(self.graph, path, metadata=meta)
 
     @classmethod
     def load(
@@ -256,6 +272,15 @@ class Model:
         base_dir: Optional[str] = None,
     ) -> "Model":
         options = options or ModelOptions()
+        head = bytes(data[:8])
+        if cls._sniff_rten(head):
+            from .formats.rten import RtenFormatError, load_rten
+
+            try:
+                graph, meta = load_rten(data)
+            except RtenFormatError as e:
+                raise LoadError(f"failed to parse .rten model: {e}") from e
+            return cls(graph, options, metadata=meta)
         try:
             proto = parse_model(data)
         except Exception as e:
@@ -295,14 +320,22 @@ class Model:
         inputs: Dict[str, Any],
         outputs: Optional[Sequence[str]] = None,
         jit: bool = True,
+        static_inputs: Sequence[str] = (),
     ) -> List[np.ndarray]:
+        """``static_inputs``: names whose values specialize the compiled
+        trace (e.g. Optimum 'use_cache_branch' — see Executor.run)."""
         import jax
 
         feed = {}
+        static = {}
+        static_names = set(static_inputs)
         for name, val in inputs.items():
             nid = self.graph.find_node(name)
             if nid is None:
                 raise KeyError(f"model has no input named '{name}'")
+            if name in static_names:
+                static[nid] = narrow_array(np.asarray(val))
+                continue
             # Device arrays pass through untouched (sharded weights must not
             # round-trip through host numpy).
             if not isinstance(val, jax.Array):
@@ -317,7 +350,7 @@ class Model:
                 if nid is None:
                     raise KeyError(f"model has no value named '{name}'")
                 out_ids.append(nid)
-        return self.executor.run(feed, out_ids, jit=jit)
+        return self.executor.run(feed, out_ids, jit=jit, static=static or None)
 
     def run_one(self, input_value, jit: bool = True):
         """Single unnamed input -> single output convenience."""
