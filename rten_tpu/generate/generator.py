@@ -32,19 +32,25 @@ from .filter import LogitsFilter
 from .metrics import Metrics
 from .sampler import ArgMaxSampler, Sampler
 
-# (pattern, present-name template) pairs; rten generator.rs:267-322.
+# (pattern, present-name template, is_encoder) triples;
+# rten generator.rs:267-322 KVCachePair table. `encoder` entries are
+# cross-attention caches of merged encoder-decoder exports: computed once
+# on the first run, frozen afterwards (generator.rs:891-915).
 _KV_PATTERNS = [
     (
         re.compile(r"^past_key_values\.(\d+)\.(decoder|encoder)\.(key|value)$"),
         lambda m: f"present.{m.group(1)}.{m.group(2)}.{m.group(3)}",
+        lambda m: m.group(2) == "encoder",
     ),
     (
         re.compile(r"^past_key_values\.(\d+)\.(key|value)$"),
         lambda m: f"present.{m.group(1)}.{m.group(2)}",
+        lambda m: False,
     ),
     (
         re.compile(r"^past_(\d+)_(key|value)$"),
         lambda m: f"present_{m.group(1)}_{m.group(2)}",
+        lambda m: False,
     ),
 ]
 
@@ -68,6 +74,8 @@ class GeneratorConfig:
     attention_mask_name: str = "attention_mask"
     position_ids_name: str = "position_ids"
     logits_name: str = "logits"
+    cache_position_name: str = "cache_position"
+    use_cache_flag_name: str = "use_cache_branch"
     # Extra constant inputs fed every step (e.g. encoder_hidden_states).
     constant_inputs: Dict[str, Any] = dataclasses.field(default_factory=dict)
 
@@ -100,6 +108,7 @@ class Generator:
         self._discover_io()
         self._jit_helpers: Dict = {}  # shape-keyed padded/append helpers
         self._cache: List[Any] = []  # device arrays [B, H, t, D]
+        self._cross: Dict[str, Any] = {}  # frozen cross-attention KV by name
         self._cache_len = 0
         self._mask: Optional[np.ndarray] = None  # host [B, t] int32
         self._last_tokens: Optional[np.ndarray] = None
@@ -115,12 +124,13 @@ class Generator:
 
     def _discover_io(self):
         g = self.model.graph
-        self.kv: List[KvEntry] = []
+        self.kv: List[KvEntry] = []         # self-attention (growing)
+        self.cross_kv: List[KvEntry] = []   # cross-attention (frozen)
         self.input_names = set(self.model.input_names())
         out_names = set(self.model.output_names())
         for nid in g.input_ids:
             name = g.node_name(nid)
-            for pat, present in _KV_PATTERNS:
+            for pat, present, is_encoder in _KV_PATTERNS:
                 m = pat.match(name)
                 if m:
                     out_name = present(m)
@@ -129,7 +139,8 @@ class Generator:
                             f"KV input {name} has no matching output {out_name}"
                         )
                     node = g.nodes[nid]
-                    self.kv.append(KvEntry(name, out_name, getattr(node, "shape", None)))
+                    entry = KvEntry(name, out_name, getattr(node, "shape", None))
+                    (self.cross_kv if is_encoder(m) else self.kv).append(entry)
                     break
         if self.config.input_ids_name not in self.input_names:
             raise GeneratorError(
@@ -138,6 +149,18 @@ class Generator:
             )
         self.has_mask = self.config.attention_mask_name in self.input_names
         self.has_positions = self.config.position_ids_name in self.input_names
+        self.has_cache_position = self.config.cache_position_name in self.input_names
+        # Merged Optimum decoders: use_cache_branch = 0 on the first run,
+        # 1 after (rten generator.rs:645-650). Fed as a STATIC input: the
+        # no-past branch of the ONNX If returns different KV shapes, so the
+        # predicate must be concrete at trace time on XLA.
+        self.has_use_cache_flag = self.config.use_cache_flag_name in self.input_names
+        if not self.has_mask and self.config.bucket_size != 1:
+            # Without an attention_mask input there is no way to neutralize
+            # bucket padding in the KV cache — fall back to exact shapes
+            # (one executable per sequence length, the reference's shape
+            # behavior).
+            self.config = dataclasses.replace(self.config, bucket_size=1)
         if self.config.logits_name in out_names:
             self.logits_name = self.config.logits_name
         else:
@@ -165,19 +188,47 @@ class Generator:
 
     # -- steps ---------------------------------------------------------------
 
-    def _run(self, input_ids, mask, positions, past: List[Any]):
+    def _run(self, input_ids, mask, positions, past: List[Any],
+             first_run: bool):
         feed: Dict[str, Any] = {self.config.input_ids_name: input_ids}
+        static_names: List[str] = []
         if self.has_mask:
             feed[self.config.attention_mask_name] = mask
         if self.has_positions:
             feed[self.config.position_ids_name] = positions
+        if self.has_cache_position:
+            # 1-D absolute positions of the current tokens
+            # (rten generator.rs varying_inputs for cache_position).
+            feed[self.config.cache_position_name] = np.asarray(
+                positions, np.int32
+            ).reshape(-1)[-input_ids.shape[1]:]
+        if self.has_use_cache_flag:
+            feed[self.config.use_cache_flag_name] = np.bool_(not first_run)
+            static_names.append(self.config.use_cache_flag_name)
         for e, p in zip(self.kv, past):
             feed[e.input_name] = p
+        for e in self.cross_kv:
+            if first_run:
+                H, D = self._kv_dims(e)
+                feed[e.input_name] = jnp.zeros((self.batch, H, 0, D), jnp.float32)
+            else:
+                feed[e.input_name] = self._cross[e.input_name]
         feed.update(self.config.constant_inputs)
-        outs = self.model.run(
-            feed, [self.logits_name] + [e.output_name for e in self.kv]
-        )
-        return outs[0], outs[1:]
+        # Cross-attention presents are only fetched on the first run; later
+        # runs return dummy empty tensors in Optimum exports, which the
+        # reference ignores (generator.rs:891-915) and we simply never ask
+        # for (saves the transfer).
+        want = [self.logits_name] + [e.output_name for e in self.kv]
+        if first_run:
+            want += [e.output_name for e in self.cross_kv]
+        outs = self.model.run(feed, want, static_inputs=static_names)
+        n_kv = len(self.kv)
+        if first_run and self.cross_kv:
+            self._cross = {
+                e.input_name: cross_out
+                for e, cross_out in zip(self.cross_kv, outs[1 + n_kv:])
+            }
+        return outs[0], outs[1 : 1 + n_kv]
 
     def _prefill(self, prompt: np.ndarray):
         B, T = prompt.shape
@@ -191,7 +242,7 @@ class Generator:
                       jnp.float32)
             for e in self.kv
         ]
-        logits, presents = self._run(ids, mask, positions, past)
+        logits, presents = self._run(ids, mask, positions, past, first_run=True)
         self._cache = list(presents)
         self._cache_len = cap
         self._mask = mask
@@ -234,7 +285,9 @@ class Generator:
         mask = np.pad(self._mask, ((0, 0), (0, kv_pad)))
         mask = np.concatenate([mask, np.ones((B, 1), np.int32)], 1)
         positions = self._mask.sum(axis=1, dtype=np.int32)[:, None]
-        logits, presents = self._run(tokens[:, None], mask, positions, past)
+        logits, presents = self._run(
+            tokens[:, None], mask, positions, past, first_run=False
+        )
         # New token's KV lives at index cap of each present; keep the cache
         # contiguous at logical length t+1 (single jitted call, see above).
         key = ("append", cap, t)
@@ -284,6 +337,8 @@ class Generator:
         tensors = {
             f"cache.{i}": np.asarray(c) for i, c in enumerate(self._cache)
         }
+        for i, e in enumerate(self.cross_kv):
+            tensors[f"cross.{i}"] = np.asarray(self._cross[e.input_name])
         tensors["mask"] = self._mask
         tensors["generated"] = (
             np.stack(self._generated, 1)
@@ -303,6 +358,10 @@ class Generator:
         self._cache = [
             jnp.asarray(data[f"cache.{i}"]) for i in range(len(self.kv))
         ]
+        self._cross = {
+            e.input_name: jnp.asarray(data[f"cross.{i}"])
+            for i, e in enumerate(self.cross_kv)
+        }
         self._cache_len = self._cache[0].shape[2] if self.kv else 0
         self._mask = np.array(data["mask"])
         gen = np.array(data["generated"])

@@ -217,6 +217,37 @@ class Graph:
             for out in op.outputs:
                 producer[out] = nid
 
+        def capture_deps(op: Operator) -> List[NodeId]:
+            """Values this graph must provide to the op's subgraphs.
+
+            Subgraph captures resolve by name at trace time (rten CaptureEnv)
+            — the planner must treat them as inputs, else the producing op
+            is left out of the plan (e.g. a Constant op consumed only inside
+            an ONNX If branch). Unresolved names may bind in an enclosing
+            scope, so they are skipped, not errors.
+            """
+            names: List[str] = []
+
+            def walk(g: "Graph"):
+                names.extend(g.captures)
+                for _, sub_op in g.operators():
+                    for sg in sub_op.subgraphs():
+                        walk(sg)
+
+            for sg in op.subgraphs():
+                walk(sg)
+            deps = []
+            for name in names:
+                nid = self._name_to_id.get(name)
+                if nid is not None:
+                    deps.append(nid)
+            return deps
+
+        def effective_inputs(op: Operator) -> List[Optional[NodeId]]:
+            if not op.subgraphs():
+                return op.inputs
+            return list(op.inputs) + capture_deps(op)
+
         plan: List[NodeId] = []
         # Memoized iterative post-order DFS: each operator is expanded once
         # ('queued' -> 'visiting' -> 'planned'|'failed'); shared deps are
@@ -242,7 +273,7 @@ class Graph:
                         continue
                     status[oid] = "visiting"
                     stack.append((oid, True))
-                    for inp in op.inputs:
+                    for inp in effective_inputs(op):
                         if inp is None or inp in available:
                             continue
                         dep = producer.get(inp)
@@ -262,6 +293,9 @@ class Graph:
                         )
                         for inp in op.inputs
                     )
+                    # Capture deps are best-effort: missing ones may bind in
+                    # an enclosing scope at trace time, so they don't fail
+                    # the op — but those that CAN be computed here must be.
                     if ok:
                         status[oid] = "planned"
                         plan.append(oid)

@@ -240,14 +240,24 @@ class Executor:
         input_ids: Tuple[NodeId, ...],
         output_ids: Tuple[NodeId, ...],
         donate_argnums: Tuple[int, ...] = (),
+        static_env: Optional[Dict[NodeId, Any]] = None,
     ):
-        key = (input_ids, output_ids, donate_argnums)
+        static_key = ()
+        if static_env:
+            static_key = tuple(
+                (nid, np.asarray(v).tobytes(), str(np.asarray(v).dtype),
+                 np.asarray(v).shape)
+                for nid, v in sorted(static_env.items())
+            )
+        key = (input_ids, output_ids, donate_argnums, static_key)
         fn = self._jit_cache.get(key)
         if fn is None:
+            static_env = dict(static_env) if static_env else {}
             if self._needs_fresh_rng():
 
                 def run(rng_key, *args):
                     env = dict(zip(input_ids, args))
+                    env.update(static_env)
                     ctx = TraceContext(self, self.config, rng_key=rng_key)
                     return tuple(self.trace(env, output_ids, ctx=ctx))
 
@@ -267,6 +277,7 @@ class Executor:
 
                 def run(*args):
                     env = dict(zip(input_ids, args))
+                    env.update(static_env)
                     return tuple(self.trace(env, output_ids))
 
                 fn = jax.jit(run, donate_argnums=donate_argnums)
@@ -279,10 +290,17 @@ class Executor:
         output_ids: Sequence[NodeId],
         jit: bool = True,
         donate: Sequence[NodeId] = (),
+        static: Optional[Dict[NodeId, Any]] = None,
     ) -> List[Any]:
         """``donate``: node ids whose input buffers XLA may reuse for
         outputs (rten's in-place execution analog, src/graph.rs:967-1049 —
-        here it makes KV-cache updates in-place on device)."""
+        here it makes KV-cache updates in-place on device).
+
+        ``static``: inputs whose concrete VALUES specialize the trace (the
+        jit static_argnums analog). Needed for flags like Optimum's
+        use_cache_branch: an ONNX If whose branches return different shapes
+        cannot lower to lax.cond, so the predicate must be known at trace
+        time and the executable cache keys on its value."""
         if jit:
             # Caller-provided values (e.g. sharded weights) override the
             # executor's own weight cache.
@@ -291,11 +309,16 @@ class Executor:
         args = [jnp.asarray(inputs[i]) for i in in_ids]
         if not jit:
             env = dict(zip(in_ids, args))
+            if static:
+                env.update({k: np.asarray(v) for k, v in static.items()})
             return self.trace(env, list(output_ids))
         donate_argnums = tuple(
             i for i, nid in enumerate(in_ids) if nid in set(donate)
         )
-        fn = self._fn_for(in_ids, tuple(output_ids), donate_argnums)
+        static_env = (
+            {k: np.asarray(v) for k, v in static.items()} if static else None
+        )
+        fn = self._fn_for(in_ids, tuple(output_ids), donate_argnums, static_env)
         return list(fn(*args))
 
     def profile_run(
