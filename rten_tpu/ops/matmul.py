@@ -140,15 +140,24 @@ def _matmul_integer_to_float(ctx, inputs, attrs):
     a_zp = opt_input(inputs, 4)
     b_zp = opt_input(inputs, 5)
     bias = opt_input(inputs, 6)
+    # Input 7: precomputed weight col sums from the load-time prepack pass
+    # (optimize.prepack_int8_weights) — saves a full weight re-read/step.
+    b_colsums = opt_input(inputs, 7)
+    # Prepack may have padded N to a tile multiple; slice back after.
+    orig_n = attrs.get("rten_orig_n")
 
     if ctx is not None and ctx.config.use_pallas_int8 and a.ndim >= 2 and b.ndim == 2:
         from ..kernels.int8_matmul import int8_matmul_dequant_auto
 
-        out = int8_matmul_dequant_auto(a, b, a_scale, b_scale, a_zp, b_zp)
+        out = int8_matmul_dequant_auto(
+            a, b, a_scale, b_scale, a_zp, b_zp, b_colsums
+        )
     else:
         acc = _int_matmul_xla(a, b, a_zp, b_zp)
         scale = jnp.asarray(a_scale, jnp.float32) * jnp.asarray(b_scale, jnp.float32)
         out = acc.astype(jnp.float32) * scale
+    if orig_n is not None and out.shape[-1] != orig_n:
+        out = out[..., :orig_n]
     if bias is not None:
         out = out + bias
     return out

@@ -470,6 +470,136 @@ FUSIONS: List[Callable[[Graph], bool]] = [
 ]
 
 
+def prepack_int8_weights(g: Graph) -> bool:
+    """Load-time prepack for MatMulIntegerToFloat weights (the WeightCache/
+    prepack analog, rten src/weight_cache.rs + rten-gemm packing/int8.rs):
+
+    * precompute the weight matrix's int32 column sums (needed for the
+      activation-zero-point correction) as a constant — otherwise the
+      Pallas/XLA path re-reads the full weight matrix EVERY step;
+    * pad N up to a 128 multiple when needed (e.g. GPT-2 lm_head N=50257)
+      so the kernel never materializes a padded copy of the weight per
+      step; the lowering slices the output back via `rten_orig_n`.
+    """
+    changed = False
+    padded: Dict[NodeId, Tuple[NodeId, NodeId]] = {}
+    for nid, op in list(g.operators()):
+        if op.op_type != "MatMulIntegerToFloat":
+            continue
+        if len(op.inputs) >= 8 and op.inputs[7] is not None:
+            continue  # already prepacked
+        b_id = op.inputs[1]
+        b_node = g.nodes.get(b_id)
+        if not isinstance(b_node, Constant) or b_node.array.ndim != 2:
+            continue
+        if b_node.array.dtype not in (np.int8, np.uint8):
+            continue
+        entry = padded.get(b_id)
+        if entry is None:
+            b = b_node.array
+            b_name = b_node.name or "w"
+            # u8 weights: fold the per-step u8->s8 sign-flip (another full
+            # weight rewrite) into the constant, shifting the zero point
+            # (kernels/common.py u8_to_s8_shift algebra). Only possible when
+            # the weight zero point is a constant (it always is for offline-
+            # quantized models).
+            nzp_id = None
+            zp_id = op.inputs[5] if len(op.inputs) > 5 else None
+            zp_node = g.nodes.get(zp_id) if zp_id is not None else None
+            if b.dtype == np.uint8 and (
+                zp_id is None or isinstance(zp_node, Constant)
+            ):
+                zp_arr = (
+                    zp_node.array if zp_node is not None else np.uint8(0)
+                )
+                b = (b ^ np.uint8(0x80)).view(np.int8)
+                nzp_id = g.add_constant(
+                    b_name + ".zp_s8", np.asarray(zp_arr, np.int32) - 128
+                )
+            K, N = b.shape
+            Np = ((N + 127) // 128) * 128
+            orig_n = None
+            if Np != N:
+                bp = np.zeros((K, Np), b.dtype)
+                bp[:, :N] = b
+                b = bp
+                orig_n = N
+            if orig_n is not None or nzp_id is not None:
+                bp_id = g.add_constant(b_name + ".prepack", b)
+            else:
+                bp_id = b_id
+            colsums = b.astype(np.int32).sum(axis=0)[None, :]  # [1, Np]
+            cs_id = g.add_constant(b_name + ".colsums", colsums)
+            entry = (bp_id, cs_id, orig_n, nzp_id)
+            padded[b_id] = entry
+        bp_id, cs_id, orig_n, nzp_id = entry
+        ins = list(op.inputs) + [None] * (8 - len(op.inputs))
+        ins[1] = bp_id
+        ins[7] = cs_id
+        if nzp_id is not None:
+            ins[5] = nzp_id
+        if orig_n is not None:
+            # Pad per-col scales to match (scale=1 on pad cols).
+            ws_id = ins[3]
+            ws_node = g.nodes.get(ws_id)
+            if isinstance(ws_node, Constant) and ws_node.array.ndim == 1:
+                ws = np.ones(
+                    g.nodes[bp_id].array.shape[1], ws_node.array.dtype
+                )
+                ws[: orig_n] = ws_node.array
+                ins[3] = g.add_constant(
+                    (ws_node.name or "scales") + ".pad", ws
+                )
+            op.attrs = {**op.attrs, "rten_orig_n": orig_n}
+        op.inputs = ins
+        changed = True
+    if changed:
+        eliminate_dead_code(g)
+        _log(f"prepacked {len(padded)} int8 weight matrices")
+    return changed
+
+
+def fold_shape_computations(g: Graph) -> bool:
+    """Materialize shape-computation results that are fully concrete even
+    when some graph dims are symbolic (rten ShapeSliceToConstant /
+    ComputeShapeFusion, src/optimize.rs:611-651 early fusions + symbolic
+    values from rten-shape-inference lib.rs:40-62).
+
+    Example: Shape(x:["batch",12,64]) -> Gather(idx=2) folds to Constant(64)
+    although the batch dim is unknown — plain constant propagation cannot
+    touch it because Shape's input isn't constant.
+    """
+    from .shape_inference import infer_shapes_and_values
+
+    _, sym_vals = infer_shapes_and_values(g)
+    producers = _producer_map(g)
+    changed = False
+    for vid, sv in sym_vals.items():
+        node = g.nodes.get(vid)
+        if not isinstance(node, Value):
+            continue  # already a Constant (or gone)
+        prod = producers.get(vid)
+        if prod is None:
+            continue  # graph input
+        conc = sv.concrete()
+        if conc is None:
+            continue
+        g.nodes[vid] = Constant(name=node.name, array=conc)
+        changed = True
+    if changed:
+        # Drop operators whose outputs all became constants.
+        dead = [
+            nid
+            for nid, op in list(g.operators())
+            if op.outputs
+            and all(isinstance(g.nodes.get(o), Constant) for o in op.outputs)
+        ]
+        g.remove_nodes(dead)
+        eliminate_dead_code(g)
+        _log("folded symbolic shape computations")
+    return changed
+
+
 def optimize_graph(g: Graph, constant_prop: bool = True) -> Graph:
     """The full pipeline (rten optimize.rs:502-661), applied per subgraph."""
     for _, op in list(g.operators()):
@@ -479,6 +609,13 @@ def optimize_graph(g: Graph, constant_prop: bool = True) -> Graph:
             for fusion in (fuse_identity, fuse_cast_elimination):
                 fusion(sub)
 
+    # Step 1 (rten optimize.rs:502-560): shape inference annotates Value
+    # dims and folds shape-computation chains that are concrete despite
+    # symbolic dims elsewhere.
+    try:
+        fold_shape_computations(g)
+    except Exception:
+        pass  # inference is advisory; optimization must not fail a load
     if constant_prop:
         propagate_constants(g)
     for _ in range(3):
@@ -487,5 +624,6 @@ def optimize_graph(g: Graph, constant_prop: bool = True) -> Graph:
             changed |= fusion(g)
         if not changed:
             break
+    prepack_int8_weights(g)
     eliminate_dead_code(g)
     return g

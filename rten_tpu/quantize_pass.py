@@ -217,6 +217,15 @@ def _maybe_quantize_conv(g: Graph, nid, op: Operator, min_elements, skip_names):
     w = w_node.array
     if w.dtype != np.float32 or w.size < min_elements:
         return
+    # MXU routing heuristic (round-1: MNIST int8 conv LOST to f32): the
+    # int8 path is im2col + int8 matmul with contraction K = C*kh*kw and
+    # output dim O. When K or O is far below the 128-wide MXU tile the
+    # padded int8 matmul wastes more than dequant saves, while XLA's f32
+    # conv has specialized small-channel paths — keep those convs f32.
+    O = w.shape[0]
+    K = int(np.prod(w.shape[1:]))
+    if K < 128 or O < 64:
+        return
     q, scales = quantize_conv_weight(w)
     wq_id = g.add_constant((w_node.name or "w") + ".q8", q)
     ws_id = g.add_constant((w_node.name or "w") + ".scales", scales)

@@ -30,15 +30,22 @@ import numpy as np
 from ..generate.sampler import ArgMaxSampler, Sampler
 
 
-@dataclasses.dataclass
-class Request:
+class QueueFull(Exception):
+    """Backpressure: the admission queue is at max_queue capacity."""
+
+
+@dataclasses.dataclass(eq=False)  # identity semantics: queue membership &
+class Request:                    # cancellation must not match look-alikes
     prompt: List[int]
     max_new_tokens: int = 64
     eos_id: Optional[int] = None
     request_id: int = 0
+    timeout_s: Optional[float] = None
     # Filled by the engine:
     generated: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
+    cancelled: bool = False
+    timed_out: bool = False
     submitted_at: float = 0.0
     first_token_at: Optional[float] = None
     finished_at: Optional[float] = None
@@ -64,6 +71,8 @@ class ContinuousBatchingEngine:
         sampler: Optional[Sampler] = None,
         greedy_on_device: bool = False,
         steps_per_dispatch: int = 1,
+        pipeline_dispatch: bool = True,
+        max_queue: Optional[int] = None,
         params: Optional[Dict[int, object]] = None,
     ):
         """``params``: optional {node_id: device array} weight overrides —
@@ -127,7 +136,9 @@ class ContinuousBatchingEngine:
         self.slot_len = np.zeros(slots, np.int32)
         self.slot_last_tok = np.zeros(slots, np.int32)
         self.queue: deque[Request] = deque()
+        self.max_queue = max_queue
         self._req_counter = itertools.count()
+        self._last_step_s: Optional[float] = None
         self.finished: List[Request] = []
         self.steps = 0
         self.decode_tokens = 0
@@ -136,7 +147,14 @@ class ContinuousBatchingEngine:
             return jax.lax.dynamic_update_slice(cache, row, (slot, 0, 0, 0))
 
         # Donate the cache: the scatter happens in place on device.
+        # (Legacy single-cache path; admissions use the fused batch prefill.)
         self._insert_row = jax.jit(_insert_row, donate_argnums=0)
+        # One executable per prompt bucket for fused batch prefill+merge:
+        # through a remote-dispatch runtime every execute pays a round trip,
+        # so admission must be ONE call — not one prefill per slot plus one
+        # insert per cache buffer (24 executes/slot was the round-1 TTFT
+        # bottleneck).
+        self._batch_prefill: Dict[int, object] = {}
 
         # Fused multi-step decode: k greedy steps chained on device via
         # lax.scan, one dispatch per k*slots tokens (amortizes host/tunnel
@@ -147,13 +165,18 @@ class ContinuousBatchingEngine:
         self._multi_step = None
         if self.steps_per_dispatch > 1:
             self._multi_step = self._build_multi_step(self.steps_per_dispatch)
+        # Dispatch pipelining: issue dispatch N+1 (chained on device state)
+        # BEFORE reading dispatch N's tokens, hiding the host/tunnel round
+        # trip behind device compute. Host bookkeeping lags one dispatch.
+        self.pipeline_dispatch = pipeline_dispatch and self._multi_step is not None
+        self._inflight = None          # (tok_seq future, active slots, k)
+        self._dev_state = None         # (toks, lens) device arrays to chain
 
     def _build_multi_step(self, k: int):
         executor = self.executor
         in_ids = self.in_ids
         cache_ids = self.cache_ids
         out_ids = self.out_ids  # [next_token, presents...]
-        n_caches = len(cache_ids)
 
         def fn(weights: Dict, caches, toks, lens):
             def body(carry, _):
@@ -171,15 +194,66 @@ class ContinuousBatchingEngine:
             (caches, toks, lens), tok_seq = jax.lax.scan(
                 body, (tuple(caches), toks, lens), None, length=k
             )
-            return caches, tok_seq.T  # [slots, k]
+            # Return the chained (toks, lens) so the NEXT dispatch can be
+            # issued without a host round trip (pipeline_dispatch).
+            return caches, toks, lens, tok_seq.T  # [slots, k]
 
         # Donate the caches (arg 1) so updates stay in place.
         return jax.jit(fn, donate_argnums=(1,))
 
+    # -- pipelined dispatch helpers ------------------------------------------
+
+    def _issue_multi(self, from_host: bool):
+        """Launch one fused k-step dispatch; does NOT block."""
+        w = {**self.executor._weight_args(), **(self.params or {})}
+        if from_host or self._dev_state is None:
+            toks = jnp.asarray(self.slot_last_tok)
+            lens = jnp.asarray(self.slot_len)
+        else:
+            toks, lens = self._dev_state
+        caches, toks2, lens2, tok_seq = self._multi_step(
+            w, self.caches, toks, lens
+        )
+        self.caches = list(caches)
+        self._dev_state = (toks2, lens2)
+        active = [s for s in range(self.slots) if self.slot_req[s] is not None]
+        self._inflight = (tok_seq, active, self.steps_per_dispatch)
+
+    def _drain_inflight(self):
+        """Consume the in-flight dispatch's tokens into host bookkeeping."""
+        rec, self._inflight = self._inflight, None
+        self._drain_record(rec)
+
+    def _drain_record(self, rec):
+        if rec is None:
+            return
+        tok_seq, active, k = rec
+        tok_seq = np.asarray(tok_seq)  # blocks until the dispatch finishes
+        self.steps += k
+        for slot in active:
+            req = self.slot_req[slot]
+            if req is None:
+                continue  # finished in an earlier drain; tokens discarded
+            toks = tok_seq[slot]
+            cut = min(k, req.max_new_tokens - len(req.generated))
+            if req.eos_id is not None:
+                hits = np.nonzero(toks[:cut] == req.eos_id)[0]
+                if hits.size:
+                    cut = int(hits[0]) + 1
+            accepted = toks[:cut]
+            req.generated.extend(int(t) for t in accepted)
+            self.slot_len[slot] += cut
+            if cut:
+                self.slot_last_tok[slot] = int(accepted[-1])
+            self.decode_tokens += cut
+            if cut:
+                self._maybe_finish(slot, int(accepted[-1]))
+
     # -- public API ----------------------------------------------------------
 
     def submit(self, prompt: Sequence[int], max_new_tokens: int = 64,
-               eos_id: Optional[int] = None) -> Request:
+               eos_id: Optional[int] = None,
+               timeout_s: Optional[float] = None) -> Request:
         # Validate here, not in _prefill: a bad request must fail at submit
         # time instead of crashing the serving loop mid-step (losing every
         # in-flight request).
@@ -188,18 +262,117 @@ class ContinuousBatchingEngine:
                 f"prompt ({len(prompt)} tokens) + max_new_tokens "
                 f"({max_new_tokens}) exceeds KV capacity {self.capacity}"
             )
+        if self.max_queue is not None and len(self.queue) >= self.max_queue:
+            raise QueueFull(
+                f"admission queue at capacity ({self.max_queue}); retry later"
+            )
         req = Request(
             prompt=list(prompt),
             max_new_tokens=max_new_tokens,
             eos_id=eos_id,
+            timeout_s=timeout_s,
             request_id=next(self._req_counter),
             submitted_at=time.perf_counter(),
         )
         self.queue.append(req)
         return req
 
+    def cancel(self, req: Request) -> bool:
+        """Cancel a queued or running request. Queued requests never run;
+        running ones free their slot at the next bookkeeping point."""
+        if req.done:
+            return False
+        req.cancelled = True
+        if req in self.queue:
+            self.queue.remove(req)
+            req.done = True
+            req.finished_at = time.perf_counter()
+            self.finished.append(req)
+            return True
+        return True  # slot freed on next drain (_expire_and_cancel)
+
+    def _expire_and_cancel(self):
+        """Free slots whose requests were cancelled or exceeded timeout_s."""
+        now = time.perf_counter()
+        for slot in range(self.slots):
+            req = self.slot_req[slot]
+            if req is None:
+                continue
+            expired = (
+                req.timeout_s is not None
+                and now - req.submitted_at > req.timeout_s
+            )
+            if req.cancelled or expired:
+                req.timed_out = expired and not req.cancelled
+                req.done = True
+                req.finished_at = now
+                self.finished.append(req)
+                self.slot_req[slot] = None
+                self.slot_len[slot] = 0
+        # Expire queued requests too.
+        for req in list(self.queue):
+            if req.timeout_s is not None and now - req.submitted_at > req.timeout_s:
+                self.queue.remove(req)
+                req.timed_out = True
+                req.done = True
+                req.finished_at = now
+                self.finished.append(req)
+
+    def health(self) -> Dict:
+        """Liveness probe (SURVEY.md section 5 'failure detection': serving
+        needs health checks + deterministic restart). Runs a tiny device
+        computation to confirm the accelerator still answers."""
+        import jax
+
+        status = "ok"
+        err = None
+        try:
+            jax.block_until_ready(
+                jax.jit(lambda x: x + 1)(jnp.zeros((), jnp.int32))
+            )
+        except Exception as e:  # noqa: BLE001 - any device failure
+            status = "device_error"
+            err = repr(e)
+        return {
+            "status": status,
+            "error": err,
+            "active_slots": sum(r is not None for r in self.slot_req),
+            "queued": len(self.queue),
+            "inflight_dispatch": self._inflight is not None,
+            "last_step_s": self._last_step_s,
+        }
+
+    def restart(self) -> List[Request]:
+        """Deterministic recovery: drop all device state (KV caches, device
+        token chain), re-queue every unfinished request, reallocate the
+        cache pool. Weights are reloaded lazily from the executor's host
+        copies. Prefill is deterministic, so restarted requests regenerate
+        the same tokens. Returns the re-queued requests."""
+        requeued = []
+        self._inflight = None
+        self._dev_state = None
+        for slot in range(self.slots):
+            req = self.slot_req[slot]
+            if req is not None:
+                req.generated.clear()
+                req.first_token_at = None
+                self.queue.appendleft(req)
+                requeued.append(req)
+                self.slot_req[slot] = None
+        self.slot_len[:] = 0
+        self.slot_last_tok[:] = 0
+        self.caches = [
+            jnp.zeros((self.slots,) + tail, dtype)
+            for tail, dtype in self._cache_alloc
+        ]
+        return requeued
+
     def has_work(self) -> bool:
-        return bool(self.queue) or any(r is not None for r in self.slot_req)
+        return (
+            bool(self.queue)
+            or any(r is not None for r in self.slot_req)
+            or self._inflight is not None
+        )
 
     def stats(self) -> Dict:
         """Aggregate serving metrics (rten Metrics analog, per-engine)."""
@@ -233,36 +406,71 @@ class ContinuousBatchingEngine:
         m = self.prefill_bucket
         return ((x + m - 1) // m) * m if x else m
 
-    def _prefill(self, req: Request, slot: int):
-        T = self._round_up(len(req.prompt))
-        ids = np.zeros((1, T), np.int32)
-        ids[0, : len(req.prompt)] = req.prompt
-        feed = {
-            self.in_ids["input_ids"]: ids,
-            self.in_ids["past_lens"]: np.zeros(1, np.int32),
-            self.in_ids["position_ids"]: np.arange(T, dtype=np.int32)[None],
-        }
-        for nid, cache in zip(self.cache_ids, self.caches):
-            feed[nid] = jnp.zeros((1,) + cache.shape[1:], cache.dtype)
-        if self.params:
-            feed.update(self.params)
-        outs = self.executor.run(feed, self.out_ids, donate=self.cache_ids)
-        for li, present in enumerate(outs[1:]):
-            self.caches[li] = self._insert_row(
-                self.caches[li], present, jnp.int32(slot)
+    def _build_batch_prefill(self, T: int):
+        """Fused admission executable for prompt bucket T: forward ALL slot
+        rows (non-admitted rows carry dummy prompts whose results are
+        discarded), then merge admitted rows into the donated caches —
+        one device execute for any number of simultaneous admissions."""
+        executor = self.executor
+        in_ids = self.in_ids
+        cache_ids = self.cache_ids
+        out_ids = self.out_ids
+        slots = self.slots
+
+        def fn(weights: Dict, caches, ids, admit_mask, last_idx):
+            env = dict(weights)
+            env[in_ids["input_ids"]] = ids
+            env[in_ids["past_lens"]] = jnp.zeros((slots,), jnp.int32)
+            env[in_ids["position_ids"]] = jnp.broadcast_to(
+                jnp.arange(T, dtype=jnp.int32)[None], (slots, T)
             )
-        if self.greedy_on_device:
-            tok = int(np.asarray(outs[0])[0, len(req.prompt) - 1])
-        else:
-            logits = np.asarray(outs[0])[0, len(req.prompt) - 1]
-            tok = int(self.sampler.sample(logits[None])[0])
+            for nid, c in zip(cache_ids, caches):
+                env[nid] = jnp.zeros_like(c)
+            outs = executor.trace(env, out_ids)
+            m = admit_mask[:, None, None, None]
+            merged = [
+                jnp.where(m, p, c) for c, p in zip(caches, outs[1:])
+            ]
+            # Only the prompt-final position matters; gather it on device
+            # ([slots] tokens or [slots, V] logits instead of [slots, T, V]).
+            sel = outs[0][jnp.arange(slots), last_idx]
+            return sel, merged
+
+        return jax.jit(fn, donate_argnums=(1,))
+
+    def _admit(self, admissions):
+        """Prefill + insert a batch of (slot, request) pairs in ONE execute."""
+        T = self._round_up(max(len(r.prompt) for _, r in admissions))
+        fn = self._batch_prefill.get(T)
+        if fn is None:
+            fn = self._build_batch_prefill(T)
+            self._batch_prefill[T] = fn
+        ids = np.zeros((self.slots, T), np.int32)
+        admit_mask = np.zeros(self.slots, bool)
+        last_idx = np.zeros(self.slots, np.int32)
+        for slot, req in admissions:
+            ids[slot, : len(req.prompt)] = req.prompt
+            admit_mask[slot] = True
+            last_idx[slot] = len(req.prompt) - 1
+        w = {**self.executor._weight_args(), **(self.params or {})}
+        sel, self.caches = fn(w, self.caches, ids, admit_mask, last_idx)
+        self.caches = list(self.caches)
+        sel = np.asarray(sel)
         now = time.perf_counter()
-        req.first_token_at = now
-        req.generated.append(tok)
-        self.slot_req[slot] = req
-        self.slot_len[slot] = len(req.prompt)
-        self.slot_last_tok[slot] = tok
-        self._maybe_finish(slot, tok)
+        for slot, req in admissions:
+            if self.greedy_on_device:
+                tok = int(sel[slot])
+            else:
+                tok = int(self.sampler.sample(sel[slot][None])[0])
+            req.first_token_at = now
+            req.generated.append(tok)
+            self.slot_req[slot] = req
+            self.slot_len[slot] = len(req.prompt)
+            self.slot_last_tok[slot] = tok
+            self._maybe_finish(slot, tok)
+
+    def _prefill(self, req: Request, slot: int):
+        self._admit([(slot, req)])
 
     def _maybe_finish(self, slot: int, tok: int):
         req = self.slot_req[slot]
@@ -277,49 +485,64 @@ class ContinuousBatchingEngine:
             self.slot_req[slot] = None
             self.slot_len[slot] = 0
 
+    def has_pending_results(self) -> bool:
+        return self._inflight is not None
+
     def step(self):
-        # 1. Admit queued requests into free slots.
-        for slot in range(self.slots):
-            if self.slot_req[slot] is None and self.queue:
-                self._prefill(self.queue.popleft(), slot)
+        t_step = time.perf_counter()
+        self._expire_and_cancel()
+        try:
+            self._step_inner()
+        finally:
+            self._last_step_s = time.perf_counter() - t_step
+
+    def _step_inner(self):
+        # 1. Admit queued requests into free slots — ALL of them in one
+        #    fused prefill+merge execute (see _build_batch_prefill). Slot
+        #    state must be current, so any in-flight dispatch drains first.
+        if self.queue and (
+            any(r is None for r in self.slot_req) or self._inflight is not None
+        ):
+            self._drain_inflight()
+            admissions = []
+            for slot in range(self.slots):
+                if self.slot_req[slot] is None and self.queue:
+                    admissions.append((slot, self.queue.popleft()))
+            if admissions:
+                self._admit(admissions)
+                self._dev_state = None  # host state is now authoritative
         active = [s for s in range(self.slots) if self.slot_req[s] is not None]
         if not active:
+            self._drain_inflight()
             return
         # 2a. Fused multi-step decode when enabled and there is KV room.
+        #     Margin 2k when pipelining: host lens lag one dispatch.
         k = self.steps_per_dispatch
+        margin = 2 * k if self.pipeline_dispatch else k
         if (
             self._multi_step is not None
             and k > 1
-            and all(self.slot_len[s] + k < self.capacity - 1 for s in active)
+            and all(self.slot_len[s] + margin < self.capacity - 1 for s in active)
         ):
-            caches, tok_seq = self._multi_step(
-                {**self.executor._weight_args(), **(self.params or {})},
-                self.caches,
-                jnp.asarray(self.slot_last_tok),
-                jnp.asarray(self.slot_len),
-            )
-            self.caches = list(caches)
-            tok_seq = np.asarray(tok_seq)  # [slots, k]
-            self.steps += k
-            for slot in active:
-                req = self.slot_req[slot]
-                toks = tok_seq[slot]
-                # Accept up to the request budget, cut at the first eos.
-                cut = min(k, req.max_new_tokens - len(req.generated))
-                if req.eos_id is not None:
-                    hits = np.nonzero(toks[:cut] == req.eos_id)[0]
-                    if hits.size:
-                        cut = int(hits[0]) + 1
-                accepted = toks[:cut]
-                req.generated.extend(int(t) for t in accepted)
-                self.slot_len[slot] += cut
-                self.slot_last_tok[slot] = int(accepted[-1]) if cut else self.slot_last_tok[slot]
-                self.decode_tokens += cut
-                if cut:
-                    self._maybe_finish(slot, int(accepted[-1]))
+            if self.pipeline_dispatch and any(
+                req.max_new_tokens - len(req.generated) > k
+                for req in (self.slot_req[s] for s in active)
+                if req is not None
+            ):
+                # Double-buffer: launch the next dispatch first, then consume
+                # the previous one while the device works on the new one.
+                prev, self._inflight = self._inflight, None
+                self._issue_multi(from_host=self._dev_state is None)
+                self._drain_record(prev)
+                return
+            # Serial fused dispatch (tail of a request, or pipelining off).
+            self._drain_inflight()
+            self._issue_multi(from_host=True)
+            self._drain_inflight()
             return
         # 2b. One decode step for every slot (inactive slots compute garbage
         #    into their own cache rows, overwritten at next admission).
+        self._drain_inflight()
         feed = {
             self.in_ids["input_ids"]: self.slot_last_tok[:, None].copy(),
             self.in_ids["past_lens"]: self.slot_len.copy(),

@@ -6,6 +6,7 @@ implementation); here the 'kernels' are the Pallas bodies run under the
 interpreter, compared against the XLA formulation.
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -128,3 +129,41 @@ def test_flash_attention_broadcast_mask_row():
     got = mha_pallas(q, k, v, mask, causal=True, block_q=8, interpret=True)
     want = mha_xla(q, k, v, mask, causal=True)
     assert_close(got, want, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("S,quant", [(1, False), (8, False), (1, True), (5, True)])
+def test_decode_mha_interpret(S, quant):
+    """Per-slot decode attention kernel vs the XLA golden (f32 + int8 KV)."""
+    from rten_tpu.kernels.flash_attention import decode_mha, decode_mha_xla
+
+    rng = np.random.default_rng(0)
+    B, H, cap, D = 4, 3, 128, 32
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    lens = jnp.asarray([0, 17, 63, cap - S], jnp.int32)
+    if quant:
+        k8 = jnp.asarray(rng.integers(-127, 127, (B, H, cap, D)), jnp.int8)
+        v8 = jnp.asarray(rng.integers(-127, 127, (B, H, cap, D)), jnp.int8)
+        ks = jnp.asarray(rng.uniform(0.005, 0.02, (B, H, cap)), jnp.float32)
+        vs = jnp.asarray(rng.uniform(0.005, 0.02, (B, H, cap)), jnp.float32)
+        got = decode_mha(q, k8, v8, lens, ks, vs, interpret=True)
+        want = decode_mha_xla(q, k8, v8, lens, ks, vs)
+    else:
+        k = jnp.asarray(rng.standard_normal((B, H, cap, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, H, cap, D)), jnp.float32)
+        got = decode_mha(q, k, v, lens, interpret=True)
+        want = decode_mha_xla(q, k, v, lens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+def test_decode_mha_gqa_interpret():
+    from rten_tpu.kernels.flash_attention import decode_mha, decode_mha_xla
+
+    rng = np.random.default_rng(1)
+    B, Hq, Hkv, cap, D, S = 2, 8, 2, 128, 32, 1
+    q = jnp.asarray(rng.standard_normal((B, Hq, S, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hkv, cap, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, cap, D)), jnp.float32)
+    lens = jnp.asarray([5, 100], jnp.int32)
+    got = decode_mha(q, k, v, lens, interpret=True)
+    want = decode_mha_xla(q, k, v, lens)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)

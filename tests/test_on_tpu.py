@@ -91,3 +91,51 @@ def test_int4_matmul_on_tpu():
     got = np.asarray(int4_matmul_pallas(a, bp, sc, zps, K=k, N=n, block_size=bs))
     want = np.asarray(int4_matmul_xla(a, bp, sc, zps, K=k, N=n, block_size=bs))
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_decode_mha_on_tpu():
+    """Per-slot decode attention (serving hot path) compiled on TPU."""
+    import jax.numpy as jnp
+
+    from rten_tpu.kernels.flash_attention import decode_mha, decode_mha_xla
+
+    B, H, cap, D, S = 4, 4, 256, 64, 1
+    q = jnp.asarray(RNG.standard_normal((B, H, S, D)), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((B, H, cap, D)), jnp.float32)
+    v = jnp.asarray(RNG.standard_normal((B, H, cap, D)), jnp.float32)
+    lens = jnp.asarray([0, 17, 128, cap - S], jnp.int32)
+    got = np.asarray(decode_mha(q, k, v, lens))
+    want = np.asarray(decode_mha_xla(q, k, v, lens))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_decode_mha_int8_kv_on_tpu():
+    import jax.numpy as jnp
+
+    from rten_tpu.kernels.flash_attention import decode_mha, decode_mha_xla
+
+    B, H, cap, D, S = 4, 4, 256, 64, 2
+    q = jnp.asarray(RNG.standard_normal((B, H, S, D)), jnp.float32)
+    k8 = jnp.asarray(RNG.integers(-127, 127, (B, H, cap, D)), jnp.int8)
+    v8 = jnp.asarray(RNG.integers(-127, 127, (B, H, cap, D)), jnp.int8)
+    ks = jnp.asarray(RNG.uniform(0.005, 0.02, (B, H, cap)), jnp.float32)
+    vs = jnp.asarray(RNG.uniform(0.005, 0.02, (B, H, cap)), jnp.float32)
+    lens = jnp.asarray([3, 50, 128, 200], jnp.int32)
+    got = np.asarray(decode_mha(q, k8, v8, lens, ks, vs))
+    want = np.asarray(decode_mha_xla(q, k8, v8, lens, ks, vs))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_decode_mha_gqa_on_tpu():
+    import jax.numpy as jnp
+
+    from rten_tpu.kernels.flash_attention import decode_mha, decode_mha_xla
+
+    B, Hq, Hkv, cap, D, S = 2, 8, 2, 128, 64, 1
+    q = jnp.asarray(RNG.standard_normal((B, Hq, S, D)), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((B, Hkv, cap, D)), jnp.float32)
+    v = jnp.asarray(RNG.standard_normal((B, Hkv, cap, D)), jnp.float32)
+    lens = jnp.asarray([5, 100], jnp.int32)
+    got = np.asarray(decode_mha(q, k, v, lens))
+    want = np.asarray(decode_mha_xla(q, k, v, lens))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)

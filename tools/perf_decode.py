@@ -1,0 +1,215 @@
+"""Decode-path perf harness (round-2 headline work).
+
+Measures, in ONE process on the real TPU:
+  1. standalone single decode step (donated caches), ms
+  2. scan-fused k-step decode, ms per iter
+with optional jax.profiler device traces parsed via tensorboard_plugin_profile
+to attribute time to ops.
+
+Usage: python tools/perf_decode.py [--trace] [--variant current|stacked]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+N_LAYER = 12
+SLOTS = 16
+CAPACITY = 256
+K_STEPS = 32
+
+
+def build():
+    from rten_tpu.model import Model, ModelOptions
+    from rten_tpu.models import gpt2
+    from rten_tpu.quantize_pass import quantize_dynamic
+
+    cfg = gpt2.GPT2Config(n_layer=N_LAYER)
+    weights = gpt2.random_weights(cfg, seed=0)
+    graph = gpt2.build_graph_static_cache(cfg, weights, capacity=CAPACITY)
+    quantize_dynamic(graph)
+    model = Model(graph, ModelOptions(optimize=True))
+    return cfg, model
+
+
+def setup(model):
+    g = model.graph
+    ex = model.executor
+    cache_ids = []
+    cache_shapes = []
+    for nid in g.input_ids:
+        name = g.node_name(nid)
+        if name.startswith("past_key_values."):
+            node = g.nodes[nid]
+            cache_ids.append(nid)
+            cache_shapes.append(
+                ((SLOTS,) + tuple(node.shape[1:]), node.dtype.np_dtype)
+            )
+    in_ids = {n: g.find_node(n) for n in ("input_ids", "past_lens", "position_ids")}
+    out_ids = [g.find_node("next_token")] + [
+        g.find_node("present." + g.node_name(n)[len("past_key_values."):])
+        for n in cache_ids
+    ]
+    caches = [jnp.zeros(s, d) for s, d in cache_shapes]
+    return ex, in_ids, cache_ids, out_ids, caches
+
+
+def bench_standalone(ex, in_ids, cache_ids, out_ids, caches, iters=50):
+    lens = jnp.full((SLOTS,), 128, jnp.int32)
+    toks = jnp.ones((SLOTS,), jnp.int32)
+
+    def run_once(caches, toks, lens):
+        feed = {
+            in_ids["input_ids"]: np.asarray(toks)[:, None],
+            in_ids["past_lens"]: np.asarray(lens),
+            in_ids["position_ids"]: np.asarray(lens)[:, None],
+        }
+        for nid, c in zip(cache_ids, caches):
+            feed[nid] = c
+        outs = ex.run(feed, out_ids, donate=cache_ids)
+        return outs[0], list(outs[1:])
+
+    # Warmup/compile.
+    tok, caches = run_once(caches, toks, lens)
+    jax.block_until_ready(caches)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        tok, caches = run_once(caches, toks, lens)
+    jax.block_until_ready(caches)
+    dt = (time.perf_counter() - t0) / iters * 1e3
+    return dt, caches
+
+
+def build_scan(ex, in_ids, cache_ids, out_ids, k):
+    def fn(weights, caches, toks, lens):
+        def body(carry, _):
+            caches, toks, lens = carry
+            env = dict(weights)
+            env[in_ids["input_ids"]] = toks[:, None]
+            env[in_ids["past_lens"]] = lens
+            env[in_ids["position_ids"]] = lens[:, None]
+            for nid, c in zip(cache_ids, caches):
+                env[nid] = c
+            outs = ex.trace(env, out_ids)
+            new_toks = outs[0][:, 0].astype(jnp.int32)
+            return (tuple(outs[1:]), new_toks, lens + 1), new_toks
+
+        (caches, toks, lens), tok_seq = jax.lax.scan(
+            body, (tuple(caches), toks, lens), None, length=k
+        )
+        return caches, tok_seq.T
+
+    return jax.jit(fn, donate_argnums=(1,))
+
+
+def bench_scan(ex, in_ids, cache_ids, out_ids, caches, k=K_STEPS, dispatches=6):
+    fn = build_scan(ex, in_ids, cache_ids, out_ids, k)
+    lens = jnp.full((SLOTS,), 128, jnp.int32)
+    toks = jnp.ones((SLOTS,), jnp.int32)
+    w = ex._weight_args()
+    caches, tok_seq = fn(w, caches, toks, lens)
+    jax.block_until_ready(tok_seq)
+    t0 = time.perf_counter()
+    for _ in range(dispatches):
+        caches, tok_seq = fn(w, caches, toks, lens)
+    jax.block_until_ready(tok_seq)
+    dt = (time.perf_counter() - t0) / dispatches / k * 1e3
+    return dt, caches, fn, w
+
+
+def parse_trace(trace_dir):
+    """Summarize per-op device time from the xplane proto."""
+    try:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    except ImportError:
+        print("  (tensorboard_plugin_profile not importable; skipping parse)")
+        return
+    xs = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
+    if not xs:
+        print("  (no xplane.pb found)")
+        return
+    params = {"tqx": "out:csv;"}
+    try:
+        data, _ = rtd.xspace_to_tool_data(xs, "op_profile", params)
+        prof = json.loads(data)
+
+        def walk(node, depth=0, out=None):
+            m = node.get("metrics", {})
+            name = node.get("name", "")
+            t = m.get("rawTime", m.get("time", 0))
+            if out is not None and t:
+                out.append((t, name, depth))
+            for ch in node.get("children", []):
+                walk(ch, depth + 1, out)
+
+        rows = []
+        walk(prof.get("byProgram", prof), 0, rows)
+        rows.sort(reverse=True)
+        for t, name, depth in rows[:40]:
+            print(f"  {t:>14} {'  '*depth}{name}")
+    except Exception as e:
+        print(f"  (op_profile parse failed: {e})")
+        # Fall back: dump tool names available.
+        try:
+            from tensorboard_plugin_profile.protobuf import xplane_pb2
+            xp = xplane_pb2.XSpace()
+            xp.ParseFromString(open(xs[0], "rb").read())
+            for plane in xp.planes:
+                total = {}
+                ev_meta = {m.id: m.name for m in plane.event_metadata.values()} if hasattr(plane.event_metadata, "values") else {}
+                for line in plane.lines:
+                    for ev in line.events:
+                        name = plane.event_metadata[ev.metadata_id].name
+                        total[name] = total.get(name, 0) + ev.duration_ps
+                rows = sorted(total.items(), key=lambda kv: -kv[1])[:25]
+                if rows and "TPU" in plane.name.upper() or "device" in plane.name.lower():
+                    print(f"  plane: {plane.name}")
+                    for name, ps in rows:
+                        print(f"    {ps/1e9:10.3f} ms  {name}")
+        except Exception as e2:
+            print(f"  (raw xplane parse failed too: {e2})")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trace", action="store_true")
+    ap.add_argument("--skip-standalone", action="store_true")
+    args = ap.parse_args()
+
+    print("devices:", jax.devices(), flush=True)
+    cfg, model = build()
+    ex, in_ids, cache_ids, out_ids, caches = setup(model)
+
+    if not args.skip_standalone:
+        dt, caches = bench_standalone(ex, in_ids, cache_ids, out_ids, caches)
+        print(f"standalone step: {dt:.3f} ms", flush=True)
+
+    dt_scan, caches, fn, w = bench_scan(ex, in_ids, cache_ids, out_ids, caches)
+    print(f"scan step ({K_STEPS}): {dt_scan:.3f} ms/iter", flush=True)
+
+    if args.trace:
+        trace_dir = "/tmp/jaxtrace_scan"
+        lens = jnp.full((SLOTS,), 128, jnp.int32)
+        toks = jnp.ones((SLOTS,), jnp.int32)
+        with jax.profiler.trace(trace_dir):
+            caches, tok_seq = fn(w, caches, toks, lens)
+            jax.block_until_ready(tok_seq)
+        print("scan trace:", flush=True)
+        parse_trace(trace_dir)
+
+
+if __name__ == "__main__":
+    main()
