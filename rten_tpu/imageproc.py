@@ -288,3 +288,176 @@ def normalize_image(
     mean = np.asarray(mean, np.float32).reshape(-1, 1, 1)
     std = np.asarray(std, np.float32).reshape(-1, 1, 1)
     return (img - mean) / std
+
+
+# --- shapes: Line / RotatedRect (rten shapes.rs Line :?, RotatedRect) -------
+
+
+@dataclasses.dataclass(frozen=True)
+class Line:
+    """Line segment between two (y, x) points (rten shapes.rs Line)."""
+
+    start: Tuple[float, float]
+    end: Tuple[float, float]
+
+    @property
+    def length(self) -> float:
+        dy = self.end[0] - self.start[0]
+        dx = self.end[1] - self.start[1]
+        return float(np.hypot(dy, dx))
+
+    def is_horizontal(self) -> bool:
+        return self.start[0] == self.end[0]
+
+    def intersects(self, other: "Line") -> bool:
+        """Segment intersection via orientation tests."""
+
+        def orient(a, b, c):
+            v = (b[1] - a[1]) * (c[0] - a[0]) - (b[0] - a[0]) * (c[1] - a[1])
+            return 0 if v == 0 else (1 if v > 0 else -1)
+
+        def on_seg(a, b, c):
+            return (
+                min(a[0], b[0]) <= c[0] <= max(a[0], b[0])
+                and min(a[1], b[1]) <= c[1] <= max(a[1], b[1])
+            )
+
+        p1, p2, p3, p4 = self.start, self.end, other.start, other.end
+        d1 = orient(p3, p4, p1)
+        d2 = orient(p3, p4, p2)
+        d3 = orient(p1, p2, p3)
+        d4 = orient(p1, p2, p4)
+        if d1 != d2 and d3 != d4:
+            return True
+        return (
+            (d1 == 0 and on_seg(p3, p4, p1))
+            or (d2 == 0 and on_seg(p3, p4, p2))
+            or (d3 == 0 and on_seg(p1, p2, p3))
+            or (d4 == 0 and on_seg(p1, p2, p4))
+        )
+
+    def distance_to_point(self, p: Tuple[float, float]) -> float:
+        a = np.asarray(self.start, float)
+        b = np.asarray(self.end, float)
+        c = np.asarray(p, float)
+        ab = b - a
+        denom = float(ab @ ab)
+        t = 0.0 if denom == 0 else float(np.clip((c - a) @ ab / denom, 0, 1))
+        return float(np.linalg.norm(a + t * ab - c))
+
+
+@dataclasses.dataclass(frozen=True)
+class RotatedRect:
+    """Oriented rectangle: center (y, x), (height, width), angle radians
+    (rten shapes.rs RotatedRect; min_area_rect returns its corners)."""
+
+    center: Tuple[float, float]
+    size: Tuple[float, float]
+    angle: float
+
+    @property
+    def area(self) -> float:
+        return float(self.size[0] * self.size[1])
+
+    def corners(self) -> np.ndarray:
+        """[4, 2] (y, x) corners, counter-clockwise."""
+        cy, cx = self.center
+        h, w = self.size
+        c, s = np.cos(self.angle), np.sin(self.angle)
+        # axis vectors: 'width' axis rotated by angle in (y, x) coords
+        ux = np.array([s, c])   # unit vector along width
+        uy = np.array([c, -s])  # unit vector along height
+        ctr = np.array([cy, cx])
+        half_w = ux * (w / 2)
+        half_h = uy * (h / 2)
+        return np.stack([
+            ctr - half_w - half_h,
+            ctr + half_w - half_h,
+            ctr + half_w + half_h,
+            ctr - half_w + half_h,
+        ])
+
+    def bounding_rect(self) -> Rect:
+        cs = self.corners()
+        return Rect(
+            int(np.floor(cs[:, 0].min())), int(np.floor(cs[:, 1].min())),
+            int(np.ceil(cs[:, 0].max())), int(np.ceil(cs[:, 1].max())),
+        )
+
+    def scaled(self, factor: float) -> "RotatedRect":
+        return RotatedRect(
+            self.center, (self.size[0] * factor, self.size[1] * factor),
+            self.angle,
+        )
+
+    @staticmethod
+    def from_points(points: np.ndarray) -> "RotatedRect":
+        """Minimum-area oriented rect of a point set (rotating calipers,
+        built on min_area_rect's corner output)."""
+        corners = min_area_rect(points)
+        center = corners.mean(axis=0)
+        e0 = corners[1] - corners[0]
+        e1 = corners[2] - corners[1]
+        w = float(np.linalg.norm(e0))
+        h = float(np.linalg.norm(e1))
+        angle = float(np.arctan2(e0[0], e0[1]))
+        return RotatedRect((float(center[0]), float(center[1])), (h, w), angle)
+
+
+def fill_polygon(img: np.ndarray, points, value) -> None:
+    """Scanline polygon fill (rten drawing.rs FillIter): points [N, 2] (y, x)."""
+    pts = np.asarray(points, float)
+    n = len(pts)
+    if n < 3:
+        return
+    y0 = max(0, int(np.floor(pts[:, 0].min())))
+    y1 = min(img.shape[0] - 1, int(np.ceil(pts[:, 0].max())))
+    for y in range(y0, y1 + 1):
+        yc = y + 0.5
+        xs = []
+        for i in range(n):
+            ay, ax = pts[i]
+            by, bx = pts[(i + 1) % n]
+            if (ay <= yc < by) or (by <= yc < ay):
+                t = (yc - ay) / (by - ay)
+                xs.append(ax + t * (bx - ax))
+        xs.sort()
+        for j in range(0, len(xs) - 1, 2):
+            x0 = max(0, int(np.ceil(xs[j] - 0.5)))
+            x1 = min(img.shape[1] - 1, int(np.floor(xs[j + 1] - 0.5)))
+            if x1 >= x0:
+                img[y, x0 : x1 + 1] = value
+
+
+def draw_rect(img: np.ndarray, rect: Rect, value) -> None:
+    """Stroke an axis-aligned rect outline."""
+    t = max(rect.top, 0)
+    l = max(rect.left, 0)
+    b = min(rect.bottom, img.shape[0] - 1)
+    r = min(rect.right, img.shape[1] - 1)
+    if b < t or r < l:
+        return
+    img[t, l : r + 1] = value
+    img[b, l : r + 1] = value
+    img[t : b + 1, l] = value
+    img[t : b + 1, r] = value
+
+
+def nms_boxes(
+    boxes: np.ndarray, scores: np.ndarray, iou_threshold: float = 0.45,
+    score_threshold: float = 0.0, max_detections: int = 300,
+) -> List[int]:
+    """Greedy per-class-agnostic NMS over [N, 4] (top,left,bottom,right)
+    boxes; returns kept indices sorted by score (host-side postprocessing
+    companion to the NonMaxSuppression op)."""
+    keep: List[int] = []
+    order = np.argsort(-scores)
+    order = order[scores[order] > score_threshold]
+    rects = [Rect(*[float(c) for c in b]) for b in boxes]
+    for i in order:
+        ri = rects[i]
+        if all(ri.iou(rects[j]) <= iou_threshold for j in keep):
+            keep.append(int(i))
+            if len(keep) >= max_detections:
+                break
+    return keep

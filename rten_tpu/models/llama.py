@@ -1,0 +1,205 @@
+"""Llama/Qwen2-architecture causal LM in engine IR (RMSNorm + rotary +
+GQA + SwiGLU), serving-engine static-cache variant.
+
+The reference runs llama/qwen2 from Optimum ONNX exports through
+rten-generate (rten-examples/src/{llama,qwen2_chat}.rs); the generic ONNX
+path here is covered by tests/test_llama_like_generate.py. This module is
+the CONTINUOUS-BATCHING graph: preallocated [slots, Hkv, cap, D] KV
+buffers written at per-slot offsets by GroupQueryAttention(rten_past_lens)
+with in-op rotary — the decode path runs the Pallas decode-attention
+kernel with real grouped KV heads (kernels/flash_attention.decode_mha).
+
+Weight naming follows HF LlamaForCausalLM state_dict:
+  model.embed_tokens.weight, model.layers.N.self_attn.{q,k,v,o}_proj.weight,
+  model.layers.N.{input_layernorm,post_attention_layernorm}.weight,
+  model.layers.N.mlp.{gate,up,down}_proj.weight, model.norm.weight,
+  lm_head.weight.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..dtypes import DataType
+from ..ir.builder import GraphBuilder
+from ..ir.graph import Graph
+from ..model import Model, ModelOptions
+
+
+@dataclasses.dataclass
+class LlamaConfig:
+    vocab_size: int = 32000
+    hidden_size: int = 2048
+    intermediate_size: int = 5632
+    num_hidden_layers: int = 22
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 4
+    max_position_embeddings: int = 2048
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 10000.0
+    tie_word_embeddings: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_attention_heads
+
+
+def rope_tables(cfg: LlamaConfig):
+    """cos/sin caches [max_pos, D/2] (ONNX RotaryEmbedding layout)."""
+    D = cfg.head_dim
+    inv = 1.0 / (cfg.rope_theta ** (np.arange(0, D, 2, dtype=np.float64) / D))
+    t = np.arange(cfg.max_position_embeddings, dtype=np.float64)
+    freqs = np.outer(t, inv)
+    return freqs.astype(np.float32), freqs.astype(np.float32)  # cos/sin args
+
+
+def build_graph_static_cache(
+    cfg: LlamaConfig, weights: Dict[str, np.ndarray], capacity: int
+) -> Graph:
+    """Serving graph: inputs input_ids [slots,seq], past_lens [slots],
+    position_ids [slots,seq]; outputs logits, present.N.{key,value},
+    next_token (on-device argmax)."""
+    b = GraphBuilder()
+    E = cfg.hidden_size
+    Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    def w_t(name):
+        # torch Linear stores [out, in]; matmul wants [in, out].
+        return b.constant(
+            name + ".T", np.ascontiguousarray(weights[name].T, np.float32)
+        )
+
+    def w(name):
+        return b.constant(name, np.ascontiguousarray(weights[name], np.float32))
+
+    ids = b.input("input_ids", DataType.Int32, ("slots", "seq"))
+    past_lens = b.input("past_lens", DataType.Int32, ("slots",))
+    b.input("position_ids", DataType.Int32, ("slots", "seq"))  # unused: GQA
+    # derives rotary positions from past_lens (kept for engine IO parity).
+
+    cos_np, sin_np = rope_tables(cfg)
+    cos_c = b.constant("rope.cos", np.cos(cos_np))
+    sin_c = b.constant("rope.sin", np.sin(sin_np))
+
+    x = b.op("Gather", [w("model.embed_tokens.weight"), ids])
+
+    def rms(h, name):
+        return b.op(
+            "RMSNormalization", [h, w(name)], {"epsilon": cfg.rms_norm_eps}
+        )
+
+    presents = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}"
+        h = rms(x, f"{p}.input_layernorm.weight")
+        q = b.op("MatMul", [h, w_t(f"{p}.self_attn.q_proj.weight")],
+                 name=f"{p}.self_attn.q_proj")
+        k = b.op("MatMul", [h, w_t(f"{p}.self_attn.k_proj.weight")],
+                 name=f"{p}.self_attn.k_proj")
+        v = b.op("MatMul", [h, w_t(f"{p}.self_attn.v_proj.weight")],
+                 name=f"{p}.self_attn.v_proj")
+        past_k = b.input(
+            f"past_key_values.{i}.key", DataType.Float, ("slots", Hkv, capacity, D)
+        )
+        past_v = b.input(
+            f"past_key_values.{i}.value", DataType.Float, ("slots", Hkv, capacity, D)
+        )
+        attn, pk, pv = b.op(
+            "GroupQueryAttention",
+            [q, k, v, past_k, past_v, past_lens, None, cos_c, sin_c],
+            {
+                "num_heads": Hq, "kv_num_heads": Hkv, "rten_past_lens": 1,
+                "do_rotary": 1,
+            },
+            n_outputs=3,
+            output_names=[
+                f"attn_out_{i}", f"present.{i}.key", f"present.{i}.value",
+            ],
+        )
+        presents.extend([pk, pv])
+        x = x + b.op("MatMul", [attn, w_t(f"{p}.self_attn.o_proj.weight")],
+                     name=f"{p}.self_attn.o_proj")
+        h2 = rms(x, f"{p}.post_attention_layernorm.weight")
+        gate = b.op("MatMul", [h2, w_t(f"{p}.mlp.gate_proj.weight")],
+                    name=f"{p}.mlp.gate_proj")
+        up = b.op("MatMul", [h2, w_t(f"{p}.mlp.up_proj.weight")],
+                  name=f"{p}.mlp.up_proj")
+        act = b.op("Mul", [b.op("Silu", [gate]), up])
+        x = x + b.op("MatMul", [act, w_t(f"{p}.mlp.down_proj.weight")],
+                     name=f"{p}.mlp.down_proj")
+
+    x = rms(x, "model.norm.weight")
+    lm_name = (
+        "model.embed_tokens.weight" if cfg.tie_word_embeddings else "lm_head.weight"
+    )
+    logits = b.op("MatMul", [x, w_t(lm_name)], name="lm_head",
+                  output_names=["logits"])
+    next_tok = b.op(
+        "ArgMax", [logits], {"axis": -1, "keepdims": 0},
+        output_names=["next_token"],
+    )
+    b.output(logits, *presents)
+    b.graph.output_ids.append(next_tok.node_id)
+    return b.finish()
+
+
+def random_weights(cfg: LlamaConfig, seed: int = 0) -> Dict[str, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    E, F, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+
+    def nrm(*shape, std=0.02):
+        return (rng.standard_normal(shape) * std).astype(np.float32)
+
+    wd = {"model.embed_tokens.weight": nrm(V, E), "model.norm.weight": np.ones(E, np.float32)}
+    if not cfg.tie_word_embeddings:
+        wd["lm_head.weight"] = nrm(V, E)
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}"
+        wd[f"{p}.self_attn.q_proj.weight"] = nrm(Hq * D, E)
+        wd[f"{p}.self_attn.k_proj.weight"] = nrm(Hkv * D, E)
+        wd[f"{p}.self_attn.v_proj.weight"] = nrm(Hkv * D, E)
+        wd[f"{p}.self_attn.o_proj.weight"] = nrm(E, Hq * D)
+        wd[f"{p}.mlp.gate_proj.weight"] = nrm(F, E)
+        wd[f"{p}.mlp.up_proj.weight"] = nrm(F, E)
+        wd[f"{p}.mlp.down_proj.weight"] = nrm(E, F)
+        wd[f"{p}.input_layernorm.weight"] = np.ones(E, np.float32)
+        wd[f"{p}.post_attention_layernorm.weight"] = np.ones(E, np.float32)
+    return wd
+
+
+def weights_from_torch(module) -> Dict[str, np.ndarray]:
+    """HF LlamaForCausalLM (or tests/llama_like_model.LlamaLike) weights."""
+    sd = {k: v.detach().cpu().numpy() for k, v in module.state_dict().items()}
+    if "model.embed_tokens.weight" in sd:
+        return sd
+    # tests/llama_like_model naming -> HF naming.
+    out = {}
+    ren = {
+        "embed_tokens.weight": "model.embed_tokens.weight",
+        "norm.weight": "model.norm.weight",
+        "lm_head.weight": "lm_head.weight",
+    }
+    for k, v in sd.items():
+        if k in ren:
+            out[ren[k]] = v
+            continue
+        if k.startswith("layers."):
+            parts = k.split(".")
+            i, rest = parts[1], ".".join(parts[2:])
+            rest = {
+                "q_proj.weight": "self_attn.q_proj.weight",
+                "k_proj.weight": "self_attn.k_proj.weight",
+                "v_proj.weight": "self_attn.v_proj.weight",
+                "o_proj.weight": "self_attn.o_proj.weight",
+                "gate_proj.weight": "mlp.gate_proj.weight",
+                "up_proj.weight": "mlp.up_proj.weight",
+                "down_proj.weight": "mlp.down_proj.weight",
+                "input_norm.weight": "input_layernorm.weight",
+                "post_norm.weight": "post_attention_layernorm.weight",
+            }.get(rest, rest)
+            out[f"model.layers.{i}.{rest}"] = v
+    return out

@@ -565,6 +565,147 @@ def _r_unsqueeze2(op, ins, g=None):
     return [(dt, tuple(out))]
 
 
+# --- symbolic VALUE tracking ------------------------------------------------
+#
+# The reference tracks not just shapes but small symbolic VALUES through
+# shape-computation chains (Shape -> Gather -> Slice -> Concat ...), so a
+# graph whose batch dim is symbolic can still fold the concrete parts of
+# its shape arithmetic (rten-shape-inference/src/lib.rs:40-62). A symbolic
+# value is a SymVal: a list of Dims (int | symbol-name | None) plus a
+# scalar flag (0-d tensors).
+
+class SymVal:
+    __slots__ = ("dims", "scalar")
+
+    def __init__(self, dims: List[Dim], scalar: bool = False):
+        self.dims = list(dims)
+        self.scalar = scalar
+
+    def concrete(self) -> Optional[np.ndarray]:
+        if all(isinstance(d, (int, np.integer)) for d in self.dims):
+            a = np.asarray(self.dims, np.int32)
+            return a.reshape(()) if self.scalar else a
+        return None
+
+    def __repr__(self):
+        return f"SymVal({self.dims}{', scalar' if self.scalar else ''})"
+
+
+def _sym_binop(op_type: str, a: SymVal, b: SymVal) -> Optional[SymVal]:
+    fns = {
+        "Add": lambda x, y: x + y,
+        "Sub": lambda x, y: x - y,
+        "Mul": lambda x, y: x * y,
+        "Div": lambda x, y: x // y if y else None,
+    }
+    fn = fns.get(op_type)
+    if fn is None:
+        return None
+    da, db = a.dims, b.dims
+    if len(da) == 1 and len(db) > 1:
+        da = da * len(db)
+    if len(db) == 1 and len(da) > 1:
+        db = db * len(da)
+    if len(da) != len(db):
+        return None
+    out: List[Dim] = []
+    for x, y in zip(da, db):
+        if isinstance(x, (int, np.integer)) and isinstance(y, (int, np.integer)):
+            out.append(fn(int(x), int(y)))
+        elif op_type == "Mul" and (x == 1 or y == 1):
+            out.append(y if x == 1 else x)
+        elif op_type in ("Add", "Sub") and y == 0:
+            out.append(x)
+        else:
+            out.append(None)
+    return SymVal(out, a.scalar and b.scalar)
+
+
+def _sym_value_rule(op, in_infos, in_vals, g) -> Optional[List[Optional[SymVal]]]:
+    """Propagate symbolic values through one op; None = no rule."""
+    t = op.op_type
+    v0 = in_vals[0] if in_vals else None
+    if t == "Shape":
+        sh = in_infos[0][1]
+        if sh is None:
+            return None
+        start = op.attrs.get("start", 0) or 0
+        end = op.attrs.get("end")
+        dims = list(sh)[start : end if end is not None else len(sh)]
+        return [SymVal(dims)]
+    if t == "Size":
+        sh = in_infos[0][1]
+        if sh is None:
+            return None
+        n = 1
+        for d in sh:
+            if not isinstance(d, (int, np.integer)):
+                return None
+            n *= int(d)
+        return [SymVal([n], scalar=True)]
+    if v0 is None:
+        return None
+    if t == "Gather" and (op.attrs.get("axis", 0) == 0):
+        idx = _const_ints(g, op, 1)
+        if idx is None and len(in_vals) > 1 and in_vals[1] is not None:
+            c = in_vals[1].concrete()
+            idx = c.reshape(-1).tolist() if c is not None else None
+            scalar = in_vals[1].scalar
+        else:
+            idx_node = g.nodes.get(op.inputs[1]) if len(op.inputs) > 1 else None
+            scalar = (
+                idx_node is not None
+                and isinstance(idx_node, Constant)
+                and idx_node.array.ndim == 0
+            )
+        if idx is None:
+            return None
+        try:
+            dims = [v0.dims[i] for i in idx]
+        except IndexError:
+            return None
+        return [SymVal(dims, scalar=scalar and len(dims) == 1)]
+    if t == "Slice" and not v0.scalar:
+        starts = _const_ints(g, op, 1)
+        ends = _const_ints(g, op, 2)
+        axes = _const_ints(g, op, 3)
+        steps = _const_ints(g, op, 4)
+        if starts is None or ends is None or len(starts) != 1:
+            return None
+        if axes is not None and list(axes) not in ([0], [-1]):
+            return None
+        step = steps[0] if steps else 1
+        n = len(v0.dims)
+        s, e = starts[0], ends[0]
+        s = max(0, s + n) if s < 0 else min(s, n)
+        e = max(0, e + n) if e < 0 else min(e, n)
+        return [SymVal(v0.dims[s:e:step])]
+    if t == "Concat" and op.attrs.get("axis", 0) in (0, -1):
+        dims: List[Dim] = []
+        for v in in_vals:
+            if v is None or v.scalar:
+                return None
+            dims.extend(v.dims)
+        return [SymVal(dims)]
+    if t in ("Squeeze", "Unsqueeze"):
+        return [SymVal(v0.dims, scalar=(t == "Squeeze" and len(v0.dims) == 1))]
+    if t in ("Cast", "Identity"):
+        return [SymVal(v0.dims, v0.scalar)]
+    if t in ("Add", "Sub", "Mul", "Div") and len(in_vals) > 1 and in_vals[1] is not None:
+        r = _sym_binop(t, v0, in_vals[1])
+        return [r] if r is not None else None
+    if t in ("ReduceProd", "ReduceSum") and not v0.scalar:
+        n = 1
+        for d in v0.dims:
+            if not isinstance(d, (int, np.integer)):
+                return None
+            n = n * int(d) if t == "ReduceProd" else n + int(d)
+        # ONNX default keepdims=1 -> 1-elem vector; keepdims=0 -> scalar.
+        keep = bool(op.attrs.get("keepdims", 1))
+        return [SymVal([n], scalar=not keep)]
+    return None
+
+
 # --- driver ----------------------------------------------------------------
 
 
@@ -572,10 +713,26 @@ def infer_shapes(g: Graph, overrides: Optional[Dict[str, Shape]] = None) -> Dict
     """Walk operators in plan order, applying rules; annotates Value nodes
     in place (only filling unknowns) and returns {value_id: (dtype, shape)}.
     """
+    info, _ = infer_shapes_and_values(g, overrides)
+    return info
+
+
+def infer_shapes_and_values(
+    g: Graph, overrides: Optional[Dict[str, Shape]] = None
+) -> Tuple[Dict[NodeId, Info], Dict[NodeId, SymVal]]:
+    """infer_shapes + symbolic VALUE propagation through shape-computation
+    chains (rten-shape-inference lib.rs:40-62). The value map feeds the
+    optimizer's fold_shape_computations pass."""
     info: Dict[NodeId, Info] = {}
+    sym_vals: Dict[NodeId, SymVal] = {}
     for nid, node in g.nodes.items():
         if isinstance(node, Constant):
             info[nid] = (node.dtype, tuple(node.shape))
+            a = node.array
+            if a.dtype.kind in "iu" and a.ndim <= 1 and a.size <= 32:
+                sym_vals[nid] = SymVal(
+                    [int(x) for x in a.reshape(-1)], scalar=a.ndim == 0
+                )
         elif isinstance(node, Value):
             shape = node.shape
             if overrides and node.name in overrides:
@@ -618,4 +775,15 @@ def infer_shapes(g: Graph, overrides: Optional[Dict[str, Shape]] = None) -> Dict
                     node.dtype = dt
                 if node.shape is None and sh is not None:
                     node.shape = sh
-    return info
+        in_vals = [
+            sym_vals.get(i) if i is not None else None for i in op.inputs
+        ]
+        try:
+            val_outs = _sym_value_rule(op_view, ins, in_vals, g)
+        except Exception:
+            val_outs = None
+        if val_outs:
+            for out_id, v in zip(op.outputs, val_outs):
+                if v is not None:
+                    sym_vals[out_id] = v
+    return info, sym_vals
