@@ -109,6 +109,58 @@ def _mel_filterbank(sr: int, n_fft: int, n_mels: int) -> np.ndarray:
     return fb.astype(np.float32)
 
 
+def build_mel_frontend(
+    n_samples: int,
+    n_mels: int = 80,
+    n_fft: int = 400,
+    hop: int = 160,
+    sample_rate: int = 16000,
+) -> Graph:
+    """The mel spectrogram as an IR GRAPH (STFT op + filterbank matmul), so
+    the whole audio front-end runs on-device instead of host numpy
+    (round-1 gap: 'encoder uses precomputed mel'). Input audio [B, T],
+    output mel [B, n_mels, frames] — numerically matches
+    log_mel_spectrogram (the rten STFT-op whisper path, src/ops/fft.rs:137).
+    """
+    b = GraphBuilder()
+    audio = b.input("audio", DataType.Float, ("batch", n_samples))
+    pad = n_fft // 2
+    pads = b.constant(None, np.int32([0, pad, 0, pad]))
+    padded = b.op("Pad", [audio, pads], {"mode": "reflect"})
+    window = b.constant("hann", np.hanning(n_fft + 1)[:-1].astype(np.float32))
+    step = b.constant(None, np.int32(hop))
+    spec_ri = b.op("STFT", [padded, step, window], {"onesided": 1})
+    # power spectrum |z|^2 = re^2 + im^2
+    two = b.constant(None, np.int32(2))
+    re = b.op("Gather", [spec_ri, b.constant(None, np.int32(0))], {"axis": -1})
+    im = b.op("Gather", [spec_ri, b.constant(None, np.int32(1))], {"axis": -1})
+    power = b.op("Add", [b.op("Mul", [re, re]), b.op("Mul", [im, im])])
+    # drop the last frame (whisper convention), [B, F-1, bins]
+    n_frames = 1 + (n_samples + 2 * pad - n_fft) // hop
+    starts = b.constant(None, np.int32([0]))
+    ends = b.constant(None, np.int32([n_frames - 1]))
+    axes = b.constant(None, np.int32([1]))
+    power = b.op("Slice", [power, starts, ends, axes])
+    fb = b.constant(
+        "mel_fb", np.ascontiguousarray(_mel_filterbank(sample_rate, n_fft, n_mels).T)
+    )  # [bins, n_mels]
+    mel = b.op("MatMul", [power, fb])  # [B, F-1, n_mels]
+    mel = b.op("Transpose", [mel], {"perm": [0, 2, 1]})  # [B, n_mels, F-1]
+    floor = b.constant(None, np.float32(1e-10))
+    ln10 = b.constant(None, np.float32(1.0 / np.log(10.0)))
+    log_spec = b.op("Mul", [b.op("Log", [b.op("Max", [mel, floor])]), ln10])
+    # clamp to (global max - 8)
+    gmax = b.op("ReduceMax", [log_spec], {"axes": [1, 2], "keepdims": 1})
+    eight = b.constant(None, np.float32(8.0))
+    log_spec = b.op("Max", [log_spec, b.op("Sub", [gmax, eight])])
+    four = b.constant(None, np.float32(4.0))
+    out = b.op(
+        "Div", [b.op("Add", [log_spec, four]), four], output_names=["mel"]
+    )
+    b.output(out)
+    return b.finish()
+
+
 def build_encoder(cfg: WhisperConfig, w: Dict[str, np.ndarray]) -> Graph:
     b = GraphBuilder()
     H, D = cfg.heads, cfg.head_dim

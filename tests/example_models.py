@@ -1,0 +1,196 @@
+"""Tiny torch models backing the example demos (offline stand-ins for the
+reference's downloadable checkpoints; same IO conventions)."""
+
+import os
+import sys
+
+import torch
+import torch.nn as nn
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from onnx_export_util import export_onnx  # noqa: E402
+
+
+class _EncBlock(nn.Module):
+    def __init__(self, E, heads):
+        super().__init__()
+        self.H, self.D = heads, E // heads
+        self.qkv = nn.Linear(E, 3 * E)
+        self.proj = nn.Linear(E, E)
+        self.n1 = nn.LayerNorm(E)
+        self.n2 = nn.LayerNorm(E)
+        self.ff = nn.Sequential(nn.Linear(E, 2 * E), nn.GELU(), nn.Linear(2 * E, E))
+
+    def forward(self, x, add_mask):
+        B, T, E = x.shape
+        h = self.n1(x)
+        q, k, v = self.qkv(h).chunk(3, -1)
+
+        def heads(t):
+            return t.reshape(B, T, self.H, self.D).transpose(1, 2)
+
+        s = heads(q) @ heads(k).transpose(-1, -2) / self.D ** 0.5 + add_mask
+        a = (torch.softmax(s, -1) @ heads(v)).transpose(1, 2).reshape(B, T, E)
+        x = x + self.proj(a)
+        return x + self.ff(self.n2(x))
+
+
+class TinyEncoder(nn.Module):
+    """Mini BERT-ish encoder trunk (hand-rolled: torch's TransformerEncoder
+    with padding masks doesn't export to ONNX)."""
+
+    def __init__(self, vocab=128, E=32, layers=2, heads=4):
+        super().__init__()
+        self.emb = nn.Embedding(vocab, E)
+        self.blocks = nn.ModuleList([_EncBlock(E, heads) for _ in range(layers)])
+
+    def forward(self, input_ids, attention_mask):
+        x = self.emb(input_ids)
+        add_mask = (1.0 - attention_mask.float()) * -1e9
+        add_mask = add_mask[:, None, None, :]
+        for blk in self.blocks:
+            x = blk(x, add_mask)
+        return x
+
+
+class QAModel(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.trunk = TinyEncoder()
+        self.head = nn.Linear(32, 2)
+
+    def forward(self, input_ids, attention_mask):
+        h = self.trunk(input_ids, attention_mask)
+        logits = self.head(h)
+        return logits[..., 0], logits[..., 1]
+
+
+class EmbedModel(nn.Module):
+    """Sentence-embedding model: mean-pooled hidden states, normalized."""
+
+    def __init__(self):
+        super().__init__()
+        self.trunk = TinyEncoder()
+
+    def forward(self, input_ids, attention_mask):
+        h = self.trunk(input_ids, attention_mask)
+        m = attention_mask.unsqueeze(-1).float()
+        emb = (h * m).sum(1) / m.sum(1).clamp(min=1)
+        return emb / emb.norm(dim=-1, keepdim=True).clamp(min=1e-9)
+
+
+class SegModel(nn.Module):
+    """Tiny semantic-segmentation net (deeplab stand-in): conv -> classes."""
+
+    def __init__(self, classes=3):
+        super().__init__()
+        self.c1 = nn.Conv2d(3, 8, 3, padding=1)
+        self.c2 = nn.Conv2d(8, 16, 3, padding=1, stride=2)
+        self.c3 = nn.Conv2d(16, classes, 1)
+        self.up = nn.Upsample(scale_factor=2, mode="bilinear", align_corners=False)
+
+    def forward(self, x):
+        h = torch.relu(self.c1(x))
+        h = torch.relu(self.c2(h))
+        return self.up(self.c3(h))
+
+
+class DepthModel(nn.Module):
+    """Monocular depth stand-in (depth_anything analog)."""
+
+    def __init__(self):
+        super().__init__()
+        self.c1 = nn.Conv2d(3, 8, 3, padding=1, stride=2)
+        self.c2 = nn.Conv2d(8, 8, 3, padding=1)
+        self.c3 = nn.Conv2d(8, 1, 1)
+        self.up = nn.Upsample(scale_factor=2, mode="bilinear", align_corners=False)
+
+    def forward(self, x):
+        h = torch.relu(self.c1(x))
+        h = torch.relu(self.c2(h))
+        return torch.sigmoid(self.up(self.c3(h)))[:, 0]
+
+
+class CTCModel(nn.Module):
+    """wav2vec2-ish CTC acoustic model: conv frontend + classifier."""
+
+    def __init__(self, classes=30):
+        super().__init__()
+        self.c1 = nn.Conv1d(1, 16, 11, stride=5, padding=5)
+        self.c2 = nn.Conv1d(16, 16, 5, stride=4, padding=2)
+        self.head = nn.Conv1d(16, classes, 1)
+
+    def forward(self, audio):
+        h = torch.relu(self.c1(audio.unsqueeze(1)))
+        h = torch.relu(self.c2(h))
+        return torch.log_softmax(self.head(h).transpose(1, 2), -1)  # [B,T,C]
+
+
+def _export(module, args, path, in_names, out_names, dyn=None):
+    torch.manual_seed(0)
+    module = module.eval()
+    export_onnx(module, args, path, in_names, out_names, dynamic_axes=dyn)
+    return module
+
+
+def export_qa_model(path):
+    ids = torch.zeros(1, 64, dtype=torch.int64)
+    mask = torch.ones(1, 64, dtype=torch.int64)
+    return _export(QAModel(), (ids, mask), path,
+                   ["input_ids", "attention_mask"],
+                   ["start_logits", "end_logits"],
+                   {"input_ids": {0: "b", 1: "t"},
+                    "attention_mask": {0: "b", 1: "t"}})
+
+
+def export_embed_model(path):
+    ids = torch.zeros(2, 16, dtype=torch.int64)
+    mask = torch.ones(2, 16, dtype=torch.int64)
+    return _export(EmbedModel(), (ids, mask), path,
+                   ["input_ids", "attention_mask"], ["embeddings"],
+                   {"input_ids": {0: "b", 1: "t"},
+                    "attention_mask": {0: "b", 1: "t"}})
+
+
+def export_seg_model(path):
+    x = torch.randn(1, 3, 32, 32)
+    return _export(SegModel(), (x,), path, ["image"], ["logits"])
+
+
+def export_depth_model(path):
+    x = torch.randn(1, 3, 32, 32)
+    return _export(DepthModel(), (x,), path, ["image"], ["depth"])
+
+
+def export_ctc_model(path):
+    audio = torch.randn(1, 4000)
+    return _export(CTCModel(), (audio,), path, ["audio"], ["log_probs"])
+
+
+class OCREncoder(nn.Module):
+    """Tiny vision encoder: image -> [B, S, E] hidden states."""
+
+    def __init__(self, E=32):
+        super().__init__()
+        self.c1 = nn.Conv2d(1, 8, 3, stride=2, padding=1)
+        self.c2 = nn.Conv2d(8, E, 3, stride=2, padding=1)
+        self.E = E
+
+    def forward(self, image):
+        h = torch.relu(self.c1(image))
+        h = torch.relu(self.c2(h))          # [B, E, H/4, W/4]
+        B, E, H, W = h.shape
+        return h.mean(2).transpose(1, 2)    # [B, W, E] column features
+
+
+def export_ocr_models(enc_path, dec_path):
+    """TrOCR-style pair: vision encoder + merged text decoder."""
+    from merged_decoder_model import export_merged_decoder
+
+    torch.manual_seed(1)
+    enc = OCREncoder().eval()
+    img = torch.randn(1, 1, 16, 64)
+    export_onnx(enc, (img,), enc_path, ["image"], ["encoder_hidden_states"],
+                dynamic_axes={"image": {0: "b"}})
+    dec = export_merged_decoder(dec_path, vocab=64, E=32, H=4)
+    return enc, dec

@@ -1,0 +1,120 @@
+"""Example demos vs torch references (the reference's *_reference.py
+diff workflow, rten-examples/README.md:60+)."""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import example_models as em
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+
+from rten_tpu.model import Model
+
+
+def test_qa_span_matches_torch(tmp_path):
+    from qa_bert import answer_span, best_span
+
+    path = str(tmp_path / "qa.onnx")
+    module = em.export_qa_model(path)
+    model = Model.load_file(path)
+    rng = np.random.default_rng(1)
+    ids = rng.integers(1, 120, (1, 48))
+    mask = np.ones((1, 48), np.int64)
+    with torch.no_grad():
+        s_t, e_t = module(torch.from_numpy(ids), torch.from_numpy(mask))
+    want = best_span(s_t[0].numpy(), e_t[0].numpy())
+    got = answer_span(model, ids, mask)
+    assert got == want
+
+
+def test_similarity_identical_ranks_first(tmp_path):
+    from similarity import rank_by_similarity
+
+    path = str(tmp_path / "emb.onnx")
+    em.export_embed_model(path)
+    model = Model.load_file(path)
+    rng = np.random.default_rng(2)
+    query = rng.integers(1, 100, 10).tolist()
+    cands = [rng.integers(1, 100, 12).tolist() for _ in range(3)] + [list(query)]
+    ranked = rank_by_similarity(model, query, cands)
+    assert ranked[0][0] == 3  # the identical sentence wins
+    assert ranked[0][1] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_segmentation_matches_torch(tmp_path):
+    from segment import segment
+
+    path = str(tmp_path / "seg.onnx")
+    module = em.export_seg_model(path)
+    model = Model.load_file(path)
+    rng = np.random.default_rng(3)
+    img = rng.random((3, 32, 32)).astype(np.float32)
+    class_map, regions = segment(model, img)
+    with torch.no_grad():
+        want = module(torch.from_numpy(img[None]))[0].numpy().argmax(0)
+    agree = (class_map == want).mean()
+    assert agree > 0.99, agree
+
+
+def test_ctc_transcript_matches_torch(tmp_path):
+    from asr_ctc import transcribe
+
+    path = str(tmp_path / "ctc.onnx")
+    module = em.export_ctc_model(path)
+    model = Model.load_file(path)
+    rng = np.random.default_rng(4)
+    audio = rng.standard_normal(4000).astype(np.float32)
+    _, ids = transcribe(model, audio)
+    with torch.no_grad():
+        lp = module(torch.from_numpy(audio[None]))[0].numpy()
+    from rten_tpu.ctc import ctc_greedy_decode
+
+    want = ctc_greedy_decode(lp).labels
+    assert ids == want
+    # beam search agrees with greedy on an easy (peaked) distribution
+    _, beam_ids = transcribe(model, audio, beam=8)
+    assert isinstance(beam_ids, list)
+
+
+def test_ocr_matches_torch_loop(tmp_path):
+    """Generic-Generator OCR == hand-driven torch encoder-decoder loop."""
+    from merged_decoder_model import MergedDecoder
+    from ocr import recognize
+
+    enc_path = str(tmp_path / "enc.onnx")
+    dec_path = str(tmp_path / "dec.onnx")
+    enc_m, dec_m = em.export_ocr_models(enc_path, dec_path)
+    encoder = Model.load_file(enc_path)
+    decoder = Model.load_file(dec_path)
+    rng = np.random.default_rng(5)
+    img = rng.random((1, 16, 64)).astype(np.float32)
+
+    _, got_ids = recognize(encoder, decoder, img, max_tokens=6)
+
+    with torch.no_grad():
+        enc_out = enc_m(torch.from_numpy(img[None]))
+    H, D = 4, 8
+    zdec = torch.zeros(1, H, 0, D)
+    caches = [zdec, zdec, zdec, zdec, zdec, zdec, zdec, zdec]
+    flag = torch.tensor(False)
+    ids = torch.tensor([[1]], dtype=torch.int64)
+    want = []
+    with torch.no_grad():
+        for step in range(6):
+            out = dec_m(ids, enc_out, flag, *caches)
+            logits = out[0]
+            dk0, dv0, ek0, ev0, dk1, dv1, ek1, ev1 = out[1:]
+            if step == 0:
+                cross = [ek0, ev0, ek1, ev1]
+            caches = [dk0, dv0, cross[0], cross[1], dk1, dv1, cross[2], cross[3]]
+            flag = torch.tensor(True)
+            tok = int(torch.argmax(logits[0, -1]))
+            want.append(tok)
+            if tok == 2:
+                break
+            ids = torch.tensor([[tok]], dtype=torch.int64)
+    assert got_ids[: len(want)] == want

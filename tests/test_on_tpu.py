@@ -106,7 +106,8 @@ def test_decode_mha_on_tpu():
     lens = jnp.asarray([0, 17, 128, cap - S], jnp.int32)
     got = np.asarray(decode_mha(q, k, v, lens))
     want = np.asarray(decode_mha_xla(q, k, v, lens))
-    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+    # MXU dots run at default precision (bf16 multiply passes) on TPU.
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
 
 
 def test_decode_mha_int8_kv_on_tpu():
@@ -123,7 +124,7 @@ def test_decode_mha_int8_kv_on_tpu():
     lens = jnp.asarray([3, 50, 128, 200], jnp.int32)
     got = np.asarray(decode_mha(q, k8, v8, lens, ks, vs))
     want = np.asarray(decode_mha_xla(q, k8, v8, lens, ks, vs))
-    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=1e-2)
 
 
 def test_decode_mha_gqa_on_tpu():
@@ -138,4 +139,4 @@ def test_decode_mha_gqa_on_tpu():
     lens = jnp.asarray([5, 100], jnp.int32)
     got = np.asarray(decode_mha(q, k, v, lens))
     want = np.asarray(decode_mha_xla(q, k, v, lens))
-    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)

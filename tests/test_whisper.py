@@ -95,3 +95,19 @@ def test_whisper_greedy_generate_matches(tiny):
     gen = model.generator(mel.numpy(), [prompt])
     got = gen.generate(len(want))[0]
     np.testing.assert_array_equal(got, want.astype(np.int32))
+
+
+def test_mel_frontend_graph_matches_numpy():
+    """In-graph STFT mel front-end == host log_mel_spectrogram."""
+    from rten_tpu.model import Model, ModelOptions
+    from rten_tpu.models.whisper import build_mel_frontend, log_mel_spectrogram
+
+    rng = np.random.default_rng(0)
+    n = 16000  # 1s window
+    audio = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    g = build_mel_frontend(n)
+    m = Model(g, ModelOptions(optimize=True))
+    got = np.asarray(m.run({"audio": audio[None]})[0])[0]
+    want = log_mel_spectrogram(audio)
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
