@@ -27,10 +27,11 @@ import numpy as np
 N_LAYER = 12           # gpt2-small
 PROMPT_LEN = 128
 NEW_TOKENS = 64
-SLOTS = 16
-CAPACITY = 256
+SLOTS = int(os.environ.get("RTEN_BENCH_SLOTS", "16"))
+CAPACITY = int(os.environ.get("RTEN_BENCH_CAP", "256"))
 WAVE = 32              # timed requests
-STEPS_PER_DISPATCH = 32  # fused on-device decode steps per dispatch
+# fused on-device decode steps per dispatch
+STEPS_PER_DISPATCH = int(os.environ.get("RTEN_BENCH_K", "32"))
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _BASELINE_CACHE = os.path.join(_HERE, "bench_baseline.json")

@@ -64,14 +64,70 @@ class Rect:
 _NEIGHBORS = [(-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1), (-1, -1)]
 
 
+def _native_find_contours(mask) -> "Optional[List[np.ndarray]]":
+    import ctypes
+
+    from .native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    grid = np.ascontiguousarray((np.asarray(mask) != 0), np.uint8)
+    H, W = grid.shape
+    max_pts = H * W + 16
+    max_contours = H * W // 2 + 16
+    pts = np.empty(max_pts * 2, np.int32)
+    sizes = np.empty(max_contours, np.int32)
+    n = lib.rten_find_contours(
+        grid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), H, W,
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_pts,
+        sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_contours,
+    )
+    if n < 0:
+        return None  # fall back
+    out = []
+    cur = 0
+    for i in range(n):
+        c = int(sizes[i])
+        out.append(pts[cur : cur + 2 * c].reshape(c, 2).copy())
+        cur += 2 * c
+    return out
+
+
+def _native_nms(boxes, scores, iou_threshold, score_threshold, max_detections):
+    import ctypes
+
+    from .native import get_lib
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    b = np.ascontiguousarray(boxes, np.float32)
+    s = np.ascontiguousarray(scores, np.float32)
+    out = np.empty(len(s), np.int32)
+    n = lib.rten_nms(
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        s.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        len(s), float(iou_threshold), float(score_threshold),
+        int(max_detections),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return [int(i) for i in out[:n]]
+
+
 def find_contours(mask: np.ndarray, mode: str = "external") -> List[np.ndarray]:
     """Trace outer borders of connected foreground regions.
 
     mask: 2D array, nonzero = foreground. Returns a list of [N, 2] (y, x)
     border point arrays, one per connected component (8-connectivity).
     mode: 'external' only (outer borders), like the common OCR usage of the
-    reference (rten-imageproc/src/contours.rs).
+    reference (rten-imageproc/src/contours.rs). Runs the C++ tracer
+    (native/imageproc.cpp) when built; this Python version is the fallback
+    and the test golden.
     """
+    native = _native_find_contours(mask)
+    if native is not None:
+        return native
     grid = (np.asarray(mask) != 0).astype(np.int8)
     H, W = grid.shape
     visited = np.zeros_like(grid, dtype=bool)
@@ -450,8 +506,14 @@ def nms_boxes(
     """Greedy per-class-agnostic NMS over [N, 4] (top,left,bottom,right)
     boxes; returns kept indices sorted by score (host-side postprocessing
     companion to the NonMaxSuppression op)."""
+    boxes = np.asarray(boxes, np.float32)
+    scores = np.asarray(scores, np.float32)
+    native = _native_nms(boxes, scores, iou_threshold, score_threshold,
+                         max_detections)
+    if native is not None:
+        return native
     keep: List[int] = []
-    order = np.argsort(-scores)
+    order = np.argsort(-scores, kind="stable")
     order = order[scores[order] > score_threshold]
     rects = [Rect(*[float(c) for c in b]) for b in boxes]
     for i in order:

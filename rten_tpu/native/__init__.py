@@ -24,7 +24,7 @@ from typing import List, Optional
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SO = os.path.join(_DIR, "librten_native.so")
-_SRC = [os.path.join(_DIR, "bpe.cpp")]
+_SRC = [os.path.join(_DIR, "bpe.cpp"), os.path.join(_DIR, "imageproc.cpp")]
 _lock = threading.Lock()
 _lib = None
 _tried = False
@@ -86,6 +86,18 @@ def _configure(lib):
     lib.rten_wordpiece_encode.restype = ctypes.c_int32
     lib.rten_wordpiece_encode.argtypes = [
         ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32, i32p, ctypes.c_int32,
+    ]
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.rten_find_contours.restype = ctypes.c_int32
+    lib.rten_find_contours.argtypes = [
+        u8p, ctypes.c_int32, ctypes.c_int32, i32p, ctypes.c_int32,
+        i32p, ctypes.c_int32,
+    ]
+    lib.rten_nms.restype = ctypes.c_int32
+    lib.rten_nms.argtypes = [
+        f32p, f32p, ctypes.c_int32, ctypes.c_float, ctypes.c_float,
+        ctypes.c_int32, i32p,
     ]
 
 

@@ -60,3 +60,50 @@ def test_tokenizer_uses_native_and_matches(lib):
     assert ours._native is not None, "native core should be active"
     for s in ("the quick fox", "hello unseen words", "dog dog dog"):
         assert ours.encode(s).ids == tok.encode(s).ids
+
+
+def test_native_contours_match_python():
+    """C++ contour tracer == Python fallback on random masks."""
+    import rten_tpu.imageproc as ip
+    from rten_tpu.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(0)
+    for trial in range(5):
+        mask = (rng.random((40, 50)) > 0.6).astype(np.uint8)
+        native = ip._native_find_contours(mask)
+        assert native is not None
+        # Python implementation, forced:
+        orig = ip._native_find_contours
+        ip._native_find_contours = lambda m: None
+        try:
+            py = ip.find_contours(mask)
+        finally:
+            ip._native_find_contours = orig
+        assert len(native) == len(py), trial
+        for a, b in zip(native, py):
+            np.testing.assert_array_equal(a, b)
+
+
+def test_native_nms_matches_python():
+    import rten_tpu.imageproc as ip
+    from rten_tpu.native import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(1)
+    for trial in range(5):
+        n = 60
+        tl = rng.random((n, 2)) * 80
+        wh = rng.random((n, 2)) * 30 + 1
+        boxes = np.concatenate([tl, tl + wh], 1).astype(np.float32)
+        scores = rng.random(n).astype(np.float32)
+        native = ip._native_nms(boxes, scores, 0.45, 0.2, 300)
+        orig = ip._native_nms
+        ip._native_nms = lambda *a: None
+        try:
+            py = ip.nms_boxes(boxes, scores, 0.45, 0.2, 300)
+        finally:
+            ip._native_nms = orig
+        assert native == py, trial
