@@ -46,7 +46,12 @@ def build_engine():
     cfg = gpt2.GPT2Config(n_layer=N_LAYER)
     weights = gpt2.random_weights(cfg, seed=0)
     graph = gpt2.build_graph_static_cache(cfg, weights, capacity=CAPACITY)
-    quantize_dynamic(graph)
+    if os.environ.get("RTEN_BENCH_QUANT", "int8") == "int4":
+        from rten_tpu.quantize_pass import quantize_weight_only_int4
+
+        quantize_weight_only_int4(graph)
+    else:
+        quantize_dynamic(graph)
     model = Model(graph, ModelOptions(optimize=True))
     return cfg, ContinuousBatchingEngine(
         model,

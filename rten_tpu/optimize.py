@@ -461,9 +461,125 @@ def eliminate_dead_code(g: Graph) -> bool:
     return True
 
 
+def fuse_rms_norm(g: Graph) -> bool:
+    """Decomposed RMSNorm -> RMSNormalization (rten RMSNormalization fusion,
+    src/optimize/fusions.rs).
+
+    torch exports `w * (x * rsqrt(mean(x^2) + eps))` as
+    Pow(x,2) -> ReduceMean -> Add(eps) -> Sqrt -> [Div(x,s) | Div(1,s)+Mul]
+    -> Mul(w). Recognizing it matters beyond op count: derive_tp_plan's
+    Megatron pairing uses normalization ops as all-reduce boundaries, so an
+    unrecognized norm would let the pairing leak across it on ONNX-loaded
+    llama-family graphs.
+    """
+    producers = _producer_map(g)
+    consumers = _consumer_count(g)
+    changed = False
+
+    def producer_op(vid, op_type):
+        p = producers.get(vid)
+        if p is not None and p[1].op_type == op_type:
+            return p
+        return None
+
+    for sqrt_id, sqrt_op in list(g.operators()):
+        if sqrt_op.op_type != "Sqrt":
+            continue
+        add = producer_op(sqrt_op.inputs[0], "Add")
+        if add is None:
+            continue
+        add_id, add_op = add
+        eps = None
+        rm = None
+        for a, b in (add_op.inputs[:2], add_op.inputs[:2][::-1]):
+            e = _const_scalar(g, b)
+            r = producer_op(a, "ReduceMean")
+            if e is not None and r is not None:
+                eps, rm = float(e), r
+                break
+        if rm is None:
+            continue
+        rm_id, rm_op = rm
+        axes = rm_op.attrs.get("axes")
+        if axes is None and len(rm_op.inputs) > 1:
+            node = g.nodes.get(rm_op.inputs[1])
+            if isinstance(node, Constant):
+                axes = node.array.reshape(-1).tolist()
+        if axes is not None and list(axes) not in ([-1],):
+            # last-axis only (rank unknown here; -1 is what torch emits)
+            continue
+        pw = producer_op(rm_op.inputs[0], "Pow")
+        if pw is None:
+            continue
+        pw_id, pw_op = pw
+        two = _const_scalar(g, pw_op.inputs[1])
+        if two is None or float(two) != 2.0:
+            continue
+        x_id = pw_op.inputs[0]
+
+        # Normalization value: Div(x, sqrt) or Mul(x, Div(1, sqrt)).
+        sqrt_out = sqrt_op.outputs[0]
+        norm_id = None
+        chain_ids = [pw_id, rm_id, add_id, sqrt_id]
+        chain_vals = [pw_op.outputs[0], rm_op.outputs[0], add_op.outputs[0], sqrt_out]
+        for div_id, div_op in list(g.operators()):
+            if div_op.op_type != "Div" or div_op.inputs[1] != sqrt_out:
+                continue
+            if div_op.inputs[0] == x_id:
+                norm_id = div_op.outputs[0]
+                chain_ids.append(div_id)
+                chain_vals.append(norm_id)
+            else:
+                one = _const_scalar(g, div_op.inputs[0])
+                if one is None or float(one) != 1.0:
+                    continue
+                recip = div_op.outputs[0]
+                for mul_id, mul_op in list(g.operators()):
+                    if mul_op.op_type == "Mul" and recip in mul_op.inputs:
+                        other = next(i for i in mul_op.inputs if i != recip)
+                        if other == x_id:
+                            norm_id = mul_op.outputs[0]
+                            chain_ids.extend([div_id, mul_id])
+                            chain_vals.extend([recip, norm_id])
+                            break
+            break
+        if norm_id is None:
+            continue
+        # Outer weight multiply.
+        out_mul = None
+        for mul_id, mul_op in list(g.operators()):
+            if mul_op.op_type != "Mul" or norm_id not in mul_op.inputs:
+                continue
+            w_id = next(i for i in mul_op.inputs if i != norm_id)
+            w_node = g.nodes.get(w_id)
+            if isinstance(w_node, Constant) and w_node.array.ndim == 1:
+                out_mul = (mul_id, mul_op, w_id)
+                break
+        if out_mul is None:
+            continue
+        mul_id, mul_op, w_id = out_mul
+        # All chain values single-consumer and not graph outputs.
+        if any(v in g.output_ids for v in chain_vals):
+            continue
+        if any(consumers.get(v, 0) != 1 for v in chain_vals):
+            continue
+        final_out = mul_op.outputs[0]
+        g.remove_nodes(chain_ids + [mul_id] + chain_vals)
+        g.add_op(
+            "RMSNormalization", [x_id, w_id], [final_out],
+            {"epsilon": eps, "axis": -1},
+        )
+        _log("fused decomposed RMSNorm")
+        changed = True
+        producers = _producer_map(g)
+        consumers = _consumer_count(g)
+    return changed
+
+
 FUSIONS: List[Callable[[Graph], bool]] = [
     fuse_identity,
     fuse_cast_elimination,
+    fuse_rms_norm,
     fuse_matmul_integer_to_float,
     fuse_conv_integer_to_float,
     fuse_attention,

@@ -54,3 +54,23 @@ def test_llama_like_prefill_logits_match(llama):
         feed[f"past_key_values.{i}.value"] = np.zeros((1, 2, 0, 16), np.float32)
     got = np.asarray(m.run(feed, ["logits"])[0])
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def test_rms_norm_fusion_fires_on_export(llama):
+    """Decomposed RMSNorm chains become RMSNormalization ops, and the TP
+    derivation then classifies the ONNX-loaded graph correctly (norm ops
+    are the Megatron pairing boundaries)."""
+    path, module = llama
+    m = Model.load_file(path, ModelOptions(optimize=True))
+    ops = [op.op_type for _, op in m.graph.operators()]
+    # 2 layers x 2 norms + final norm = 5
+    assert ops.count("RMSNormalization") == 5, ops.count("RMSNormalization")
+
+    from rten_tpu.parallel.sharding import derive_tp_plan
+
+    plan = derive_tp_plan(m.graph)
+    kinds = sorted(plan.values())
+    # per layer: q,k,v,gate,up = col x2 layers = 10; o,down = row x2 = 4
+    assert kinds.count("col") == 10, kinds
+    assert kinds.count("row") == 4, kinds
+    assert kinds.count("lm_head") == 1, kinds
