@@ -1,6 +1,7 @@
 """Aux subsystems: serialization, profiler, CLI, CTC decoding."""
 
 import json
+import os
 import subprocess
 import sys
 
@@ -143,3 +144,47 @@ def test_cli_end_to_end(tmp_path):
     assert rc == 0
     rc = main([path, "--inputs", in_file, "--check-outputs", out_file, "-q"])
     assert rc == 0
+
+
+def test_graph_tool_expose_and_rename(tmp_path):
+    """tools/graph_tool.py: expose intermediate outputs, rename inputs,
+    round-trip through .rtpu (update-onnx-model.py analog)."""
+    import subprocess
+    import sys as _sys
+
+    import torch
+    import torch.nn as nn
+    from onnx_export_util import export_onnx
+
+    net = nn.Sequential(nn.Linear(8, 8), nn.ReLU(), nn.Linear(8, 4)).eval()
+    x = torch.randn(2, 8)
+    src = str(tmp_path / "m.onnx")
+    export_onnx(net, x, src, ["x"], ["y"])
+    out = str(tmp_path / "m2.rtpu")
+
+    from rten_tpu.model import Model, ModelOptions
+
+    plain = Model.load_file(src, ModelOptions(optimize=False))
+    mid_name = None
+    for _, op in plain.graph.operators():
+        if op.op_type == "Relu":
+            mid_name = plain.graph.node_name(op.outputs[0])
+    assert mid_name
+
+    r = subprocess.run(
+        [_sys.executable, "tools/graph_tool.py", src, "--no-optimize",
+         "--expose-output", mid_name, "--rename-input", "x:input", "-o", out],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert r.returncode == 0, r.stdout + r.stderr
+
+    m2 = Model.load_file(out)
+    assert "input" in m2.input_names()
+    assert mid_name in m2.output_names()
+    outs = m2.run({"input": x.numpy()})
+    assert len(outs) == 2
+    got_mid = np.asarray(outs[m2.output_names().index(mid_name)])
+    with torch.no_grad():
+        want_mid = net[1](net[0](x)).numpy()
+    np.testing.assert_allclose(got_mid, want_mid, rtol=1e-5, atol=1e-6)
