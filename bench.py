@@ -63,7 +63,7 @@ def build_engine():
         prefill_bucket=PROMPT_LEN,
         greedy_on_device=True,
         steps_per_dispatch=STEPS_PER_DISPATCH,
-        pipeline_dispatch=os.environ.get("RTEN_BENCH_PIPELINE", "1") != "0",
+        pipeline_dispatch=os.environ.get("RTEN_BENCH_PIPELINE", "0") != "0",
     )
 
 
