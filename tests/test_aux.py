@@ -188,3 +188,28 @@ def test_graph_tool_expose_and_rename(tmp_path):
     with torch.no_grad():
         want_mid = net[1](net[0](x)).numpy()
     np.testing.assert_allclose(got_mid, want_mid, rtol=1e-5, atol=1e-6)
+
+
+def test_functional_helpers_match_torch():
+    """rten_tpu.functional (Operators-trait sugar, rten operators.rs)."""
+    import torch
+    import torch.nn.functional as TF
+
+    from rten_tpu import functional as F
+
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 8)).astype(np.float32)
+    t = torch.from_numpy(x)
+    np.testing.assert_allclose(F.softmax(x), TF.softmax(t, -1).numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(F.gelu(x), TF.gelu(t).numpy(), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(F.silu(x), TF.silu(t).numpy(), rtol=1e-5, atol=1e-6)
+    w = np.ones(8, np.float32)
+    np.testing.assert_allclose(
+        F.layer_norm(x, w, np.zeros(8, np.float32)),
+        TF.layer_norm(t, (8,)).numpy(), rtol=1e-4, atol=1e-5,
+    )
+    vals, idx = F.top_k(x, 3)
+    tv, ti = torch.topk(t, 3)
+    np.testing.assert_allclose(vals, tv.numpy(), rtol=1e-6)
+    np.testing.assert_array_equal(idx, ti.numpy())
+    assert F.arg_max(x).tolist() == t.argmax(-1).tolist()
