@@ -98,3 +98,42 @@ def test_special_token_splitting(gpt2_style):
     assert eot == hf.token_to_id("<|endoftext|>")
     # decode skips specials by default
     assert "<|endoftext|>" not in ours.decode(ours.encode(s).ids)
+
+
+def test_fuzz_bpe_token_exact(gpt2_style):
+    """Random unicode soup: byte-level BPE must match HF token-for-token."""
+    import random
+
+    hf, path = gpt2_style
+    ours = Tokenizer.from_file(path)
+    rng = random.Random(0)
+    pools = [
+        "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ",
+        "0123456789", " \t\n", ".,;:!?'\"-—", "αβγδε", "漢字かなカナ",
+        "émüñç", "🙂🚀", "​﻿",
+    ]
+    for trial in range(200):
+        n = rng.randint(0, 40)
+        s = "".join(rng.choice(rng.choice(pools)) for _ in range(n))
+        want = hf.encode(s).ids
+        got = ours.encode(s).ids
+        assert got == want, (trial, repr(s), got, want)
+        assert ours.decode(got) == hf.decode(want), (trial, repr(s))
+
+
+def test_fuzz_wordpiece_token_exact(bert_style):
+    import random
+
+    hf, path = bert_style
+    ours = Tokenizer.from_file(path)
+    rng = random.Random(1)
+    pools = [
+        "abcdefghijklmnopqrstuvwxyz", "ABCDEFG", "0123456789", " ",
+        ".,!?", "éüñ", "漢字",
+    ]
+    for trial in range(200):
+        n = rng.randint(0, 30)
+        s = "".join(rng.choice(rng.choice(pools)) for _ in range(n))
+        want = hf.encode(s).ids
+        got = ours.encode(s).ids
+        assert got == want, (trial, repr(s), got, want)
