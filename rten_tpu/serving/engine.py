@@ -72,6 +72,7 @@ class ContinuousBatchingEngine:
         greedy_on_device: bool = False,
         steps_per_dispatch: int = 1,
         pipeline_dispatch: bool = False,
+        chunked_prefill: bool = False,
         max_queue: Optional[int] = None,
         params: Optional[Dict[int, object]] = None,
     ):
@@ -155,6 +156,15 @@ class ContinuousBatchingEngine:
         # insert per cache buffer (24 executes/slot was the round-1 TTFT
         # bottleneck).
         self._batch_prefill: Dict[int, object] = {}
+        # Chunked prefill (SURVEY section 5 long-context plan): prompts run
+        # through ONE fixed [slots, prefill_bucket] executable in
+        # prefill_bucket-sized chunks at per-slot offsets, instead of one
+        # executable per prompt-length bucket. Bounds executable count to
+        # O(1) and peak activation memory to the chunk; costs
+        # ceil(len/chunk) executes per admission, so it's off by default on
+        # remote runtimes where executes are expensive.
+        self.chunked_prefill = chunked_prefill
+        self._chunk_prefill_fn = None
 
         # Fused multi-step decode: k greedy steps chained on device via
         # lax.scan, one dispatch per k*slots tokens (amortizes host/tunnel
@@ -441,8 +451,84 @@ class ContinuousBatchingEngine:
 
         return jax.jit(fn, donate_argnums=(1,))
 
+    def _build_chunk_prefill(self):
+        """One fixed-shape executable processing a [slots, bucket] prompt
+        chunk at per-slot offsets against the LIVE caches (non-admitted
+        rows merged back untouched, so chunked admission interleaves with
+        active decode slots)."""
+        executor = self.executor
+        in_ids = self.in_ids
+        cache_ids = self.cache_ids
+        out_ids = self.out_ids
+        slots = self.slots
+        T = self.prefill_bucket
+
+        def fn(weights: Dict, caches, ids, lens, admit_mask, last_idx):
+            env = dict(weights)
+            env[in_ids["input_ids"]] = ids
+            env[in_ids["past_lens"]] = lens
+            env[in_ids["position_ids"]] = (
+                lens[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+            )
+            for nid, c in zip(cache_ids, caches):
+                env[nid] = c
+            outs = executor.trace(env, out_ids)
+            m = admit_mask[:, None, None, None]
+            merged = [jnp.where(m, p, c) for c, p in zip(caches, outs[1:])]
+            sel = outs[0][jnp.arange(slots), last_idx]
+            return sel, merged
+
+        return jax.jit(fn, donate_argnums=(1,))
+
+    def _admit_chunked(self, admissions):
+        chunk = self.prefill_bucket
+        if self._chunk_prefill_fn is None:
+            self._chunk_prefill_fn = self._build_chunk_prefill()
+        fn = self._chunk_prefill_fn
+        w = {**self.executor._weight_args(), **(self.params or {})}
+        n_chunks = -(-max(len(r.prompt) for _, r in admissions) // chunk)
+        final_sel = {}
+        for c in range(n_chunks):
+            ids = np.zeros((self.slots, chunk), np.int32)
+            lens = np.zeros(self.slots, np.int32)
+            admit = np.zeros(self.slots, bool)
+            last_idx = np.zeros(self.slots, np.int32)
+            finals = []
+            for slot, req in admissions:
+                seg = req.prompt[c * chunk : (c + 1) * chunk]
+                if not seg:
+                    continue
+                ids[slot, : len(seg)] = seg
+                lens[slot] = c * chunk
+                admit[slot] = True
+                if (c + 1) * chunk >= len(req.prompt):
+                    last_idx[slot] = len(seg) - 1
+                    finals.append(slot)
+            sel, self.caches = fn(w, self.caches, ids, lens, admit, last_idx)
+            self.caches = list(self.caches)
+            if finals:
+                sel = np.asarray(sel)
+                for slot in finals:
+                    final_sel[slot] = sel[slot]
+        now = time.perf_counter()
+        for slot, req in admissions:
+            s = final_sel[slot]
+            if self.greedy_on_device:
+                tok = int(s)
+            else:
+                tok = int(self.sampler.sample(s[None])[0])
+            req.first_token_at = now
+            req.generated.append(tok)
+            self.slot_req[slot] = req
+            self.slot_len[slot] = len(req.prompt)
+            self.slot_last_tok[slot] = tok
+            self._maybe_finish(slot, tok)
+
     def _admit(self, admissions):
         """Prefill + insert a batch of (slot, request) pairs in ONE execute."""
+        if self.chunked_prefill:
+            self._admit_chunked(admissions)
+            return
         T = self._round_up(max(len(r.prompt) for _, r in admissions))
         fn = self._batch_prefill.get(T)
         if fn is None:

@@ -83,3 +83,30 @@ def test_restart_is_deterministic(engine_factory):
     assert r in requeued and not r.generated
     eng2.run()
     assert r.generated == want
+
+
+def test_chunked_prefill_matches_batch_prefill(engine_factory):
+    """Chunked admission (fixed [slots, bucket] executable at per-slot
+    offsets) produces the same tokens as whole-prompt prefill, including
+    while another slot is mid-decode."""
+    rng = np.random.default_rng(7)
+    long_prompt = rng.integers(1, 90, 30).tolist()  # ~4 chunks of 8
+    short_prompt = [5, 9, 12]
+
+    ref = engine_factory()
+    r_long = ref.submit(long_prompt, max_new_tokens=10)
+    r_short = ref.submit(short_prompt, max_new_tokens=10)
+    ref.run()
+
+    eng = engine_factory(chunked_prefill=True)
+    # Start the short request decoding first, then admit the long one so
+    # chunked prefill runs against live decode state.
+    c_short = eng.submit(short_prompt, max_new_tokens=10)
+    eng.step()
+    c_long = eng.submit(long_prompt, max_new_tokens=10)
+    eng.run()
+
+    assert c_long.generated == r_long.generated
+    assert c_short.generated == r_short.generated
+    # One executable regardless of prompt length.
+    assert eng._chunk_prefill_fn is not None
