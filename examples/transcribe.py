@@ -64,7 +64,13 @@ def main():
         t = np.linspace(0, 2.0, 32000)
         audio = (0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
 
-    mel = whisper.log_mel_spectrogram(audio, n_mels=cfg.n_mels)
+    # Mel front-end ON DEVICE: the STFT + filterbank run as an engine graph
+    # (whisper.build_mel_frontend), not host numpy.
+    from rten_tpu.model import Model as _M, ModelOptions as _MO
+
+    mel_graph = whisper.build_mel_frontend(len(audio), n_mels=cfg.n_mels)
+    mel_model = _M(mel_graph, _MO(optimize=True))
+    mel = np.asarray(mel_model.run({"audio": audio[None]})[0])[0]
     # Fit the encoder context (2x positions after the stride-2 conv).
     frames = cfg.max_source_positions * 2
     if mel.shape[1] < frames:
