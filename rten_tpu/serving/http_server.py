@@ -97,6 +97,20 @@ def make_handler(loop: EngineLoop):
                 self._json(200 if h["status"] == "ok" else 503, h)
             elif self.path == "/stats":
                 self._json(200, loop.call(lambda e: e.stats()))
+            elif self.path == "/metrics":
+                # Prometheus text exposition of the engine counters.
+                s = loop.call(lambda e: e.stats())
+                lines = []
+                for key, val in s.items():
+                    if val is None:
+                        continue
+                    lines.append(f"rten_{key} {float(val)}")
+                body = ("\n".join(lines) + "\n").encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain; version=0.0.4")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
             else:
                 self._json(404, {"error": "not found"})
 

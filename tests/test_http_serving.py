@@ -90,3 +90,11 @@ def test_bad_request_400(server):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_metrics_endpoint(server):
+    url, _ = server
+    with urllib.request.urlopen(url + "/metrics", timeout=30) as r:
+        body = r.read().decode()
+    assert "rten_finished_requests" in body
+    assert "rten_decode_tokens" in body
