@@ -31,7 +31,7 @@ SLOTS = int(os.environ.get("RTEN_BENCH_SLOTS", "16"))
 CAPACITY = int(os.environ.get("RTEN_BENCH_CAP", "256"))
 WAVE = 32              # timed requests
 # fused on-device decode steps per dispatch
-STEPS_PER_DISPATCH = int(os.environ.get("RTEN_BENCH_K", "32"))
+STEPS_PER_DISPATCH = int(os.environ.get("RTEN_BENCH_K", "64"))
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _BASELINE_CACHE = os.path.join(_HERE, "bench_baseline.json")
