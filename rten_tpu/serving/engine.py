@@ -625,8 +625,12 @@ class ContinuousBatchingEngine:
                 self._drain_record(prev)
                 return
             # Serial fused dispatch (tail of a request, or pipelining off).
+            # Chain token/length state on device even here: a host->device
+            # transfer costs a tunnel round trip (~15-20ms each on remote
+            # runtimes); host state is only re-materialized after admissions
+            # (which reset _dev_state).
             self._drain_inflight()
-            self._issue_multi(from_host=True)
+            self._issue_multi(from_host=self._dev_state is None)
             self._drain_inflight()
             return
         # 2b. One decode step for every slot (inactive slots compute garbage
