@@ -131,56 +131,36 @@ def bench_scan(ex, in_ids, cache_ids, out_ids, caches, k=K_STEPS, dispatches=6):
 
 
 def parse_trace(trace_dir):
-    """Summarize per-op device time from the xplane proto."""
-    try:
-        from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-    except ImportError:
-        print("  (tensorboard_plugin_profile not importable; skipping parse)")
-        return
-    xs = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
-    if not xs:
-        print("  (no xplane.pb found)")
-        return
-    params = {"tqx": "out:csv;"}
-    try:
-        data, _ = rtd.xspace_to_tool_data(xs, "op_profile", params)
-        prof = json.loads(data)
+    """Summarize per-op device time from the Chrome trace json (the
+    tensorboard_plugin_profile python APIs are broken by a protobuf version
+    conflict in this image; the json.gz has everything we need)."""
+    import collections
 
-        def walk(node, depth=0, out=None):
-            m = node.get("metrics", {})
-            name = node.get("name", "")
-            t = m.get("rawTime", m.get("time", 0))
-            if out is not None and t:
-                out.append((t, name, depth))
-            for ch in node.get("children", []):
-                walk(ch, depth + 1, out)
-
-        rows = []
-        walk(prof.get("byProgram", prof), 0, rows)
-        rows.sort(reverse=True)
-        for t, name, depth in rows[:40]:
-            print(f"  {t:>14} {'  '*depth}{name}")
-    except Exception as e:
-        print(f"  (op_profile parse failed: {e})")
-        # Fall back: dump tool names available.
-        try:
-            from tensorboard_plugin_profile.protobuf import xplane_pb2
-            xp = xplane_pb2.XSpace()
-            xp.ParseFromString(open(xs[0], "rb").read())
-            for plane in xp.planes:
-                total = {}
-                ev_meta = {m.id: m.name for m in plane.event_metadata.values()} if hasattr(plane.event_metadata, "values") else {}
-                for line in plane.lines:
-                    for ev in line.events:
-                        name = plane.event_metadata[ev.metadata_id].name
-                        total[name] = total.get(name, 0) + ev.duration_ps
-                rows = sorted(total.items(), key=lambda kv: -kv[1])[:25]
-                if rows and "TPU" in plane.name.upper() or "device" in plane.name.lower():
-                    print(f"  plane: {plane.name}")
-                    for name, ps in rows:
-                        print(f"    {ps/1e9:10.3f} ms  {name}")
-        except Exception as e2:
-            print(f"  (raw xplane parse failed too: {e2})")
+    traces = glob.glob(
+        os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True
+    )
+    if not traces:
+        print("  (no trace.json.gz found)")
+        return
+    t = json.load(gzip.open(sorted(traces)[-1]))
+    events = t["traceEvents"]
+    pids = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pids[e["pid"]] = e["args"].get("name", "")
+    device_pids = {p for p, n in pids.items() if "TPU" in n.upper()}
+    agg = collections.defaultdict(float)
+    cnt = collections.defaultdict(int)
+    device_total = 0.0
+    for e in events:
+        if e.get("ph") != "X":
+            continue
+        if e["pid"] in device_pids:
+            name = e.get("name", "")[:90]
+            agg[name] += e.get("dur", 0)
+            cnt[name] += 1
+    for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:30]:
+        print(f"  {dur/1e3:10.3f} ms  n={cnt[name]:>5}  {name}")
 
 
 def main():
