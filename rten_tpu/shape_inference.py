@@ -82,7 +82,9 @@ _UNARY = (
     "Floor Gelu HardSigmoid HardSwish Identity LeakyRelu Log Neg Not "
     "Reciprocal Relu Round Sigmoid Sign Sin Sinh Softplus Sqrt Swish Tan "
     "Tanh Softmax LogSoftmax SafeSoftmax Dropout LpNormalization "
-    "QuickGelu GeluMicrosoft"
+    "QuickGelu GeluMicrosoft Silu Trilu CumSum ReverseSequence IsInf IsNaN "
+    "FastGelu GridSample ScatterElements Scatter ScatterND GatherElements "
+    "RotaryEmbedding RotaryEmbeddingMS"
 ).split()
 
 _BOOL_OUT = {"Greater", "GreaterOrEqual", "Less", "LessOrEqual", "Equal",
@@ -563,6 +565,228 @@ def _r_unsqueeze2(op, ins, g=None):
     for a in axes:
         out.insert(a, 1)
     return [(dt, tuple(out))]
+
+
+@rule("Pad")
+def _r_pad(op, ins, g=None):
+    dt, sh = ins[0]
+    if sh is None:
+        return [(dt, None)]
+    pads = _const_ints(g, op, 1)
+    if pads is None:
+        return [(dt, (None,) * len(sh))]
+    n = len(sh)
+    out = []
+    for i, d in enumerate(sh):
+        if pads[i] == 0 and pads[i + n] == 0:
+            out.append(d)  # zero pad keeps symbolic dims
+        elif isinstance(d, int):
+            out.append(d + pads[i] + pads[i + n])
+        else:
+            out.append(None)
+    return [(dt, tuple(out))]
+
+
+@rule("Tile")
+def _r_tile(op, ins, g=None):
+    dt, sh = ins[0]
+    reps = _const_ints(g, op, 1)
+    if sh is None or reps is None:
+        return [(dt, None)]
+    return [(dt, tuple(
+        d if r == 1 else (d * r if isinstance(d, int) else None)
+        for d, r in zip(sh, reps)
+    ))]
+
+
+@rule("TopK")
+def _r_topk(op, ins, g=None):
+    dt, sh = ins[0]
+    k = _const_ints(g, op, 1)
+    if sh is None:
+        return [(dt, None), (DataType.Int32, None)]
+    axis = op.attrs.get("axis", -1)
+    axis = axis + len(sh) if axis < 0 else axis
+    out = list(sh)
+    out[axis] = int(k[0]) if k is not None else None
+    return [(dt, tuple(out)), (DataType.Int32, tuple(out))]
+
+
+@rule("OneHot")
+def _r_onehot(op, ins, g=None):
+    dt_idx, sh = ins[0]
+    depth = _const_ints(g, op, 1)
+    dt_val = ins[2][0] if len(ins) > 2 else None
+    if sh is None:
+        return [(dt_val, None)]
+    axis = op.attrs.get("axis", -1)
+    d = int(depth[0]) if depth is not None else None
+    out = list(sh)
+    pos = axis + len(sh) + 1 if axis < 0 else axis
+    out.insert(pos, d)
+    return [(dt_val, tuple(out))]
+
+
+@rule("EyeLike")
+def _r_eyelike(op, ins, g=None):
+    dt, sh = ins[0]
+    out_dt = op.attrs.get("dtype")
+    return [(out_dt if isinstance(out_dt, DataType) else dt, sh)]
+
+
+@rule("DepthToSpace")
+def _r_d2s(op, ins, g=None):
+    dt, sh = ins[0]
+    b = op.attrs.get("blocksize")
+    if sh is None or not b:
+        return [(dt, None)]
+    N, C, H, W = sh
+    f = lambda d, m: d * m if isinstance(d, int) else None
+    g_ = lambda d, m: d // m if isinstance(d, int) else None
+    return [(dt, (N, g_(C, b * b), f(H, b), f(W, b)))]
+
+
+@rule("SpaceToDepth")
+def _r_s2d(op, ins, g=None):
+    dt, sh = ins[0]
+    b = op.attrs.get("blocksize")
+    if sh is None or not b:
+        return [(dt, None)]
+    N, C, H, W = sh
+    f = lambda d, m: d * m if isinstance(d, int) else None
+    g_ = lambda d, m: d // m if isinstance(d, int) else None
+    return [(dt, (N, f(C, b * b), g_(H, b), g_(W, b)))]
+
+
+@rule("Resize", "Upsample")
+def _r_resize(op, ins, g=None):
+    dt, sh = ins[0]
+    if sh is None:
+        return [(dt, None)]
+    sizes = _const_ints(g, op, 3)
+    if sizes is not None and len(sizes) == len(sh):
+        return [(dt, tuple(int(x) for x in sizes))]
+    return [(dt, tuple(sh[:2]) + (None,) * (len(sh) - 2))]
+
+
+@rule("ConvTranspose")
+def _r_conv_t(op, ins, g=None):
+    (dx, x), (_, w) = ins[0], ins[1]
+    if x is None or w is None:
+        return [(dx, None)]
+    n_sp = len(x) - 2
+    group = op.attrs.get("group", 1)
+    c_out = w[1] * group if isinstance(w[1], int) else None
+    strides = op.attrs.get("strides", [1] * n_sp)
+    pads = op.attrs.get("pads", [0] * 2 * n_sp)
+    dil = op.attrs.get("dilations", [1] * n_sp)
+    outp = op.attrs.get("output_padding", [0] * n_sp)
+    sp = []
+    for i, d in enumerate(x[2:]):
+        k = w[2 + i]
+        if not isinstance(d, int) or not isinstance(k, int):
+            sp.append(None)
+            continue
+        sp.append((d - 1) * strides[i] - pads[i] - pads[i + n_sp]
+                  + (k - 1) * dil[i] + 1 + outp[i])
+    return [(dx, (x[0], c_out) + tuple(sp))]
+
+
+@rule("LSTM")
+def _r_lstm(op, ins, g=None):
+    dx, x = ins[0]
+    if x is None:
+        return [(dx, None)] * 3
+    T, B = x[0], x[1]
+    hidden = op.attrs.get("hidden_size")
+    dirs = {"forward": 1, "reverse": 1, "bidirectional": 2}.get(
+        op.attrs.get("direction", "forward"), 1)
+    return [(dx, (T, dirs, B, hidden)), (dx, (dirs, B, hidden)),
+            (dx, (dirs, B, hidden))]
+
+
+@rule("GRU")
+def _r_gru(op, ins, g=None):
+    outs = _r_lstm(op, ins, g)
+    return outs[:2]
+
+
+@rule("NonZero")
+def _r_nonzero(op, ins, g=None):
+    _, sh = ins[0]
+    return [(DataType.Int32, (len(sh), None) if sh is not None else None)]
+
+
+@rule("NonMaxSuppression")
+def _r_nms_rule(op, ins, g=None):
+    return [(DataType.Int32, (None, 3))]
+
+
+@rule("ConstantOfShape")
+def _r_const_of_shape(op, ins, g=None):
+    val = op.attrs.get("value")
+    dt = None
+    if val is not None:
+        try:
+            dt = DataType.from_np(np.asarray(val).dtype)
+        except Exception:
+            dt = DataType.Float
+    shape = _const_ints(g, op, 0)
+    return [(dt or DataType.Float,
+             tuple(int(x) for x in shape) if shape is not None else None)]
+
+
+@rule("RandomNormal", "RandomUniform")
+def _r_random(op, ins, g=None):
+    sh = op.attrs.get("shape")
+    return [(DataType.Float, tuple(sh) if sh is not None else None)]
+
+
+@rule("RandomNormalLike", "RandomUniformLike")
+def _r_random_like(op, ins, g=None):
+    return [(DataType.Float, ins[0][1])]
+
+
+@rule("Multinomial")
+def _r_multinomial(op, ins, g=None):
+    _, sh = ins[0]
+    n = op.attrs.get("sample_size", 1)
+    return [(DataType.Int32, (sh[0], n) if sh is not None else None)]
+
+
+@rule("MatMulNBits")
+def _r_nbits(op, ins, g=None):
+    dt, a = ins[0]
+    N = op.attrs.get("N")
+    if a is None:
+        return [(DataType.Float, None)]
+    return [(DataType.Float, tuple(a[:-1]) + (N,))]
+
+
+@rule("STFT")
+def _r_stft(op, ins, g=None):
+    _, sig = ins[0]
+    return [(DataType.Float, None if sig is None else (sig[0], None, None, 2))]
+
+
+@rule("Einsum")
+def _r_einsum(op, ins, g=None):
+    eq = op.attrs.get("equation", "")
+    if "->" not in eq:
+        return [(ins[0][0], None)]
+    lhs, rhs = eq.split("->")
+    terms = [t.strip() for t in lhs.split(",")]
+    dim_map = {}
+    for term, (_, sh) in zip(terms, ins):
+        if sh is None or "..." in term:
+            continue
+        for ch, d in zip(term, sh):
+            dim_map.setdefault(ch, d)
+    rhs = rhs.strip()
+    if "..." in rhs:
+        return [(ins[0][0], None)]
+    out = tuple(dim_map.get(ch) for ch in rhs)
+    return [(ins[0][0], out)]
 
 
 # --- symbolic VALUE tracking ------------------------------------------------
