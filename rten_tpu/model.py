@@ -360,6 +360,35 @@ class Model:
         outs = self.run({name: input_value}, jit=jit)
         return outs[0] if len(outs) == 1 else outs
 
+    def export_jax(self, outputs: Optional[Sequence[str]] = None):
+        """(fn, params): the model as a PURE jax function.
+
+        ``fn(params, {input_name: array}) -> [outputs]`` composes with
+        jax.jit / jax.grad / jax.vmap / pjit shardings — the TPU-idiomatic
+        embedding API (the reference embeds via the Rust Model handle;
+        here the whole graph is a differentiable function of its weights,
+        which is also how tools/train_mnist.py trains through the engine).
+        ``params`` is the weight dict (device arrays, keyed by node id);
+        pass a sharded copy (parallel.shard_constants) to run on a mesh.
+        """
+        if outputs is None:
+            out_ids = list(self.graph.output_ids)
+        else:
+            out_ids = [self.graph.find_node(n) for n in outputs]
+        name_to_id = {
+            self.graph.node_name(nid): nid for nid in self.graph.input_ids
+        }
+        executor = self.executor
+        params = dict(executor._weight_args())
+
+        def fn(params, inputs: Dict[str, Any]):
+            env = dict(params)
+            for name, val in inputs.items():
+                env[name_to_id[name]] = val
+            return executor.trace(env, out_ids)
+
+        return fn, params
+
     def partial_run(self, inputs: Dict[str, Any], outputs: Sequence[str]):
         feed = {
             self.graph.find_node(k): narrow_array(np.asarray(v))

@@ -124,3 +124,37 @@ def test_op_error_carries_node_context():
     m = Model(g, ModelOptions(optimize=False))
     with pytest.raises(Exception):
         m.run({"x": np.zeros((2, 3), np.float32)})
+
+
+def test_export_jax_composes_with_jit_grad_vmap():
+    """model.export_jax: pure function usable with jax transforms."""
+    import torch
+    import torch.nn as nn
+    from onnx_export_util import export_onnx
+
+    net = nn.Sequential(nn.Linear(8, 8), nn.Tanh(), nn.Linear(8, 1)).eval()
+    x = np.random.default_rng(0).standard_normal((4, 8)).astype(np.float32)
+    import tempfile, os as _os
+
+    with tempfile.TemporaryDirectory() as d:
+        p = _os.path.join(d, "m.onnx")
+        export_onnx(net, torch.from_numpy(x), p, ["x"], ["y"])
+        m = Model.load_file(p, ModelOptions(optimize=True))
+    fn, params = m.export_jax(["y"])
+
+    # jit
+    got = np.asarray(jax.jit(fn)(params, {"x": x})[0])
+    want = net(torch.from_numpy(x)).detach().numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    # grad through the weights
+    def loss(params):
+        return jnp.sum(fn(params, {"x": x})[0] ** 2)
+
+    grads = jax.grad(loss)(params)
+    assert any(float(jnp.abs(g).sum()) > 0 for g in grads.values())
+
+    # vmap over a batch-of-batches
+    xs = np.stack([x, x + 1])
+    outs = jax.vmap(lambda xb: fn(params, {"x": xb})[0])(jnp.asarray(xs))
+    assert outs.shape == (2, 4, 1)
