@@ -526,6 +526,9 @@ class ContinuousBatchingEngine:
 
     def _admit(self, admissions):
         """Prefill + insert a batch of (slot, request) pairs in ONE execute."""
+        # Admission changes slot state: host bookkeeping becomes
+        # authoritative, so the device-side token/length chain resets.
+        self._dev_state = None
         if self.chunked_prefill:
             self._admit_chunked(admissions)
             return
