@@ -430,7 +430,13 @@ class ContinuousBatchingEngine:
         out_ids = self.out_ids
         slots = self.slots
 
-        def fn(weights: Dict, caches, ids, admit_mask, last_idx):
+        def fn(weights: Dict, caches, packed):
+            # packed [slots, T+2] int32: prompt ids | admit flag | last idx.
+            # One host->device transfer per admission instead of three
+            # (each transfer pays a round trip on remote runtimes).
+            ids = packed[:, :T]
+            admit_mask = packed[:, T] != 0
+            last_idx = packed[:, T + 1]
             env = dict(weights)
             env[in_ids["input_ids"]] = ids
             env[in_ids["past_lens"]] = jnp.zeros((slots,), jnp.int32)
@@ -537,15 +543,13 @@ class ContinuousBatchingEngine:
         if fn is None:
             fn = self._build_batch_prefill(T)
             self._batch_prefill[T] = fn
-        ids = np.zeros((self.slots, T), np.int32)
-        admit_mask = np.zeros(self.slots, bool)
-        last_idx = np.zeros(self.slots, np.int32)
+        packed = np.zeros((self.slots, T + 2), np.int32)
         for slot, req in admissions:
-            ids[slot, : len(req.prompt)] = req.prompt
-            admit_mask[slot] = True
-            last_idx[slot] = len(req.prompt) - 1
+            packed[slot, : len(req.prompt)] = req.prompt
+            packed[slot, T] = 1
+            packed[slot, T + 1] = len(req.prompt) - 1
         w = {**self.executor._weight_args(), **(self.params or {})}
-        sel, self.caches = fn(w, self.caches, ids, admit_mask, last_idx)
+        sel, self.caches = fn(w, self.caches, packed)
         self.caches = list(self.caches)
         sel = np.asarray(sel)
         now = time.perf_counter()
