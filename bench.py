@@ -24,7 +24,7 @@ import time
 
 import numpy as np
 
-N_LAYER = 12           # gpt2-small
+N_LAYER = int(os.environ.get("RTEN_BENCH_LAYERS", "12"))  # 12 = gpt2-small
 PROMPT_LEN = 128
 NEW_TOKENS = 64
 SLOTS = int(os.environ.get("RTEN_BENCH_SLOTS", "16"))
