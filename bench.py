@@ -52,7 +52,12 @@ def build_engine():
         quantize_weight_only_int4(graph)
     else:
         quantize_dynamic(graph)
-    model = Model(graph, ModelOptions(optimize=True))
+    from rten_tpu.runtime.executor import RunConfig
+
+    rc = RunConfig(
+        pallas_int8_min_m=int(os.environ.get("RTEN_BENCH_INT8_MIN_M", "0"))
+    )
+    model = Model(graph, ModelOptions(optimize=True, run_config=rc))
     return cfg, ContinuousBatchingEngine(
         model,
         n_layer=cfg.n_layer,

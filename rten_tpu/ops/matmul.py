@@ -74,7 +74,7 @@ def _gemm(ctx, inputs, attrs):
     return out
 
 
-def _int_matmul_xla(a, b, a_zp, b_zp):
+def _int_matmul_xla(a, b, a_zp, b_zp, b_colsums=None):
     """Zero-point-corrected integer matmul accumulated in int32.
 
     C = (A - zp_a) . (B - zp_b)
@@ -83,6 +83,8 @@ def _int_matmul_xla(a, b, a_zp, b_zp):
     The expanded form (same algebra as rten's packed-sum trick,
     `rten-gemm/src/packing/int8.rs:19-46`) keeps the main product as a
     native s8/u8 MXU dot instead of materializing widened operands.
+    ``b_colsums``: optional precomputed col sums of B (prepack) — avoids a
+    second full weight read per call.
     """
     k = a.shape[-1]
     a32 = a.astype(jnp.int32)
@@ -97,7 +99,10 @@ def _int_matmul_xla(a, b, a_zp, b_zp):
     )
     correction = 0
     if a_zp is not None:
-        col_sums = jnp.sum(b32, axis=-2, keepdims=True)  # [..., 1, N]
+        if b_colsums is not None:
+            col_sums = jnp.asarray(b_colsums, jnp.int32).reshape(1, b.shape[-1])
+        else:
+            col_sums = jnp.sum(b32, axis=-2, keepdims=True)  # [..., 1, N]
         azp = jnp.asarray(a_zp, jnp.int32)
         if azp.ndim == 1:  # per-row of A
             azp = azp[:, None]
@@ -146,14 +151,24 @@ def _matmul_integer_to_float(ctx, inputs, attrs):
     # Prepack may have padded N to a tile multiple; slice back after.
     orig_n = attrs.get("rten_orig_n")
 
-    if ctx is not None and ctx.config.use_pallas_int8 and a.ndim >= 2 and b.ndim == 2:
+    use_pallas = (
+        ctx is not None and ctx.config.use_pallas_int8
+        and a.ndim >= 2 and b.ndim == 2
+    )
+    if use_pallas and ctx.config.pallas_int8_min_m:
+        m_rows = 1
+        for d in a.shape[:-1]:
+            m_rows *= int(d)
+        if m_rows < ctx.config.pallas_int8_min_m:
+            use_pallas = False
+    if use_pallas:
         from ..kernels.int8_matmul import int8_matmul_dequant_auto
 
         out = int8_matmul_dequant_auto(
             a, b, a_scale, b_scale, a_zp, b_zp, b_colsums
         )
     else:
-        acc = _int_matmul_xla(a, b, a_zp, b_zp)
+        acc = _int_matmul_xla(a, b, a_zp, b_zp, b_colsums)
         scale = jnp.asarray(a_scale, jnp.float32) * jnp.asarray(b_scale, jnp.float32)
         out = acc.astype(jnp.float32) * scale
     if orig_n is not None and out.shape[-1] != orig_n:

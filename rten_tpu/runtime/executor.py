@@ -49,6 +49,11 @@ class RunConfig:
     use_pallas_int8: bool = True
     use_pallas_int4: bool = True
     use_flash_attention: bool = True
+    # Route int8 matmuls with fewer than this many rows to the XLA integer
+    # dot instead of the Pallas kernel: at decode shapes (M=16) the kernel
+    # launch overhead can exceed the compute (round-2 device trace:
+    # ~90us/call across 48 calls/step).
+    pallas_int8_min_m: int = 0
     # Flip low-precision matmuls to bf16 (accuracy/perf tradeoff; f32 default
     # matches the reference's numerics).
     prefer_bf16: bool = False
