@@ -19,6 +19,7 @@ The XLA reference path lives in ``mha_xla`` (CPU fallback + golden).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -282,7 +283,12 @@ def decode_mha(
     bq = round_up(S, 8)
     bk = min(block_k, round_up(cap, 128))
     capp = round_up(cap, bk)
-    Dp = round_up(D, 128)
+    # Head dim 64 runs as a half-native lane tile instead of padding to
+    # 128: padding would WRITE a 2x-sized copy of the whole KV cache every
+    # step and read 2x the bytes (the dominant post-fix decode cost).
+    Dp = D if D in (64, 128, 256, 512) else round_up(D, 128)
+    if os.environ.get("RTEN_DECODE_PAD_HEADDIM", "0") == "1":
+        Dp = round_up(D, 128)
     qp = pad_dim(pad_dim(q, 2, bq), 3, Dp)
     kp = pad_dim(pad_dim(k, 2, capp), 3, Dp)
     vp = pad_dim(pad_dim(v, 2, capp), 3, Dp)
