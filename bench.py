@@ -55,7 +55,7 @@ def build_engine():
     from rten_tpu.runtime.executor import RunConfig
 
     rc = RunConfig(
-        pallas_int8_min_m=int(os.environ.get("RTEN_BENCH_INT8_MIN_M", "0"))
+        pallas_int8_min_m=int(os.environ.get("RTEN_BENCH_INT8_MIN_M", "64"))
     )
     model = Model(graph, ModelOptions(optimize=True, run_config=rc))
     return cfg, ContinuousBatchingEngine(

@@ -51,9 +51,10 @@ class RunConfig:
     use_flash_attention: bool = True
     # Route int8 matmuls with fewer than this many rows to the XLA integer
     # dot instead of the Pallas kernel: at decode shapes (M=16) the kernel
-    # launch overhead can exceed the compute (round-2 device trace:
-    # ~90us/call across 48 calls/step).
-    pallas_int8_min_m: int = 0
+    # launch overhead exceeds the compute (round-2 device trace: ~90us/call
+    # across 48 calls/step; serving A/B: 4,457 -> 5,205 tok/s with 64).
+    # Prefill/batch shapes (M >= 64) keep the fused Pallas kernel.
+    pallas_int8_min_m: int = 64
     # Flip low-precision matmuls to bf16 (accuracy/perf tradeoff; f32 default
     # matches the reference's numerics).
     prefer_bf16: bool = False
