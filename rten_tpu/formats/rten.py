@@ -168,6 +168,14 @@ class FbTable:
 # slot order):  (our_attr_name, kind, default, enum_list_or_None)
 # kind: i32 u32 f32 bool u8e (enum byte) uvec ivec str dtype cdtype graph
 # A trailing "also used for" op mapping lives in OP_TO_ATTRS below.
+#
+# IMPORTANT: `default` is the *schema.fbs field default* (what a generated
+# flatbuffers accessor returns for an ABSENT field), NOT the ONNX default.
+# The reference's generated reader decodes absent scalars this way, so we
+# must too — e.g. DequantizeLinearAttrs.axis is 0 when absent even though
+# ONNX's default is 1 (rten-convert materializes the ONNX default at
+# convert time, so non-schema-default values are always physically present).
+# ONNX-default materialization for OUR writer lives in ONNX_WRITE_DEFAULTS.
 
 SPECS: Dict[str, List[Tuple]] = {
     "ArgMaxAttrs": [("axis", "i32", 0, None), ("keepdims", "bool", False, None)],
@@ -176,13 +184,13 @@ SPECS: Dict[str, List[Tuple]] = {
         ("pads", "uvec", None, None), ("strides", "uvec", None, None),
         ("count_include_pad", "bool", False, None), ("ceil_mode", "bool", False, None),
     ],
-    "BatchNormalizationAttrs": [("epsilon", "f32", 1e-5, None)],
-    "CastAttrs": [("to", "dtype", None, None)],
+    "BatchNormalizationAttrs": [("epsilon", "f32", 0.0, None)],
+    "CastAttrs": [("to", "dtype", DataType.Int32, None)],
     "ConcatAttrs": [("axis", "i32", 0, None)],
     # ConstantOfShapeAttrs handled specially (Scalar union).
     "ConvAttrs": [
         ("auto_pad", "u8e", 0, AUTO_PAD), ("pads", "uvec", None, None),
-        ("group", "u32", 1, None), ("strides", "uvec", None, None),
+        ("group", "u32", 0, None), ("strides", "uvec", None, None),
         ("dilations", "uvec", None, None),
     ],
     "ConvTransposeAttrs": [
@@ -190,17 +198,17 @@ SPECS: Dict[str, List[Tuple]] = {
         ("pads", "uvec", None, None), ("group", "u32", 1, None),
         ("output_padding", "uvec", None, None), ("dilations", "uvec", None, None),
     ],
-    "FlattenAttrs": [("axis", "i32", 1, None)],
+    "FlattenAttrs": [("axis", "i32", 0, None)],
     "GatherAttrs": [("axis", "i32", 0, None)],
     "GemmAttrs": [
-        ("alpha", "f32", 1.0, None), ("beta", "f32", 1.0, None),
+        ("alpha", "f32", 0.0, None), ("beta", "f32", 0.0, None),
         ("transA", "bool", False, None), ("transB", "bool", False, None),
     ],
     "GRUAttrs": [
         ("direction", "u8e", 0, RNN_DIRECTIONS), ("hidden_size", "u32", 0, None),
         ("linear_before_reset", "bool", False, None),
     ],
-    "LeakyReluAttrs": [("alpha", "f32", 0.01, None)],
+    "LeakyReluAttrs": [("alpha", "f32", 0.0, None)],
     "LSTMAttrs": [("direction", "u8e", 0, RNN_DIRECTIONS), ("hidden_size", "u32", 0, None)],
     "MaxPoolAttrs": [
         ("kernel_shape", "uvec", None, None), ("auto_pad", "u8e", 0, AUTO_PAD),
@@ -218,37 +226,37 @@ SPECS: Dict[str, List[Tuple]] = {
         ("nearest_mode", "u8e", 0, NEAREST_MODES),
     ],
     "SplitAttrs": [("axis", "i32", 0, None), ("num_outputs", "i32", None, None)],
-    "SoftmaxAttrs": [("axis", "i32", -1, None)],
+    "SoftmaxAttrs": [("axis", "i32", 0, None)],
     "TransposeAttrs": [("perm", "uvec", None, None)],
     "ModAttrs": [("fmod", "bool", False, None)],
     "ScatterElementsAttrs": [
         ("axis", "i32", 0, None), ("reduction", "u8e", 0, SCATTER_REDUCTIONS),
     ],
-    "OneHotAttrs": [("axis", "i32", -1, None)],
+    "OneHotAttrs": [("axis", "i32", 0, None)],
     "TopKAttrs": [
-        ("axis", "i32", -1, None), ("largest", "bool", True, None),
-        ("sorted", "bool", True, None),
+        ("axis", "i32", 0, None), ("largest", "bool", False, None),
+        ("sorted", "bool", False, None),
     ],
-    "HardSigmoidAttrs": [("alpha", "f32", 0.2, None), ("beta", "f32", 0.5, None)],
-    "TriluAttrs": [("upper", "bool", True, None)],
+    "HardSigmoidAttrs": [("alpha", "f32", 0.0, None), ("beta", "f32", 0.0, None)],
+    "TriluAttrs": [("upper", "bool", False, None)],
     "ScatterNDAttrs": [("reduction", "u8e", 0, SCATTER_REDUCTIONS)],
     "NonMaxSuppressionAttrs": [("center_point_box", "u8e", 0, None)],
-    "LayerNormalizationAttrs": [("axis", "i32", -1, None), ("epsilon", "f32", 1e-5, None)],
+    "LayerNormalizationAttrs": [("axis", "i32", 0, None), ("epsilon", "f32", 0.0, None)],
     "RandomUniformAttrs": [
-        ("shape", "uvec", None, None), ("high", "f32", 1.0, None),
+        ("shape", "uvec", None, None), ("high", "f32", 0.0, None),
         ("low", "f32", 0.0, None), ("seed", "f32", None, None),
     ],
-    "EluAttrs": [("alpha", "f32", 1.0, None)],
+    "EluAttrs": [("alpha", "f32", 0.0, None)],
     "RandomUniformLikeAttrs": [
-        ("high", "f32", 1.0, None), ("low", "f32", 0.0, None),
+        ("high", "f32", 0.0, None), ("low", "f32", 0.0, None),
         ("seed", "f32", None, None),
     ],
     "RandomNormalAttrs": [
-        ("mean", "f32", 0.0, None), ("scale", "f32", 1.0, None),
+        ("mean", "f32", 0.0, None), ("scale", "f32", 0.0, None),
         ("seed", "f32", None, None), ("shape", "uvec", None, None),
     ],
     "RandomNormalLikeAttrs": [
-        ("mean", "f32", 0.0, None), ("scale", "f32", 1.0, None),
+        ("mean", "f32", 0.0, None), ("scale", "f32", 0.0, None),
         ("seed", "f32", None, None),
     ],
     "GatherNDAttrs": [("batch_dims", "i32", 0, None)],
@@ -256,8 +264,8 @@ SPECS: Dict[str, List[Tuple]] = {
     "EinsumAttrs": [("equation", "str", None, None)],
     "IfAttrs": [("then_branch", "graph", None, None), ("else_branch", "graph", None, None)],
     "PadAttrs": [("mode", "u8e", 0, PAD_MODES)],
-    "DequantizeLinearAttrs": [("axis", "i32", 1, None)],
-    "QuantizeLinearAttrs": [("axis", "i32", 1, None), ("output_dtype", "dtype", None, None)],
+    "DequantizeLinearAttrs": [("axis", "i32", 0, None)],
+    "QuantizeLinearAttrs": [("axis", "i32", 0, None), ("output_dtype", "dtype", None, None)],
     "DepthToSpaceAttrs": [("mode", "u8e", 0, DTS_MODES), ("blocksize", "u32", 0, None)],
     "CastLikeAttrs": [],
     "ShapeAttrs": [("start", "i32", None, None), ("end", "i32", None, None)],
@@ -270,7 +278,7 @@ SPECS: Dict[str, List[Tuple]] = {
     "SplitToSequenceAttrs": [("axis", "i32", 0, None), ("keepdims", "bool", True, None)],
     "GridSampleAttrs": [("align_corners", "bool", False, None)],
     "STFTAttrs": [("onesided", "bool", True, None)],
-    "MultinomialAttrs": [("sample_size", "i32", 1, None), ("seed", "f32", None, None)],
+    "MultinomialAttrs": [("sample_size", "i32", 0, None), ("seed", "f32", None, None)],
     "ReverseSequenceAttrs": [("batch_axis", "i32", 1, None), ("time_axis", "i32", 0, None)],
     "DFTAttrs": [("inverse", "bool", False, None), ("onesided", "bool", False, None)],
     "UpsampleAttrs": [("mode", "u8e", 0, RESIZE_MODES)],
@@ -354,6 +362,42 @@ OP_TO_ATTRS: Dict[str, str] = {
 }
 
 
+# ONNX defaults that differ from the schema.fbs field defaults. rten-convert
+# materializes ONNX defaults at convert time (op_reader.get_attr(name, dflt)),
+# so values like Gemm alpha=1.0 are physically present in reference-written
+# files. Our writer must do the same: an attrs dict that omits these (because
+# the ONNX export relied on the spec default) gets them written explicitly,
+# otherwise the reference's generated accessors would decode the schema
+# default (0/0.0/false) and change semantics.
+ONNX_WRITE_DEFAULTS: Dict[str, Dict[str, Any]] = {
+    "ArgMaxAttrs": {"keepdims": True},
+    "ConvAttrs": {"group": 1},
+    "ConvTransposeAttrs": {"group": 1},
+    "BatchNormalizationAttrs": {"epsilon": 1e-5},
+    "FlattenAttrs": {"axis": 1},
+    "GemmAttrs": {"alpha": 1.0, "beta": 1.0},
+    "LeakyReluAttrs": {"alpha": 0.01},
+    "SoftmaxAttrs": {"axis": -1},
+    "OneHotAttrs": {"axis": -1},
+    "TopKAttrs": {"axis": -1, "largest": True, "sorted": True},
+    "HardSigmoidAttrs": {"alpha": 0.2, "beta": 0.5},
+    "TriluAttrs": {"upper": True},
+    "LayerNormalizationAttrs": {"axis": -1, "epsilon": 1e-5},
+    "RandomUniformAttrs": {"high": 1.0, "low": 0.0},
+    "RandomUniformLikeAttrs": {"high": 1.0, "low": 0.0},
+    "RandomNormalAttrs": {"mean": 0.0, "scale": 1.0},
+    "RandomNormalLikeAttrs": {"mean": 0.0, "scale": 1.0},
+    "EluAttrs": {"alpha": 1.0},
+    "DequantizeLinearAttrs": {"axis": 1},
+    "QuantizeLinearAttrs": {"axis": 1},
+    "MultinomialAttrs": {"sample_size": 1},
+    "ReduceMeanAttrs": {"keepdims": True},
+    "ResizeAttrs": {"nearest_mode": "round_prefer_floor"},
+    "SplitToSequenceAttrs": {"keepdims": True},
+    "STFTAttrs": {"onesided": True},
+}
+
+
 def _decode_attrs(name: str, t: Optional[FbTable], load_graph) -> Dict[str, Any]:
     """Decode one attrs table into our ONNX-named attrs dict."""
     attrs: Dict[str, Any] = {}
@@ -431,13 +475,18 @@ def load_rten(data: bytes | memoryview) -> Tuple[Graph, Dict[str, str]]:
             raise RtenFormatError("corrupt header offsets")
         model_buf = buf[md_off : md_off + md_len]
         tensor_data: Optional[memoryview] = memoryview(buf)[td_off:]
-    elif buf[4:8] == b"RTEN":
+    else:
+        # V1: the whole file is the flatbuffers model. rten-convert's V1
+        # output carries NO file identifier (serialize_model calls
+        # builder.Finish without one, converter.py:1392), so the only
+        # V1 signature is "header magic absent + parseable buffer" —
+        # the same fallback the reference loader uses.
         model_buf = buf
         tensor_data = None
-    else:
-        raise RtenFormatError("not a .rten file (bad magic)")
 
     root_pos = struct.unpack_from("<I", model_buf, 0)[0]
+    if root_pos + 4 > len(model_buf):
+        raise RtenFormatError("not a .rten file (bad root offset)")
     model = FbTable(model_buf, root_pos)
     graph_t = model.table(1)
     if graph_t is None:
@@ -819,6 +868,9 @@ def _encode_attrs(b, table_name: str, attrs: Dict[str, Any], alloc_tensor) -> Op
         return b.EndObject()
 
     spec = SPECS[table_name]
+    write_defaults = ONNX_WRITE_DEFAULTS.get(table_name)
+    if write_defaults:
+        attrs = {**write_defaults, **attrs}
     # Pre-build offset-typed fields.
     prebuilt: Dict[int, int] = {}
     for slot, (attr_name, kind, default, enum) in enumerate(spec):

@@ -117,9 +117,10 @@ def _hard_swish(ctx, inputs, attrs):
 
 @register("Swish")
 def _swish(ctx, inputs, attrs):
-    # rten fused Swish with beta (src/optimize/fusions.rs Swish).
+    # rten fused Swish (src/optimize/fusions.rs Swish{alpha}); ORT contrib
+    # calls the same scale "beta" — accept either spelling.
     x = get_input(inputs, 0)
-    beta = attrs.get("beta", 1.0)
+    beta = attrs.get("beta", attrs.get("alpha", 1.0))
     return x * jax.nn.sigmoid(beta * x)
 
 

@@ -46,6 +46,7 @@ class Request:                    # cancellation must not match look-alikes
     done: bool = False
     cancelled: bool = False
     timed_out: bool = False
+    error: Optional[str] = None
     submitted_at: float = 0.0
     first_token_at: Optional[float] = None
     finished_at: Optional[float] = None
@@ -140,7 +141,14 @@ class ContinuousBatchingEngine:
         self.max_queue = max_queue
         self._req_counter = itertools.count()
         self._last_step_s: Optional[float] = None
+        # Completed requests awaiting collection. Batch callers read this
+        # via run(); long-running servers must drain_finished() so it can't
+        # grow without bound. stats() percentiles come from the bounded
+        # windows below, so draining doesn't lose observability.
         self.finished: List[Request] = []
+        self.finished_count = 0
+        self._ttft_window: deque = deque(maxlen=2048)
+        self._latency_window: deque = deque(maxlen=2048)
         self.steps = 0
         self.decode_tokens = 0
 
@@ -270,6 +278,8 @@ class ContinuousBatchingEngine:
         # Validate here, not in _prefill: a bad request must fail at submit
         # time instead of crashing the serving loop mid-step (losing every
         # in-flight request).
+        if len(prompt) == 0:
+            raise ValueError("prompt must contain at least one token")
         if len(prompt) > self.capacity - max_new_tokens:
             raise ValueError(
                 f"prompt ({len(prompt)} tokens) + max_new_tokens "
@@ -290,6 +300,14 @@ class ContinuousBatchingEngine:
         self.queue.append(req)
         return req
 
+    def _finish(self, req: Request):
+        self.finished.append(req)
+        self.finished_count += 1
+        if req.ttft_s is not None:
+            self._ttft_window.append(req.ttft_s)
+        if req.finished_at is not None:
+            self._latency_window.append(req.finished_at - req.submitted_at)
+
     def cancel(self, req: Request) -> bool:
         """Cancel a queued or running request. Queued requests never run;
         running ones free their slot at the next bookkeeping point."""
@@ -300,7 +318,7 @@ class ContinuousBatchingEngine:
             self.queue.remove(req)
             req.done = True
             req.finished_at = time.perf_counter()
-            self.finished.append(req)
+            self._finish(req)
             return True
         return True  # slot freed on next drain (_expire_and_cancel)
 
@@ -319,7 +337,7 @@ class ContinuousBatchingEngine:
                 req.timed_out = expired and not req.cancelled
                 req.done = True
                 req.finished_at = now
-                self.finished.append(req)
+                self._finish(req)
                 self.slot_req[slot] = None
                 self.slot_len[slot] = 0
         # Expire queued requests too.
@@ -329,7 +347,7 @@ class ContinuousBatchingEngine:
                 req.timed_out = True
                 req.done = True
                 req.finished_at = now
-                self.finished.append(req)
+                self._finish(req)
 
     def health(self) -> Dict:
         """Liveness probe (SURVEY.md section 5 'failure detection': serving
@@ -391,14 +409,10 @@ class ContinuousBatchingEngine:
         """Aggregate serving metrics (rten Metrics analog, per-engine)."""
         import statistics
 
-        ttfts = [r.ttft_s for r in self.finished if r.ttft_s is not None]
-        lat = [
-            r.finished_at - r.submitted_at
-            for r in self.finished
-            if r.finished_at is not None
-        ]
+        ttfts = list(self._ttft_window)
+        lat = list(self._latency_window)
         return {
-            "finished_requests": len(self.finished),
+            "finished_requests": self.finished_count,
             "decode_tokens": self.decode_tokens,
             "decode_steps": self.steps,
             "ttft_p50_s": statistics.median(ttfts) if ttfts else None,
@@ -412,6 +426,46 @@ class ContinuousBatchingEngine:
         while self.has_work():
             self.step()
         return self.finished
+
+    def drain_finished(self) -> List[Request]:
+        """Pop and return all completed requests. Long-running callers (the
+        HTTP serving loop) use this instead of reading ``finished`` so the
+        list — and the per-step completion rescan — stay bounded."""
+        out, self.finished = self.finished, []
+        return out
+
+    def fail_inflight(self, error: str) -> List[Request]:
+        """Fail every queued and running request with ``error`` (used when a
+        step raises: in-flight state is unrecoverable, but waiters must be
+        released instead of hanging). Device caches are reset like restart().
+        Returns the failed requests."""
+        failed = []
+        now = time.perf_counter()
+        for slot in range(self.slots):
+            req = self.slot_req[slot]
+            if req is not None:
+                req.error = error
+                req.done = True
+                req.finished_at = now
+                self._finish(req)
+                failed.append(req)
+                self.slot_req[slot] = None
+        while self.queue:
+            req = self.queue.popleft()
+            req.error = error
+            req.done = True
+            req.finished_at = now
+            self._finish(req)
+            failed.append(req)
+        self.slot_len[:] = 0
+        self.slot_last_tok[:] = 0
+        self._inflight = None
+        self._dev_state = None
+        self.caches = [
+            jnp.zeros((self.slots,) + tail, dtype)
+            for tail, dtype in self._cache_alloc
+        ]
+        return failed
 
     # -- internals -----------------------------------------------------------
 
@@ -577,7 +631,7 @@ class ContinuousBatchingEngine:
         ) >= req.max_new_tokens:
             req.done = True
             req.finished_at = time.perf_counter()
-            self.finished.append(req)
+            self._finish(req)
             self.slot_req[slot] = None
             self.slot_len[slot] = 0
 

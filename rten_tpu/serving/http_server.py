@@ -43,8 +43,16 @@ class EngineLoop:
             with self._lock:
                 has = self.engine.has_work()
                 if has:
-                    self.engine.step()
-                    for req in self.engine.finished:
+                    # A step() exception must not kill this thread: every
+                    # later /generate would then hang for its full wait_s.
+                    # Fail the in-flight requests instead (they get a 500)
+                    # and keep serving.
+                    try:
+                        self.engine.step()
+                    except Exception as e:  # noqa: BLE001 — engine state is
+                        # unrecoverable mid-step; surface to waiters.
+                        self.engine.fail_inflight(repr(e))
+                    for req in self.engine.drain_finished():
                         ev = self._done_events.pop(req.request_id, None)
                         if ev is not None:
                             ev.set()
@@ -136,6 +144,10 @@ def make_handler(loop: EngineLoop):
                 return
             except TimeoutError as e:
                 self._json(504, {"error": str(e)})
+                return
+            if req.error is not None:
+                self._json(500, {"error": req.error,
+                                 "request_id": req.request_id})
                 return
             self._json(200, {
                 "request_id": req.request_id,

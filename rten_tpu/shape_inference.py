@@ -771,22 +771,259 @@ def _r_stft(op, ins, g=None):
 
 @rule("Einsum")
 def _r_einsum(op, ins, g=None):
-    eq = op.attrs.get("equation", "")
-    if "->" not in eq:
-        return [(ins[0][0], None)]
-    lhs, rhs = eq.split("->")
-    terms = [t.strip() for t in lhs.split(",")]
-    dim_map = {}
+    """Symbolic einsum shapes: explicit AND implicit (no '->') equations,
+    ellipsis broadcasting, repeated labels. Mirrors the reference's
+    einsum parser semantics (rten-shape-inference/src/einsum_parser.rs:
+    implicit output = labels appearing exactly once, sorted, after the
+    broadcast ellipsis)."""
+    eq = op.attrs.get("equation", "").replace(" ", "")
+    if "->" in eq:
+        lhs, rhs = eq.split("->")
+    else:
+        lhs, rhs = eq, None
+    terms = lhs.split(",")
+    dt = next((d for d, _ in ins if d is not None), None)
+
+    dim_map: Dict[str, Dim] = {}
+    ell_shape: Shape = None
+    ell_unknown = False
+
+    def merge(ch, d):
+        prev = dim_map.get(ch)
+        if prev is None or prev == 1:
+            dim_map[ch] = d
+        # conflicting concrete dims: leave the first (runtime will error)
+
     for term, (_, sh) in zip(terms, ins):
-        if sh is None or "..." in term:
+        if sh is None:
+            if "..." in term:
+                ell_unknown = True
             continue
-        for ch, d in zip(term, sh):
-            dim_map.setdefault(ch, d)
-    rhs = rhs.strip()
+        if "..." in term:
+            head, tail = term.split("...")
+            n_ell = len(sh) - len(head) - len(tail)
+            if n_ell < 0:
+                return [(dt, None)]
+            ell = tuple(sh[len(head): len(sh) - len(tail)])
+            if ell_shape is None:
+                ell_shape = ell
+            else:
+                try:
+                    ell_shape = broadcast_shapes(ell_shape, ell)
+                except ShapeError:
+                    ell_unknown = True
+            for ch, d in zip(head, sh[: len(head)]):
+                merge(ch, d)
+            for ch, d in zip(tail, sh[len(sh) - len(tail):]):
+                merge(ch, d)
+        else:
+            for ch, d in zip(term, sh):
+                merge(ch, d)
+
+    if rhs is None:
+        # Implicit form: ellipsis first, then labels appearing exactly once
+        # across all terms, in sorted order (numpy.einsum convention).
+        counts: Dict[str, int] = {}
+        for term in terms:
+            for ch in term.replace(".", ""):
+                counts[ch] = counts.get(ch, 0) + 1
+        rhs = ("..." if any("..." in t for t in terms) else "") + "".join(
+            sorted(ch for ch, n in counts.items() if n == 1)
+        )
+
+    out: List[Dim] = []
     if "..." in rhs:
-        return [(ins[0][0], None)]
-    out = tuple(dim_map.get(ch) for ch in rhs)
-    return [(ins[0][0], out)]
+        head, tail = rhs.split("...")
+        if ell_unknown or ell_shape is None:
+            return [(dt, None)]
+        out.extend(dim_map.get(ch) for ch in head)
+        out.extend(ell_shape)
+        out.extend(dim_map.get(ch) for ch in tail)
+    else:
+        out = [dim_map.get(ch) for ch in rhs]
+    return [(dt, tuple(out))]
+
+
+@rule("AddSoftmax")
+def _r_add_softmax(op, ins, g=None):
+    dt = ins[0][0]
+    return [(dt, broadcast_shapes(ins[0][1], ins[1][1]))]
+
+
+@rule("BiasGelu")
+def _r_bias_gelu(op, ins, g=None):
+    dt = ins[0][0]
+    return [(dt, broadcast_shapes(ins[0][1], ins[1][1]))]
+
+
+@rule("Constant")
+def _r_constant(op, ins, g=None):
+    for key in ("value", "value_float", "value_int", "value_floats",
+                "value_ints"):
+        if key in op.attrs:
+            a = np.asarray(op.attrs[key])
+            return [(DataType.from_np(a.dtype), tuple(int(d) for d in a.shape))]
+    return [(None, None)]
+
+
+@rule("GatherND")
+def _r_gather_nd(op, ins, g=None):
+    dt, data = ins[0]
+    _, idx = ins[1]
+    if data is None or idx is None:
+        return [(dt, None)]
+    b = int(op.attrs.get("batch_dims", 0))
+    last = idx[-1]
+    if not isinstance(last, int):
+        return [(dt, None)]
+    # out = indices[:-1] ++ data[b + last :]
+    return [(dt, tuple(idx[:-1]) + tuple(data[b + last:]))]
+
+
+@rule("DFT")
+def _r_dft(op, ins, g=None):
+    dt, sh = ins[0]
+    if sh is None:
+        return [(dt, None)]
+    axis_vals = _const_ints(g, op, 2)
+    axis = int(axis_vals[0]) if axis_vals else int(op.attrs.get("axis", 1))
+    axis = axis + len(sh) if axis < 0 else axis
+    out = list(sh)
+    out[-1] = 2  # complex output
+    n_vals = _const_ints(g, op, 1)
+    if n_vals:
+        out[axis] = int(n_vals[0])
+    if op.attrs.get("onesided"):
+        d = out[axis]
+        out[axis] = d // 2 + 1 if isinstance(d, int) else None
+    return [(dt, tuple(out))]
+
+
+# --- sequences ---------------------------------------------------------------
+# A sequence value's "shape" is unknown at the tensor level (it is a list
+# of tensors); rules propagate the ELEMENT dtype so downstream tensor ops
+# still see types (reference models sequences the same way).
+
+@rule("SequenceEmpty")
+def _r_sequence_empty(op, ins, g=None):
+    return [(op.attrs.get("dtype"), None)]
+
+
+@rule("SequenceConstruct", "SequenceInsert", "SequenceErase",
+      "SplitToSequence")
+def _r_sequence_like(op, ins, g=None):
+    dt = next((d for d, _ in ins if d is not None), None)
+    return [(dt, None)]
+
+
+@rule("SequenceAt")
+def _r_sequence_at(op, ins, g=None):
+    return [(ins[0][0], None)]
+
+
+@rule("SequenceLength")
+def _r_sequence_length(op, ins, g=None):
+    return [(DataType.Int32, ())]
+
+
+@rule("ConcatFromSequence")
+def _r_concat_from_sequence(op, ins, g=None):
+    return [(ins[0][0], None)]
+
+
+# --- control flow ------------------------------------------------------------
+
+def _capture_overrides(sub, g) -> Dict[str, Shape]:
+    """Shapes for a subgraph's captures, read from the outer graph's node
+    annotations (infer walks in plan order, so capture producers were
+    already annotated)."""
+    overrides: Dict[str, Shape] = {}
+    if g is None:
+        return overrides
+    for name in sub.captures:
+        oid = g.find_node(name)
+        node = g.nodes.get(oid) if oid is not None else None
+        shape = getattr(node, "shape", None)
+        if shape is not None:
+            overrides[name] = tuple(shape)
+    return overrides
+
+
+def _merge_info(a: Info, b: Info) -> Info:
+    dt = a[0] if a[0] == b[0] else None
+    if a[1] is None or b[1] is None or len(a[1]) != len(b[1]):
+        return (dt, None)
+    dims = tuple(x if x == y else None for x, y in zip(a[1], b[1]))
+    return (dt, dims)
+
+
+@rule("If")
+def _r_if(op, ins, g=None):
+    """Recurse into both branches (reference infers control-op shapes,
+    rten-shape-inference/src/ops/): output = per-dim agreement of the
+    then/else branch outputs."""
+    branch_infos = []
+    for key in ("then_branch", "else_branch"):
+        sub = op.attrs.get(key)
+        if sub is None:
+            return [(None, None)] * len(op.outputs)
+        sub_info = infer_shapes(sub, overrides=_capture_overrides(sub, g))
+        branch_infos.append([
+            sub_info.get(oid, (None, None)) for oid in sub.output_ids
+        ])
+    then_i, else_i = branch_infos
+    n = len(op.outputs)
+    outs = []
+    for i in range(n):
+        a = then_i[i] if i < len(then_i) else (None, None)
+        b = else_i[i] if i < len(else_i) else (None, None)
+        outs.append(_merge_info(a, b))
+    return outs
+
+
+@rule("Loop")
+def _r_loop(op, ins, g=None):
+    body = op.attrs.get("body")
+    if body is None:
+        return [(None, None)] * len(op.outputs)
+    n_deps = max(len(op.inputs) - 2, 0)
+    overrides = _capture_overrides(body, g)
+    # Body inputs: iteration count (scalar i32), condition (scalar bool),
+    # then the N loop-carried deps with the Loop op's dep shapes.
+    names = [getattr(body.nodes.get(i), "name", None) for i in body.input_ids]
+    if len(names) >= 1 and names[0]:
+        overrides[names[0]] = ()
+    if len(names) >= 2 and names[1]:
+        overrides[names[1]] = ()
+    for i in range(n_deps):
+        if len(names) > 2 + i and names[2 + i] and ins[2 + i][1] is not None:
+            overrides[names[2 + i]] = tuple(ins[2 + i][1])
+    body_info = infer_shapes(body, overrides=overrides)
+    body_outs = [body_info.get(oid, (None, None)) for oid in body.output_ids]
+    # Loop outputs: final deps, then scan outputs stacked along a new
+    # leading axis whose extent is the executed trip count — static only
+    # when the trip count is constant and there is no early-exit condition.
+    trip_vals = _const_ints(g, op, 0)
+    cond_in = op.inputs[1] if len(op.inputs) > 1 else None
+    trip: Dim = (
+        int(trip_vals[0]) if trip_vals and cond_in is None else None
+    )
+    outs: List[Info] = []
+    for i in range(n_deps):
+        bi = body_outs[1 + i] if 1 + i < len(body_outs) else (None, None)
+        # The dep's shape must be loop-invariant; prefer the input shape.
+        outs.append(bi if ins[2 + i][1] is None else (bi[0] or ins[2 + i][0], ins[2 + i][1]))
+    for j in range(1 + n_deps, len(body_outs)):
+        dt, sh = body_outs[j]
+        outs.append((dt, ((trip,) + tuple(sh)) if sh is not None else None))
+    return outs
+
+
+@rule("QuantizedKVAttention")
+def _r_quantized_kv_attention(op, ins, g=None):
+    # outputs: out [B,S,H*D] f32, new_k_q8, new_k_scales, new_v_q8,
+    # new_v_scales (cache buffers pass through shapes; ops/attention.py:323).
+    return [(DataType.Float, ins[0][1]), ins[3], ins[4], ins[5], ins[6]]
 
 
 # --- symbolic VALUE tracking ------------------------------------------------
