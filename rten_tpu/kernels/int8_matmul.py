@@ -88,6 +88,31 @@ def _divisor_block(dim: int, limit: int, align: int = 128):
     return best
 
 
+def _skinny_blocks(M: int, K: int, N: int):
+    """Block choice for decode-shape (small-M) calls.
+
+    At M<=64 the matmul is pure weight streaming; the dominant kernel cost
+    is per-grid-step overhead, not FLOPs. The round-2 default blocks gave
+    e.g. 27 grid steps for a [16,768]x[768,2304] call (~90us/call — slower
+    than the XLA dot, which forced the pallas_int8_min_m routing
+    concession). Here: full-K blocks (no K loop, no accumulator revisits)
+    and wide N blocks sized to ~2MB of weight per step, so a GPT-2 decode
+    matmul runs in 1-4 grid steps (the weights-stationary GEMV analog of
+    rten's gemv fast path, rten-gemm/src/lib.rs:668,875-890).
+
+    Returns (bm, bk, bn) or None when the shape doesn't fit the pattern
+    (K not lane-aligned, or the weight block would blow VMEM).
+    """
+    if K % 128 != 0 or K > 8192:
+        return None
+    # Target ~4MB int8 weight block: VMEM is ~16MB and pallas double-buffers.
+    limit_n = max(128, (4 * 1024 * 1024 // K) // 128 * 128)
+    bn = _divisor_block(N, limit_n)
+    if bn is None:
+        bn = min(limit_n, round_up(N, 128))
+    return round_up(M, 32), K, bn
+
+
 def int8_matmul_dequant(
     a,
     b,
@@ -157,9 +182,13 @@ def int8_matmul_dequant(
     # Tile-align. int8 min tile is (32, 128); f32 out is (8, 128). Prefer
     # divisor blocks for K/N: padding the weight operand would write+read a
     # full padded copy of it every call.
-    bm = min(block_m, round_up(M, 32))
-    bn = _divisor_block(N, block_n) or min(block_n, round_up(N, 128))
-    bk = _divisor_block(K, block_k) or min(block_k, round_up(K, 128))
+    skinny = _skinny_blocks(M, K, N) if M <= 64 else None
+    if skinny is not None:
+        bm, bk, bn = skinny
+    else:
+        bm = min(block_m, round_up(M, 32))
+        bn = _divisor_block(N, block_n) or min(block_n, round_up(N, 128))
+        bk = _divisor_block(K, block_k) or min(block_k, round_up(K, 128))
     Mp, Np, Kp = round_up(M, bm), round_up(N, bn), round_up(K, bk)
     a_p = pad_dim(pad_dim(a, 0, Mp), 1, Kp)
     b_p = pad_dim(pad_dim(b, 0, Kp), 1, Np)

@@ -992,7 +992,12 @@ def prepack_int8_weights(g: Graph) -> bool:
             b = b_node.array
             b_name = b_node.name or "w"
             K, N = b.shape
-            Np = ((N + 127) // 128) * 128
+            # Lane alignment is 128; very wide weights (lm_head) also pad
+            # to 2048 so the decode kernel gets LARGE divisor blocks —
+            # N=50257 pads to 51200 (2048*25) instead of 50304 (128*393,
+            # 393=3*131: largest usable divisor block only 384 cols).
+            align = 2048 if N >= 8192 else 128
+            Np = -(-N // align) * align
             will_pad = Np != N
             # Padding N requires padding any per-column zero-point vector
             # alongside (the kernel reshapes it to [1, Np]); with a runtime

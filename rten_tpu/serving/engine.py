@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..generate.sampler import ArgMaxSampler, Sampler
+from ..generate.sampler import ArgMaxSampler, DeviceSampler, Sampler
 
 
 class QueueFull(Exception):
@@ -70,8 +70,10 @@ class ContinuousBatchingEngine:
         capacity: int = 512,
         prefill_bucket: int = 64,
         sampler: Optional[Sampler] = None,
+        device_sampler: Optional[DeviceSampler] = None,
         greedy_on_device: bool = False,
         steps_per_dispatch: int = 1,
+        dispatches_per_drain: int = 1,
         pipeline_dispatch: bool = False,
         chunked_prefill: bool = False,
         max_queue: Optional[int] = None,
@@ -89,6 +91,13 @@ class ContinuousBatchingEngine:
         self.capacity = capacity
         self.prefill_bucket = prefill_bucket
         self.sampler = sampler or ArgMaxSampler()
+        # On-device sampling (temperature/top-k/top-p + categorical) inside
+        # the fused k-step scan; host-side mirror for admission steps.
+        self.device_sampler = device_sampler
+        self._host_rng = (
+            np.random.default_rng(device_sampler.seed)
+            if device_sampler is not None else None
+        )
         self.params = dict(params) if params else None
 
         # Discover cache buffers from graph IO: every input named
@@ -123,7 +132,7 @@ class ContinuousBatchingEngine:
         # [slots, T, V] logits (XLA prunes the logits transfer entirely).
         self.greedy_on_device = (
             greedy_on_device and self.g.find_node("next_token") is not None
-            and sampler is None
+            and sampler is None and device_sampler is None
         )
         tok_out = "next_token" if self.greedy_on_device else "logits"
         self.out_ids = [self.g.find_node(tok_out)] + [
@@ -178,8 +187,22 @@ class ContinuousBatchingEngine:
         # lax.scan, one dispatch per k*slots tokens (amortizes host/tunnel
         # round-trip latency — the dominant cost of per-token dispatch).
         self.steps_per_dispatch = (
-            steps_per_dispatch if self.greedy_on_device else 1
+            steps_per_dispatch
+            if (self.greedy_on_device or self.device_sampler is not None)
+            else 1
         )
+        self._dev_key = (
+            self.device_sampler.init_key()
+            if self.device_sampler is not None else None
+        )
+        # Issue up to D device-chained dispatches between host reads: each
+        # extra dispatch costs one execute but ZERO host<->device syncs (the
+        # dominant per-dispatch cost on remote runtimes is the sync, not the
+        # execute — BASELINE.md round-2 probe: executes 0.02-0.12ms, syncs
+        # ~15-40ms). Tokens past a request's eos/max_new are computed and
+        # discarded (eos-lagged reads), so D is capped by the minimum
+        # remaining budget across active slots to bound waste.
+        self.dispatches_per_drain = max(1, dispatches_per_drain)
         self._multi_step = None
         if self.steps_per_dispatch > 1:
             self._multi_step = self._build_multi_step(self.steps_per_dispatch)
@@ -197,11 +220,12 @@ class ContinuousBatchingEngine:
         executor = self.executor
         in_ids = self.in_ids
         cache_ids = self.cache_ids
-        out_ids = self.out_ids  # [next_token, presents...]
+        out_ids = self.out_ids  # [next_token | logits, presents...]
+        ds = self.device_sampler
 
-        def fn(weights: Dict, caches, toks, lens):
+        def fn(weights: Dict, caches, toks, lens, key):
             def body(carry, _):
-                caches, toks, lens = carry
+                caches, toks, lens, key = carry
                 env = dict(weights)
                 env[in_ids["input_ids"]] = toks[:, None]
                 env[in_ids["past_lens"]] = lens
@@ -209,15 +233,21 @@ class ContinuousBatchingEngine:
                 for nid, c in zip(cache_ids, caches):
                     env[nid] = c
                 outs = executor.trace(env, out_ids)
-                new_toks = outs[0][:, 0].astype(jnp.int32)
-                return (tuple(outs[1:]), new_toks, lens + 1), new_toks
+                if ds is not None:
+                    # outs[0] is [slots, 1, V] logits; sample on device so
+                    # temperature/top-k/top-p serving keeps the fused k-step
+                    # dispatch (PRNG key chained through the scan carry).
+                    new_toks, key = ds.sample(outs[0][:, 0], key)
+                else:
+                    new_toks = outs[0][:, 0].astype(jnp.int32)
+                return (tuple(outs[1:]), new_toks, lens + 1, key), new_toks
 
-            (caches, toks, lens), tok_seq = jax.lax.scan(
-                body, (tuple(caches), toks, lens), None, length=k
+            (caches, toks, lens, key), tok_seq = jax.lax.scan(
+                body, (tuple(caches), toks, lens, key), None, length=k
             )
-            # Return the chained (toks, lens) so the NEXT dispatch can be
-            # issued without a host round trip (pipeline_dispatch).
-            return caches, toks, lens, tok_seq.T  # [slots, k]
+            # Return the chained (toks, lens, key) so the NEXT dispatch can
+            # be issued without a host round trip (pipeline_dispatch).
+            return caches, toks, lens, key, tok_seq.T  # [slots, k]
 
         # Donate the caches (arg 1) so updates stay in place.
         return jax.jit(fn, donate_argnums=(1,))
@@ -232,10 +262,15 @@ class ContinuousBatchingEngine:
             lens = jnp.asarray(self.slot_len)
         else:
             toks, lens = self._dev_state
-        caches, toks2, lens2, tok_seq = self._multi_step(
-            w, self.caches, toks, lens
+        key = self._dev_key if self._dev_key is not None else jnp.zeros(
+            2, jnp.uint32
+        )
+        caches, toks2, lens2, key2, tok_seq = self._multi_step(
+            w, self.caches, toks, lens, key
         )
         self.caches = list(caches)
+        if self._dev_key is not None:
+            self._dev_key = key2
         self._dev_state = (toks2, lens2)
         active = [s for s in range(self.slots) if self.slot_req[s] is not None]
         self._inflight = (tok_seq, active, self.steps_per_dispatch)
@@ -299,6 +334,14 @@ class ContinuousBatchingEngine:
         )
         self.queue.append(req)
         return req
+
+    def _host_sample(self, logits: np.ndarray) -> np.ndarray:
+        """Sample [B, V] logits on host: the device sampler's numpy mirror
+        when configured (same filters, engine-owned rng), else the plain
+        Sampler."""
+        if self.device_sampler is not None:
+            return self.device_sampler.sample_host(logits, self._host_rng)
+        return self.sampler.sample(logits)
 
     def _finish(self, req: Request):
         self.finished.append(req)
@@ -382,6 +425,9 @@ class ContinuousBatchingEngine:
         requeued = []
         self._inflight = None
         self._dev_state = None
+        if self.device_sampler is not None:
+            self._dev_key = self.device_sampler.init_key()
+            self._host_rng = np.random.default_rng(self.device_sampler.seed)
         for slot in range(self.slots):
             req = self.slot_req[slot]
             if req is not None:
@@ -576,7 +622,7 @@ class ContinuousBatchingEngine:
             if self.greedy_on_device:
                 tok = int(s)
             else:
-                tok = int(self.sampler.sample(s[None])[0])
+                tok = int(self._host_sample(s[None])[0])
             req.first_token_at = now
             req.generated.append(tok)
             self.slot_req[slot] = req
@@ -611,7 +657,7 @@ class ContinuousBatchingEngine:
             if self.greedy_on_device:
                 tok = int(sel[slot])
             else:
-                tok = int(self.sampler.sample(sel[slot][None])[0])
+                tok = int(self._host_sample(sel[slot][None])[0])
             req.first_token_at = now
             req.generated.append(tok)
             self.slot_req[slot] = req
@@ -691,8 +737,26 @@ class ContinuousBatchingEngine:
             # runtimes); host state is only re-materialized after admissions
             # (which reset _dev_state).
             self._drain_inflight()
-            self._issue_multi(from_host=self._dev_state is None)
-            self._drain_inflight()
+            d = 1
+            if self.dispatches_per_drain > 1:
+                remaining = min(
+                    self.slot_req[s].max_new_tokens
+                    - len(self.slot_req[s].generated)
+                    for s in active
+                )
+                room = min(
+                    (self.capacity - 2 - int(self.slot_len[s])) // k
+                    for s in active
+                )
+                d = max(1, min(self.dispatches_per_drain,
+                               -(-remaining // k), room))
+            recs = []
+            for _ in range(d):
+                self._issue_multi(from_host=self._dev_state is None)
+                recs.append(self._inflight)
+                self._inflight = None
+            for rec in recs:
+                self._drain_record(rec)
             return
         # 2b. One decode step for every slot (inactive slots compute garbage
         #    into their own cache rows, overwritten at next admission).
@@ -712,7 +776,7 @@ class ContinuousBatchingEngine:
             toks = np.asarray(outs[0])[active, 0]
         else:
             logits = np.asarray(outs[0])[:, 0]  # [slots, V]
-            toks = self.sampler.sample(logits[active])
+            toks = self._host_sample(logits[active])
         self.steps += 1
         for tok, slot in zip(toks, active):
             req = self.slot_req[slot]

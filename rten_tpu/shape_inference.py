@@ -93,15 +93,22 @@ _BOOL_OUT = {"Greater", "GreaterOrEqual", "Less", "LessOrEqual", "Equal",
 
 @rule(*_ELEMENTWISE)
 def _r_elementwise(op, ins, g=None):
+    # An operand of UNKNOWN shape poisons the result: its rank could exceed
+    # every known operand's, so "broadcast of the known ones" would be a
+    # wrong (rank-collapsed) shape — Shape-of-Add chains then fold to bogus
+    # constants inside subgraphs whose captures are unannotated.
     shape = None
     dtype = None
-    first = True
+    unknown = False
     for dt, sh in ins:
-        if sh is not None:
-            shape = sh if first or shape is None else broadcast_shapes(shape, sh)
-            first = False
+        if sh is None:
+            unknown = True
+        elif not unknown:
+            shape = sh if shape is None else broadcast_shapes(shape, sh)
         if dtype is None:
             dtype = dt
+    if unknown:
+        shape = None
     if op.op_type in _BOOL_OUT:
         dtype = DataType.Bool
     return [(dtype, shape)]
@@ -1229,6 +1236,14 @@ def infer_shapes_and_values(
         while len(outs) < len(op.outputs):
             outs.append((None, None))
         for out_id, (dt, sh) in zip(op.outputs, outs):
+            # A rule returning unknown must not DISCARD a more precise
+            # pre-existing annotation (loader value_info or a previous
+            # inference pass with capture overrides).
+            prev_dt, prev_sh = info.get(out_id, (None, None))
+            if sh is None:
+                sh = prev_sh
+            if dt is None:
+                dt = prev_dt
             info[out_id] = (dt, sh)
             node = g.nodes.get(out_id)
             if isinstance(node, Value):

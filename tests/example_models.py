@@ -194,3 +194,118 @@ def export_ocr_models(enc_path, dec_path):
                 dynamic_axes={"image": {0: "b"}})
     dec = export_merged_decoder(dec_path, vocab=64, E=32, H=4)
     return enc, dec
+
+
+class TinyVocoder(nn.Module):
+    """Piper/HiFiGAN-class mel->waveform vocoder: ConvTranspose1d upsample
+    stack with residual conv blocks and a tanh head (the graph class the
+    reference's piper TTS demo exercises, rten-examples/src/piper.rs)."""
+
+    def __init__(self, n_mels=20, ch=32, rates=(4, 4)):
+        super().__init__()
+        self.pre = nn.Conv1d(n_mels, ch, 7, padding=3)
+        ups, res = [], []
+        c = ch
+        for r in rates:
+            ups.append(nn.ConvTranspose1d(c, c // 2, 2 * r, stride=r,
+                                          padding=r // 2))
+            c //= 2
+            res.append(nn.Sequential(
+                nn.Conv1d(c, c, 3, padding=1),
+                nn.LeakyReLU(0.1),
+                nn.Conv1d(c, c, 3, padding=2, dilation=2),
+            ))
+        self.ups = nn.ModuleList(ups)
+        self.res = nn.ModuleList(res)
+        self.post = nn.Conv1d(c, 1, 7, padding=3)
+        self.upsample = 1
+        for r in rates:
+            self.upsample *= r
+
+    def forward(self, mel):
+        h = self.pre(mel)
+        for up, res in zip(self.ups, self.res):
+            h = up(torch.nn.functional.leaky_relu(h, 0.1))
+            h = h + res(h)
+        return torch.tanh(self.post(h))  # [B, 1, T * upsample]
+
+
+def export_vocoder_model(path):
+    mel = torch.randn(1, 20, 32)
+    return _export(TinyVocoder(), (mel,), path, ["mel"], ["waveform"],
+                   {"mel": {0: "b", 2: "t"}})
+
+
+class TinyVad(nn.Module):
+    """Silero-class streaming voice-activity model: small conv feature
+    extractor + LSTM whose (h, c) state is an explicit input/output so the
+    caller streams fixed-size chunks (rten-examples/src/silero.rs IO
+    convention)."""
+
+    def __init__(self, ch=16, hidden=32):
+        super().__init__()
+        self.conv1 = nn.Conv1d(1, ch, 5, stride=4, padding=2)
+        self.conv2 = nn.Conv1d(ch, 2 * ch, 3, stride=2, padding=1)
+        self.rnn = nn.LSTM(2 * ch, hidden, batch_first=True)
+        self.head = nn.Linear(hidden, 1)
+
+    def forward(self, audio, h, c):
+        f = torch.relu(self.conv1(audio[:, None]))
+        f = torch.relu(self.conv2(f)).transpose(1, 2)  # [B, T', 2ch]
+        out, (h2, c2) = self.rnn(f, (h, c))
+        prob = torch.sigmoid(self.head(out[:, -1]))[:, 0]
+        return prob, h2, c2
+
+
+def export_vad_model(path, hidden=32):
+    audio = torch.randn(1, 512)
+    h = torch.zeros(1, 1, hidden)
+    c = torch.zeros(1, 1, hidden)
+    return _export(TinyVad(hidden=hidden), (audio, h, c), path,
+                   ["audio", "h", "c"], ["prob", "hn", "cn"],
+                   {"audio": {0: "b"}, "h": {1: "b"}, "c": {1: "b"}})
+
+
+class ClipImageEncoder(nn.Module):
+    def __init__(self, E=32):
+        super().__init__()
+        self.c1 = nn.Conv2d(3, 16, 3, stride=2, padding=1)
+        self.c2 = nn.Conv2d(16, 32, 3, stride=2, padding=1)
+        self.proj = nn.Linear(32, E)
+
+    def forward(self, image):
+        h = torch.relu(self.c1(image))
+        h = torch.relu(self.c2(h))
+        emb = self.proj(h.mean((2, 3)))
+        return emb / emb.norm(dim=-1, keepdim=True)
+
+
+class ClipTextEncoder(nn.Module):
+    def __init__(self, E=32):
+        super().__init__()
+        self.trunk = TinyEncoder(E=E)
+        self.proj = nn.Linear(E, E)
+
+    def forward(self, input_ids, attention_mask):
+        h = self.trunk(input_ids, attention_mask)
+        m = attention_mask[..., None].float()
+        pooled = (h * m).sum(1) / m.sum(1).clamp(min=1)
+        emb = self.proj(pooled)
+        return emb / emb.norm(dim=-1, keepdim=True)
+
+
+def export_clip_models(img_path, txt_path, E=32):
+    """CLIP-style dual encoder (rten-examples/src/clip.rs zero-shot
+    classification: joint image/text embedding space)."""
+    torch.manual_seed(2)
+    img_m = ClipImageEncoder(E).eval()
+    txt_m = ClipTextEncoder(E).eval()
+    export_onnx(img_m, (torch.randn(1, 3, 32, 32),), img_path,
+                ["image"], ["image_embeds"], dynamic_axes={"image": {0: "b"}})
+    ids = torch.zeros(2, 12, dtype=torch.int64)
+    mask = torch.ones(2, 12, dtype=torch.int64)
+    export_onnx(txt_m, (ids, mask), txt_path,
+                ["input_ids", "attention_mask"], ["text_embeds"],
+                dynamic_axes={"input_ids": {0: "b", 1: "t"},
+                              "attention_mask": {0: "b", 1: "t"}})
+    return img_m, txt_m
