@@ -29,7 +29,7 @@ PROMPT_LEN = 128
 NEW_TOKENS = 64
 SLOTS = int(os.environ.get("RTEN_BENCH_SLOTS", "16"))
 CAPACITY = int(os.environ.get("RTEN_BENCH_CAP", "256"))
-WAVE = 32              # timed requests
+WAVE = int(os.environ.get("RTEN_BENCH_WAVE", "32"))  # timed requests
 # fused on-device decode steps per dispatch
 STEPS_PER_DISPATCH = int(os.environ.get("RTEN_BENCH_K", "64"))
 
@@ -45,6 +45,8 @@ def build_engine(capacity=None, kv_quant=False, device_sampler=None,
     from rten_tpu.serving import ContinuousBatchingEngine
 
     capacity = capacity or CAPACITY
+    if os.environ.get("RTEN_BENCH_KV", "") == "int8":
+        kv_quant = True
     cfg = gpt2.GPT2Config(n_layer=N_LAYER)
     weights = gpt2.random_weights(cfg, seed=0)
     graph = gpt2.build_graph_static_cache(
@@ -119,15 +121,33 @@ def device_time_us(trace_dir: str) -> float:
     t = json.load(gzip.open(sorted(traces)[-1]))
     events = t["traceEvents"]
     pids = {}
+    tids = {}
     for e in events:
         if e.get("ph") == "M" and e.get("name") == "process_name":
             pids[e["pid"]] = e["args"].get("name", "")
+        elif e.get("ph") == "M" and e.get("name") == "thread_name":
+            tids[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
     device_pids = {p for p, n in pids.items() if "TPU" in n.upper()}
-    return sum(
-        e.get("dur", 0.0)
-        for e in events
-        if e.get("ph") == "X" and e["pid"] in device_pids
-    )
+    # Sum the "XLA Modules" lane: module execution spans = device busy
+    # time. The "XLA Ops" lane NESTS inside it (while-loop spans contain
+    # their body ops), so summing every device event double-counts.
+    module_lanes = {
+        key for key, n in tids.items()
+        if key[0] in device_pids and "module" in n.lower()
+    }
+    if module_lanes:
+        return sum(
+            e.get("dur", 0.0)
+            for e in events
+            if e.get("ph") == "X" and (e["pid"], e.get("tid")) in module_lanes
+        )
+    # Fallback: busiest single device lane.
+    per_lane: dict = {}
+    for e in events:
+        if e.get("ph") == "X" and e["pid"] in device_pids:
+            key = (e["pid"], e.get("tid"))
+            per_lane[key] = per_lane.get(key, 0.0) + e.get("dur", 0.0)
+    return max(per_lane.values(), default=0.0)
 
 
 def measure_device_step(engine, k: int) -> float:

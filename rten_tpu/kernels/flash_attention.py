@@ -252,6 +252,210 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref,
         out_ref[0, 0] = (acc_ref[:] / l).astype(out_ref.dtype)
 
 
+def _decode_kernel_folded(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                          out_ref, m_ref, l_ref, acc_ref, *, scale: float,
+                          S: int, cap: int, block_k: int, quant: bool,
+                          group: int):
+    """All heads of one slot per grid step (grid = B x key-blocks).
+
+    The per-head variant runs a B*H*blocks grid of tiny steps; at decode
+    shapes the fixed per-grid-step cost dominated the whole serving step
+    (~60-70%% of device time at slots=16). Folding the head loop into the
+    kernel amortizes that cost H-fold: scores for every head come from ONE
+    batched dot_general per step."""
+    b = pl.program_id(0)
+    kb = pl.program_id(1)
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]               # [H, bq, D]
+    k = k_ref[0]               # [Hkv, bk, D]
+    H, bq, D = q.shape
+    Hkv = k.shape[0]
+    if group > 1:
+        # GQA: queries grouped per KV head (heads are kv-major).
+        q = q.reshape(Hkv, group * bq, D)
+    s = jax.lax.dot_general(
+        q, k.astype(q.dtype),
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale                  # [Hkv, group*bq, bk]
+    if quant:
+        s = s * ks_ref[0]      # [Hkv, 1, bk] K scales on the lanes
+    gq = s.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (Hkv, gq, block_k), 1) % bq
+    col = kb * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (Hkv, gq, block_k), 2
+    )
+    valid = (col <= lens_ref[b] + row) & (col < cap) & (row < S)
+    s = jnp.where(valid, s, NEG_INF)
+
+    m_prev = m_ref[:].reshape(Hkv, gq, 1)
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=2, keepdims=True))
+    p = jnp.exp(s - m_new)
+    p = jnp.where(jnp.broadcast_to(m_new, s.shape) <= NEG_INF / 2, 0.0, p)
+    alpha = jnp.where(m_prev <= NEG_INF / 2, 0.0, jnp.exp(m_prev - m_new))
+    l_new = l_ref[:].reshape(Hkv, gq, 1) * alpha + jnp.sum(
+        p, axis=2, keepdims=True
+    )
+    l_ref[:] = l_new.reshape(Hkv * gq, 1)
+    if quant:
+        p = p * vs_ref[0]      # [Hkv, 1, bk] V scales on p's lanes
+    pv = jax.lax.dot_general(
+        p, v_ref[0].astype(jnp.float32),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                          # [Hkv, gq, D]
+    acc_ref[:] = (
+        acc_ref[:].reshape(Hkv, gq, D) * alpha + pv
+    ).reshape(Hkv * gq, D)
+    m_ref[:] = m_new.reshape(Hkv * gq, 1)
+
+    @pl.when(kb == pl.num_programs(1) - 1)
+    def _():
+        l = l_ref[:]
+        l = jnp.where(l == 0.0, 1.0, l)
+        out = (acc_ref[:] / l).reshape(Hkv, gq // bq, bq, D)
+        out_ref[0] = out.reshape(H, bq, D).astype(out_ref.dtype)
+
+
+def _decode_kernel_folded_loop(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                               out_ref, m_ref, l_ref, acc_ref, *,
+                               scale: float, S: int, cap: int, block_k: int,
+                               quant: bool, group: int):
+    """Head-folded decode attention with an UNROLLED per-head loop of 2-D
+    ops (no batched dot_general — Mosaic compiles 3-D dots pathologically
+    slowly). Same grid/semantics as _decode_kernel_folded."""
+    b = pl.program_id(0)
+    kb = pl.program_id(1)
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    H = q_ref.shape[1]
+    bq = q_ref.shape[2]
+    row = jax.lax.broadcasted_iota(jnp.int32, (bq, block_k), 0)
+    col = kb * block_k + jax.lax.broadcasted_iota(
+        jnp.int32, (bq, block_k), 1
+    )
+    valid = (col <= lens_ref[b] + row) & (col < cap) & (row < S)
+
+    for h in range(H):  # static unroll: one grid step covers every head
+        kvh = h // group
+        q = q_ref[0, h]                  # [bq, D]
+        k = k_ref[0, kvh]                # [bk, D]
+        s = jax.lax.dot_general(
+            q, k.astype(q.dtype), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                        # [bq, bk]
+        if quant:
+            s = s * ks_ref[0, kvh]       # [1, bk]
+        s = jnp.where(valid, s, NEG_INF)
+        sl = slice(h * bq, (h + 1) * bq)
+        m_prev = m_ref[sl]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        p = jnp.where(jnp.broadcast_to(m_new, s.shape) <= NEG_INF / 2, 0.0, p)
+        alpha = jnp.where(m_prev <= NEG_INF / 2, 0.0, jnp.exp(m_prev - m_new))
+        l_ref[sl] = l_ref[sl] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        if quant:
+            p = p * vs_ref[0, kvh]
+        acc_ref[sl] = acc_ref[sl] * alpha + jax.lax.dot_general(
+            p, v_ref[0, kvh].astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[sl] = m_new
+
+    @pl.when(kb == pl.num_programs(1) - 1)
+    def _():
+        l = l_ref[:]
+        l = jnp.where(l == 0.0, 1.0, l)
+        out = acc_ref[:] / l            # [H*bq, D]
+        out_ref[0] = out.reshape(H, bq, out.shape[-1]).astype(out_ref.dtype)
+
+
+def _decode_mha_folded(q, k, v, lens, k_scale, v_scale, *, scale, block_k,
+                       interpret):
+    B, H, S, D = q.shape
+    _, Hkv, cap, _ = k.shape
+    group = H // Hkv
+    quant = k_scale is not None
+    bq = round_up(S, 8)
+    bk = min(block_k, round_up(cap, 128))
+    capp = round_up(cap, bk)
+    Dp = D if D in (64, 128, 256, 512) else round_up(D, 128)
+    qp = pad_dim(pad_dim(q, 2, bq), 3, Dp)
+    kp = pad_dim(pad_dim(k, 2, capp), 3, Dp)
+    vp = pad_dim(pad_dim(v, 2, capp), 3, Dp)
+    if quant:
+        ksp = pad_dim(k_scale.reshape(B, Hkv, cap), 2, capp)[:, :, None, :]
+        vsp = pad_dim(v_scale.reshape(B, Hkv, cap), 2, capp)[:, :, None, :]
+    else:
+        ksp = jnp.ones((B, Hkv, 1, bk), jnp.float32)
+        vsp = jnp.ones((B, Hkv, 1, bk), jnp.float32)
+    sc_index = (
+        (lambda b, j, lens: (b, 0, 0, j))
+        if quant else (lambda b, j, lens: (b, 0, 0, 0))
+    )
+    grid = (B, capp // bk)
+    # "loop" (default): unrolled 2-D dots per head. "dot": one batched 3-D
+    # dot_general — semantically identical but Mosaic compiles it
+    # pathologically slowly (>10min for the GPT-2 decode shape).
+    body = (
+        _decode_kernel_folded
+        if os.environ.get("RTEN_DECODE_FOLD_MODE", "loop") == "dot"
+        else _decode_kernel_folded_loop
+    )
+    kernel = functools.partial(
+        body,
+        scale=float(scale), S=S, cap=cap, block_k=bk, quant=quant,
+        group=group,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, H, bq, Dp), lambda b, j, lens: (b, 0, 0, 0)),
+                pl.BlockSpec((1, Hkv, bk, Dp), lambda b, j, lens: (b, 0, j, 0)),
+                pl.BlockSpec((1, Hkv, bk, Dp), lambda b, j, lens: (b, 0, j, 0)),
+                pl.BlockSpec((1, Hkv, 1, bk), sc_index),
+                pl.BlockSpec((1, Hkv, 1, bk), sc_index),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, H, bq, Dp), lambda b, j, lens: (b, 0, 0, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((H * bq, 1), jnp.float32),
+                pltpu.VMEM((H * bq, 1), jnp.float32),
+                pltpu.VMEM((H * bq, Dp), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, bq, Dp), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * bq * capp * Dp,
+            bytes_accessed=(
+                B * H * bq * Dp * 8
+                + 2 * B * Hkv * capp * Dp * (1 if quant else 4)
+            ),
+            transcendentals=B * H * bq * capp,
+        ),
+        interpret=interpret,
+    )(jnp.asarray(lens, jnp.int32), qp, kp, vp, ksp, vsp)
+    return out[:, :, :S, :D]
+
+
 def decode_mha(
     q, k, v, lens,
     k_scale=None, v_scale=None,
@@ -279,6 +483,21 @@ def decode_mha(
     if scale is None:
         scale = 1.0 / float(np.sqrt(D))
     quant = k_scale is not None
+
+    # Head-folded variant: at decode shapes (S small) the per-head grid's
+    # fixed per-step cost dominated the serving step; fold every head into
+    # one grid step per (slot, key-block). Opt out with
+    # RTEN_DECODE_FOLD_HEADS=0 (keeps the per-head grid, e.g. for very
+    # large H*cap where a folded block would not fit VMEM).
+    if (
+        S <= 8
+        and os.environ.get("RTEN_DECODE_FOLD_HEADS", "1") != "0"
+        and H * round_up(S, 8) * max(D, 64) <= 64 * 1024
+    ):
+        return _decode_mha_folded(
+            q, k, v, lens, k_scale, v_scale,
+            scale=scale, block_k=block_k, interpret=interpret,
+        )
 
     bq = round_up(S, 8)
     bk = min(block_k, round_up(cap, 128))

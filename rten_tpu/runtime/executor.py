@@ -50,11 +50,14 @@ class RunConfig:
     use_pallas_int4: bool = True
     use_flash_attention: bool = True
     # Route int8 matmuls with fewer than this many rows to the XLA integer
-    # dot instead of the Pallas kernel: at decode shapes (M=16) the kernel
-    # launch overhead exceeds the compute (round-2 device trace: ~90us/call
-    # across 48 calls/step; serving A/B: 4,457 -> 5,205 tok/s with 64).
-    # Prefill/batch shapes (M >= 64) keep the fused Pallas kernel.
-    pallas_int8_min_m: int = 64
+    # dot instead of the Pallas kernel. Round 2 needed 64 here (the default
+    # blocks gave 27+ tiny grid steps, ~90us/call at M=16); round 3's
+    # skinny-M blocks (kernels/int8_matmul.py _skinny_blocks: full-K,
+    # ~4MB-weight blocks, 1-4 grid steps) made the kernel match-or-beat the
+    # XLA dot at decode shapes (per-matmul scan A/B 363 vs 396us across the
+    # GPT-2 set; serving headline 5,200 vs 5,205 tok/s), so the concession
+    # is retired. 0 = always use the Pallas kernel.
+    pallas_int8_min_m: int = 0
     # Flip low-precision matmuls to bf16 (accuracy/perf tradeoff; f32 default
     # matches the reference's numerics).
     prefer_bf16: bool = False
