@@ -309,3 +309,129 @@ def export_clip_models(img_path, txt_path, E=32):
                 dynamic_axes={"input_ids": {0: "b", 1: "t"},
                               "attention_mask": {0: "b", 1: "t"}})
     return img_m, txt_m
+
+
+class SamPromptDecoder(nn.Module):
+    """Prompted mask decoder (segment-anything analog): image embedding +
+    point prompts -> mask logits + IoU score. Point coords are embedded
+    with a random Fourier positional map (SAM's PositionEmbeddingRandom)."""
+
+    def __init__(self, E=32, grid=8):
+        super().__init__()
+        self.grid = grid
+        self.register_buffer("pos_mat", torch.randn(2, E // 2))
+        self.label_emb = nn.Embedding(2, E)
+        self.q1 = nn.Linear(E, E)
+        self.k1 = nn.Linear(E, E)
+        self.v1 = nn.Linear(E, E)
+        self.mask_head = nn.Linear(E, E)
+        self.iou_head = nn.Linear(E, 1)
+
+    def forward(self, image_embed, points, labels):
+        # image_embed: [B, E, g, g]; points: [B, P, 2] in [0,1]; labels [B, P]
+        B, E, g, _ = image_embed.shape
+        tokens = (
+            torch.sin(2.0 * torch.pi * points @ self.pos_mat)
+            .repeat_interleave(2, dim=-1)[..., :E]
+            + self.label_emb(labels)
+        )  # [B, P, E]
+        img = image_embed.reshape(B, E, g * g).transpose(1, 2)  # [B, g*g, E]
+        q = self.q1(tokens)
+        att = torch.softmax(q @ self.k1(img).transpose(-1, -2) / E ** 0.5, -1)
+        tokens = tokens + att @ self.v1(img)
+        mask_tok = self.mask_head(tokens.mean(1))  # [B, E]
+        mask = (img @ mask_tok[..., None]).reshape(B, 1, g, g)
+        mask = torch.nn.functional.interpolate(
+            mask, scale_factor=4, mode="bilinear", align_corners=False
+        )
+        return mask, self.iou_head(mask_tok)
+
+
+class SamImageEncoder(nn.Module):
+    def __init__(self, E=32):
+        super().__init__()
+        self.c1 = nn.Conv2d(3, 16, 3, stride=2, padding=1)
+        self.c2 = nn.Conv2d(16, E, 3, stride=2, padding=1)
+
+    def forward(self, image):
+        return self.c2(torch.relu(self.c1(image)))
+
+
+def export_sam_models(enc_path, dec_path, E=32):
+    """Segment-anything style two-model pipeline
+    (rten-examples/src/segment_anything.rs): heavy image encoder run once,
+    light prompt decoder re-run per point prompt."""
+    torch.manual_seed(4)
+    enc = SamImageEncoder(E).eval()
+    dec = SamPromptDecoder(E).eval()
+    export_onnx(enc, (torch.randn(1, 3, 32, 32),), enc_path,
+                ["image"], ["image_embed"], dynamic_axes={"image": {0: "b"}})
+    embed = torch.randn(1, E, 8, 8)
+    pts = torch.rand(1, 2, 2)
+    lbl = torch.ones(1, 2, dtype=torch.int64)
+    export_onnx(dec, (embed, pts, lbl), dec_path,
+                ["image_embed", "points", "labels"], ["mask", "iou"],
+                dynamic_axes={"points": {1: "p"}, "labels": {1: "p"}})
+    return enc, dec
+
+
+class RmbgModel(nn.Module):
+    """Background-removal matte net (BRIA RMBG analog): conv encoder ->
+    decoder with skip connection -> sigmoid alpha matte at input size."""
+
+    def __init__(self):
+        super().__init__()
+        self.e1 = nn.Conv2d(3, 16, 3, stride=2, padding=1)
+        self.e2 = nn.Conv2d(16, 32, 3, stride=2, padding=1)
+        self.d1 = nn.ConvTranspose2d(32, 16, 2, stride=2)
+        self.d2 = nn.ConvTranspose2d(16, 8, 2, stride=2)
+        self.out = nn.Conv2d(8, 1, 3, padding=1)
+
+    def forward(self, image):
+        s1 = torch.relu(self.e1(image))
+        h = torch.relu(self.e2(s1))
+        h = torch.relu(self.d1(h)) + s1
+        h = torch.relu(self.d2(h))
+        return torch.sigmoid(self.out(h))
+
+
+def export_rmbg_model(path):
+    """Background removal (rten-examples/src/rmbg.rs): image -> alpha
+    matte, composited to RGBA by the caller."""
+    torch.manual_seed(5)
+    m = RmbgModel().eval()
+    export_onnx(m, (torch.randn(1, 3, 32, 32),), path, ["image"], ["alpha"],
+                dynamic_axes={"image": {0: "b", 2: "h", 3: "w"}})
+    return m
+
+
+class ByteEncoder(nn.Module):
+    """Byte-level text encoder (ByT5 analog: vocab = 256 bytes + specials)."""
+
+    def __init__(self, E=32, layers=2, heads=4):
+        super().__init__()
+        self.trunk = TinyEncoder(vocab=259 + 3, E=E, layers=layers, heads=heads)
+
+    def forward(self, input_ids, attention_mask):
+        return self.trunk(input_ids, attention_mask)
+
+
+def export_g2p_models(enc_path, dec_path, E=32):
+    """ByT5-style g2p pair (rten-examples/src/byt5_g2p.rs): byte-level
+    encoder + merged decoder emitting phoneme bytes."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from merged_decoder_model import export_merged_decoder
+
+    torch.manual_seed(6)
+    enc = ByteEncoder(E).eval()
+    ids = torch.zeros(1, 8, dtype=torch.int64)
+    mask = torch.ones(1, 8, dtype=torch.int64)
+    export_onnx(enc, (ids, mask), enc_path,
+                ["input_ids", "attention_mask"], ["last_hidden_state"],
+                dynamic_axes={"input_ids": {0: "b", 1: "t"},
+                              "attention_mask": {0: "b", 1: "t"}})
+    dec = export_merged_decoder(dec_path, vocab=259 + 3, E=E)
+    return enc, dec

