@@ -1,0 +1,138 @@
+"""Microbench the serving decode-attention kernel at the headline shape
+and A/B experimental formulations (DMA floor, VPU-vectorized, etc.).
+
+Usage: python tools/bench_decode_attn.py [--slots 32] [--cap 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+if os.environ.get("RTEN_JAX_CACHE", "1") != "0":
+    jax.config.update("jax_compilation_cache_dir", "/tmp/rten_jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from rten_tpu.kernels.common import round_up
+from rten_tpu.kernels.flash_attention import decode_mha
+
+NEG_INF = -1e30
+
+
+def timed(fn, *args, iters=30):
+    out = jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e6, out
+
+
+# --- DMA floor: stream the whole KV through VMEM, one multiply+reduce ---
+def _floor_kernel(lens_ref, k_ref, v_ref, o_ref):
+    o_ref[0, 0] = jnp.sum(k_ref[0], axis=(0, 1)) + jnp.sum(v_ref[0], axis=(0, 1))
+
+
+def dma_floor(k, v, lens):
+    B, Hkv, cap, D = k.shape
+    return pl.pallas_call(
+        _floor_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, Hkv, cap, D), lambda b, lens: (b, 0, 0, 0)),
+                pl.BlockSpec((1, Hkv, cap, D), lambda b, lens: (b, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, D), lambda b, lens: (b, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, 1, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(lens, k, v)
+
+
+# --- VPU-vectorized: no per-head loop, elementwise mul + reduce ---
+def _vpu_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref, *, scale, cap):
+    b = pl.program_id(0)
+    q = q_ref[0, :, 0, :]                       # [H, D]
+    k = k_ref[0]                                # [H, cap, D]
+    v = v_ref[0]
+    H, D = q.shape
+    s = jnp.sum(q[:, None, :] * k, axis=2) * scale      # [H, cap]
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col <= lens_ref[b], s, NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=1, keepdims=True)
+    o = jnp.sum(p[:, :, None] * v, axis=1) / l          # [H, D]
+    o_ref[0, :, 0, :] = o
+
+
+def vpu_attn(q, k, v, lens, scale):
+    B, H, S, D = q.shape
+    cap = k.shape[2]
+    return pl.pallas_call(
+        functools.partial(_vpu_kernel, scale=scale, cap=cap),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B,),
+            in_specs=[
+                pl.BlockSpec((1, H, 1, D), lambda b, lens: (b, 0, 0, 0)),
+                pl.BlockSpec((1, H, cap, D), lambda b, lens: (b, 0, 0, 0)),
+                pl.BlockSpec((1, H, cap, D), lambda b, lens: (b, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, H, 1, D), lambda b, lens: (b, 0, 0, 0)),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, 1, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+    )(lens, q, k, v)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--slots", type=int, default=32)
+    ap.add_argument("--cap", type=int, default=256)
+    ap.add_argument("--heads", type=int, default=12)
+    ap.add_argument("--d", type=int, default=64)
+    args = ap.parse_args()
+    B, H, cap, D = args.slots, args.heads, args.cap, args.d
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, cap, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, cap, D)), jnp.float32)
+    lens = jnp.asarray(rng.integers(cap // 2, cap - 2, B), jnp.int32)
+    scale = 1.0 / float(np.sqrt(D))
+    kv_mb = 2 * B * H * cap * D * 4 / 1e6
+    print(f"shape B={B} H={H} cap={cap} D={D}; KV={kv_mb:.0f}MB "
+          f"-> floor {kv_mb/819e3*1e6:.1f}us at 819GB/s")
+
+    t, ref = timed(jax.jit(lambda *a: decode_mha(*a, scale=scale)), q, k, v, lens)
+    print(f"current folded-loop kernel: {t:7.1f} us  ({kv_mb/t*1e6/1e3:.0f} GB/s)")
+
+    t, _ = timed(jax.jit(dma_floor), k, v, lens)
+    print(f"pure DMA floor (same layout): {t:7.1f} us  ({kv_mb/t*1e6/1e3:.0f} GB/s)")
+
+    t, got = timed(jax.jit(lambda *a: vpu_attn(*a, scale)), q, k, v, lens)
+    err = float(jnp.max(jnp.abs(got - ref)))
+    print(f"VPU-vectorized kernel:      {t:7.1f} us  ({kv_mb/t*1e6/1e3:.0f} GB/s)  maxerr {err:.2e}")
+
+
+if __name__ == "__main__":
+    main()

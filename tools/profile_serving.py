@@ -90,6 +90,8 @@ def main():
     for p in prompts:
         engine.submit(p, max_new_tokens=2)
     engine.run()  # warmup/compile
+    fit = (bench.CAPACITY - bench.PROMPT_LEN - 2) // args.k
+    args.dispatches = max(1, min(args.dispatches, fit))
     for p in prompts:
         engine.submit(p, max_new_tokens=args.k * args.dispatches + 2)
     engine.step()  # admit
@@ -121,6 +123,25 @@ def main():
                 f"{100*dur/tot:5.1f}%  {name}"
             )
         print(f"  total leaf: {tot/steps:.1f} us/step over {steps} steps")
+        # closed_call = Pallas kernel launches; cluster durations to
+        # attribute time to individual kernels (names are all identical).
+        durs = sorted(
+            e.get("dur", 0.0)
+            for e in lanes[ops_lane]
+            if e.get("name", "").startswith("closed_call")
+        )
+        if durs:
+            print("\nclosed_call duration clusters (us):")
+            clusters = []
+            for d in durs:
+                if clusters and d <= clusters[-1][1] * 1.25:
+                    lo, hi, n = clusters[-1]
+                    clusters[-1] = (lo, max(hi, d), n + 1)
+                else:
+                    clusters.append((d, d, 1))
+            for lo, hi, n in clusters:
+                print(f"  {lo:7.1f}-{hi:7.1f} us  x{n/steps:7.2f}/step  "
+                      f"= {n * (lo + hi) / 2 / steps:7.1f} us/step")
 
 
 if __name__ == "__main__":
