@@ -38,7 +38,8 @@ _BASELINE_CACHE = os.path.join(_HERE, "bench_baseline.json")
 
 
 def build_engine(capacity=None, kv_quant=False, device_sampler=None,
-                 steps_per_dispatch=None, dispatches_per_drain=1):
+                 steps_per_dispatch=None, dispatches_per_drain=1,
+                 deferred_kv=None):
     from rten_tpu.model import Model, ModelOptions
     from rten_tpu.models import gpt2
     from rten_tpu.quantize_pass import quantize_dynamic
@@ -49,8 +50,11 @@ def build_engine(capacity=None, kv_quant=False, device_sampler=None,
         kv_quant = True
     cfg = gpt2.GPT2Config(n_layer=N_LAYER)
     weights = gpt2.random_weights(cfg, seed=0)
+    if deferred_kv is None:
+        deferred_kv = os.environ.get("RTEN_BENCH_DEFERRED_KV", "1") != "0"
     graph = gpt2.build_graph_static_cache(
-        cfg, weights, capacity=capacity, kv_quant=kv_quant
+        cfg, weights, capacity=capacity, kv_quant=kv_quant,
+        deferred_kv=deferred_kv,
     )
     if os.environ.get("RTEN_BENCH_QUANT", "int8") == "int4":
         from rten_tpu.quantize_pass import quantize_weight_only_int4

@@ -252,10 +252,12 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref,
         out_ref[0, 0] = (acc_ref[:] / l).astype(out_ref.dtype)
 
 
-def _decode_kernel_folded(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-                          out_ref, m_ref, l_ref, acc_ref, *, scale: float,
-                          S: int, cap: int, block_k: int, quant: bool,
-                          group: int):
+def _decode_kernel_folded(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
+                          vs_ref, rk_ref, rv_ref, out_ref, m_ref, l_ref,
+                          acc_ref, *, scale: float, S: int, cap: int,
+                          block_k: int, quant: bool, group: int,
+                          recent: int):
+    assert recent == 0, "deferred-KV requires the loop-mode kernel"
     """All heads of one slot per grid step (grid = B x key-blocks).
 
     The per-head variant runs a B*H*blocks grid of tiny steps; at decode
@@ -323,13 +325,22 @@ def _decode_kernel_folded(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
         out_ref[0] = out.reshape(H, bq, D).astype(out_ref.dtype)
 
 
-def _decode_kernel_folded_loop(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
-                               out_ref, m_ref, l_ref, acc_ref, *,
-                               scale: float, S: int, cap: int, block_k: int,
-                               quant: bool, group: int):
+def _decode_kernel_folded_loop(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
+                               vs_ref, rk_ref, rv_ref, out_ref, m_ref, l_ref,
+                               acc_ref, *, scale: float, S: int, cap: int,
+                               block_k: int, quant: bool, group: int,
+                               recent: int):
     """Head-folded decode attention with an UNROLLED per-head loop of 2-D
     ops (no batched dot_general — Mosaic compiles 3-D dots pathologically
-    slowly). Same grid/semantics as _decode_kernel_folded."""
+    slowly). Same grid/semantics as _decode_kernel_folded.
+
+    ``recent`` > 0 enables the deferred-KV window (serving engine): the
+    big cache holds only rows < lens[b] (tokens committed before the
+    dispatch); rows generated in the current dispatch live in the small
+    rk/rv window buffers, valid up to t_ref[0] inclusive. This lets the
+    engine append new KV with ONE uniform-index dynamic_update_slice per
+    step and commit per-slot rows once per dispatch, instead of a per-slot
+    dus chain per step (round-3 trace: 558us/step of dus at slots=32)."""
     b = pl.program_id(0)
     kb = pl.program_id(1)
 
@@ -345,7 +356,32 @@ def _decode_kernel_folded_loop(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
     col = kb * block_k + jax.lax.broadcasted_iota(
         jnp.int32, (bq, block_k), 1
     )
-    valid = (col <= lens_ref[b] + row) & (col < cap) & (row < S)
+    if recent:
+        valid = (col < lens_ref[b]) & (col < cap) & (row < S)
+    else:
+        valid = (col <= lens_ref[b] + row) & (col < cap) & (row < S)
+    last = kb == pl.num_programs(1) - 1
+    if recent:
+        rkp = rk_ref.shape[2]
+        row_r = jax.lax.broadcasted_iota(jnp.int32, (bq, rkp), 0)
+        col_r = jax.lax.broadcasted_iota(jnp.int32, (bq, rkp), 1)
+        valid_r = (col_r <= t_ref[0]) & (col_r < recent) & (row_r < S)
+
+    def online_update(h, s, v_block, vs_row):
+        sl = slice(h * bq, (h + 1) * bq)
+        m_prev = m_ref[sl]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        p = jnp.where(jnp.broadcast_to(m_new, s.shape) <= NEG_INF / 2, 0.0, p)
+        alpha = jnp.where(m_prev <= NEG_INF / 2, 0.0, jnp.exp(m_prev - m_new))
+        l_ref[sl] = l_ref[sl] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        if vs_row is not None:
+            p = p * vs_row
+        acc_ref[sl] = acc_ref[sl] * alpha + jax.lax.dot_general(
+            p, v_block.astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_ref[sl] = m_new
 
     for h in range(H):  # static unroll: one grid step covers every head
         kvh = h // group
@@ -358,22 +394,24 @@ def _decode_kernel_folded_loop(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
         if quant:
             s = s * ks_ref[0, kvh]       # [1, bk]
         s = jnp.where(valid, s, NEG_INF)
-        sl = slice(h * bq, (h + 1) * bq)
-        m_prev = m_ref[sl]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        p = jnp.where(jnp.broadcast_to(m_new, s.shape) <= NEG_INF / 2, 0.0, p)
-        alpha = jnp.where(m_prev <= NEG_INF / 2, 0.0, jnp.exp(m_prev - m_new))
-        l_ref[sl] = l_ref[sl] * alpha + jnp.sum(p, axis=1, keepdims=True)
-        if quant:
-            p = p * vs_ref[0, kvh]
-        acc_ref[sl] = acc_ref[sl] * alpha + jax.lax.dot_general(
-            p, v_ref[0, kvh].astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        m_ref[sl] = m_new
+        online_update(h, s, v_ref[0, kvh], vs_ref[0, kvh] if quant else None)
 
-    @pl.when(kb == pl.num_programs(1) - 1)
+    if recent:
+        # The current dispatch's uncommitted rows (always f32, no scales).
+        @pl.when(last)
+        def _():
+            for h in range(H):
+                kvh = h // group
+                q = q_ref[0, h]
+                s = jax.lax.dot_general(
+                    q, rk_ref[0, kvh].astype(q.dtype),
+                    (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale                # [bq, rkp]
+                s = jnp.where(valid_r, s, NEG_INF)
+                online_update(h, s, rv_ref[0, kvh], None)
+
+    @pl.when(last)
     def _():
         l = l_ref[:]
         l = jnp.where(l == 0.0, 1.0, l)
@@ -382,7 +420,7 @@ def _decode_kernel_folded_loop(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
 
 
 def _decode_mha_folded(q, k, v, lens, k_scale, v_scale, *, scale, block_k,
-                       interpret):
+                       interpret, recent_k=None, recent_v=None, t=None):
     B, H, S, D = q.shape
     _, Hkv, cap, _ = k.shape
     group = H // Hkv
@@ -401,37 +439,51 @@ def _decode_mha_folded(q, k, v, lens, k_scale, v_scale, *, scale, block_k,
         ksp = jnp.ones((B, Hkv, 1, bk), jnp.float32)
         vsp = jnp.ones((B, Hkv, 1, bk), jnp.float32)
     sc_index = (
-        (lambda b, j, lens: (b, 0, 0, j))
-        if quant else (lambda b, j, lens: (b, 0, 0, 0))
+        (lambda b, j, *_: (b, 0, 0, j))
+        if quant else (lambda b, j, *_: (b, 0, 0, 0))
     )
+    recent = 0 if recent_k is None else recent_k.shape[2]
+    if recent:
+        rkp = round_up(recent, 8)
+        rkb = pad_dim(pad_dim(recent_k, 2, rkp), 3, Dp).astype(jnp.float32)
+        rvb = pad_dim(pad_dim(recent_v, 2, rkp), 3, Dp).astype(jnp.float32)
+        tvec = jnp.asarray(t, jnp.int32).reshape(1)
+    else:
+        rkp = 8
+        rkb = jnp.zeros((B, Hkv, rkp, Dp), jnp.float32)
+        rvb = jnp.zeros((B, Hkv, rkp, Dp), jnp.float32)
+        tvec = jnp.zeros(1, jnp.int32)
     grid = (B, capp // bk)
     # "loop" (default): unrolled 2-D dots per head. "dot": one batched 3-D
     # dot_general — semantically identical but Mosaic compiles it
     # pathologically slowly (>10min for the GPT-2 decode shape).
     body = (
         _decode_kernel_folded
-        if os.environ.get("RTEN_DECODE_FOLD_MODE", "loop") == "dot"
+        if (os.environ.get("RTEN_DECODE_FOLD_MODE", "loop") == "dot"
+            and not recent)
         else _decode_kernel_folded_loop
     )
     kernel = functools.partial(
         body,
         scale=float(scale), S=S, cap=cap, block_k=bk, quant=quant,
-        group=group,
+        group=group, recent=recent,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((1, H, bq, Dp), lambda b, j, lens: (b, 0, 0, 0)),
-                pl.BlockSpec((1, Hkv, bk, Dp), lambda b, j, lens: (b, 0, j, 0)),
-                pl.BlockSpec((1, Hkv, bk, Dp), lambda b, j, lens: (b, 0, j, 0)),
+                pl.BlockSpec((1, H, bq, Dp), lambda b, j, *_: (b, 0, 0, 0)),
+                pl.BlockSpec((1, Hkv, bk, Dp), lambda b, j, *_: (b, 0, j, 0)),
+                pl.BlockSpec((1, Hkv, bk, Dp), lambda b, j, *_: (b, 0, j, 0)),
                 pl.BlockSpec((1, Hkv, 1, bk), sc_index),
                 pl.BlockSpec((1, Hkv, 1, bk), sc_index),
+                pl.BlockSpec((1, Hkv, rkp, Dp), lambda b, j, *_: (b, 0, 0, 0)),
+                pl.BlockSpec((1, Hkv, rkp, Dp), lambda b, j, *_: (b, 0, 0, 0)),
             ],
             out_specs=pl.BlockSpec(
-                (1, H, bq, Dp), lambda b, j, lens: (b, 0, 0, 0)
+                (1, H, bq, Dp), lambda b, j, *_: (b, 0, 0, 0)
             ),
             scratch_shapes=[
                 pltpu.VMEM((H * bq, 1), jnp.float32),
@@ -444,15 +496,16 @@ def _decode_mha_folded(q, k, v, lens, k_scale, v_scale, *, scale, block_k,
             dimension_semantics=("parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * bq * capp * Dp,
+            flops=4 * B * H * bq * (capp + rkp) * Dp,
             bytes_accessed=(
                 B * H * bq * Dp * 8
                 + 2 * B * Hkv * capp * Dp * (1 if quant else 4)
+                + 2 * B * Hkv * rkp * Dp * 4
             ),
-            transcendentals=B * H * bq * capp,
+            transcendentals=B * H * bq * (capp + rkp),
         ),
         interpret=interpret,
-    )(jnp.asarray(lens, jnp.int32), qp, kp, vp, ksp, vsp)
+    )(jnp.asarray(lens, jnp.int32), tvec, qp, kp, vp, ksp, vsp, rkb, rvb)
     return out[:, :, :S, :D]
 
 
@@ -463,6 +516,7 @@ def decode_mha(
     scale: Optional[float] = None,
     block_k: int = 256,
     interpret: bool = False,
+    recent_k=None, recent_v=None, t=None,
 ):
     """Per-slot static-cache attention (the serving engine's hot path).
 
@@ -489,7 +543,7 @@ def decode_mha(
     # one grid step per (slot, key-block). Opt out with
     # RTEN_DECODE_FOLD_HEADS=0 (keeps the per-head grid, e.g. for very
     # large H*cap where a folded block would not fit VMEM).
-    if (
+    if recent_k is not None or (
         S <= 8
         and os.environ.get("RTEN_DECODE_FOLD_HEADS", "1") != "0"
         and H * round_up(S, 8) * max(D, 64) <= 64 * 1024
@@ -497,6 +551,7 @@ def decode_mha(
         return _decode_mha_folded(
             q, k, v, lens, k_scale, v_scale,
             scale=scale, block_k=block_k, interpret=interpret,
+            recent_k=recent_k, recent_v=recent_v, t=t,
         )
 
     bq = round_up(S, 8)
@@ -566,7 +621,8 @@ def decode_mha(
     return out[:, :, :S, :D]
 
 
-def decode_mha_xla(q, k, v, lens, k_scale=None, v_scale=None, *, scale=None):
+def decode_mha_xla(q, k, v, lens, k_scale=None, v_scale=None, *, scale=None,
+                   recent_k=None, recent_v=None, t=None):
     """XLA reference for decode_mha (CPU fallback + test golden)."""
     B, H, S, D = q.shape
     cap = k.shape[2]
@@ -577,16 +633,38 @@ def decode_mha_xla(q, k, v, lens, k_scale=None, v_scale=None, *, scale=None):
         vf = vf * v_scale.reshape(B, v.shape[1], cap, 1)
     lens = jnp.asarray(lens, jnp.int32).reshape(B)
     j = jnp.arange(cap)[None, None, None, :]
+    if recent_k is not None:
+        # Deferred-KV: big cache valid strictly below lens; the current
+        # dispatch's rows live in the recent window, valid up to t.
+        rk = recent_k.shape[2]
+        mask_c = jnp.where(
+            j < lens[:, None, None, None], 0.0, NEG_INF
+        ).astype(jnp.float32)
+        jr = jnp.arange(rk)[None, None, None, :]
+        mask_r = jnp.broadcast_to(
+            jnp.where(jr <= jnp.asarray(t, jnp.int32), 0.0, NEG_INF),
+            (B, 1, 1, rk),
+        ).astype(jnp.float32)
+        kf = jnp.concatenate([kf, recent_k.astype(jnp.float32)], axis=2)
+        vf = jnp.concatenate([vf, recent_v.astype(jnp.float32)], axis=2)
+        mask = jnp.concatenate(
+            [jnp.broadcast_to(mask_c, (B, 1, 1, cap)), mask_r], axis=3
+        )
+        mask = jnp.broadcast_to(mask, (B, 1, S, cap + rk))
+        return mha_xla(q, kf, vf, mask, scale=scale)
     qpos = lens[:, None, None, None] + jnp.arange(S)[None, None, :, None]
     mask = jnp.where(j <= qpos, 0.0, NEG_INF).astype(jnp.float32)
     return mha_xla(q, kf, vf, mask, scale=scale)
 
 
-def decode_attention(q, k, v, lens, k_scale=None, v_scale=None, *, scale=None):
+def decode_attention(q, k, v, lens, k_scale=None, v_scale=None, *, scale=None,
+                     recent_k=None, recent_v=None, t=None):
     """Route decode_mha to Pallas on TPU, XLA elsewhere."""
     if on_tpu():
-        return decode_mha(q, k, v, lens, k_scale, v_scale, scale=scale)
-    return decode_mha_xla(q, k, v, lens, k_scale, v_scale, scale=scale)
+        return decode_mha(q, k, v, lens, k_scale, v_scale, scale=scale,
+                          recent_k=recent_k, recent_v=recent_v, t=t)
+    return decode_mha_xla(q, k, v, lens, k_scale, v_scale, scale=scale,
+                          recent_k=recent_k, recent_v=recent_v, t=t)
 
 
 def mha_xla(q, k, v, mask=None, *, scale=None, causal=False, softcap=0.0):

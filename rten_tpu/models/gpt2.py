@@ -150,7 +150,7 @@ def build_graph(cfg: GPT2Config, weights: Dict[str, np.ndarray]) -> Graph:
 
 def build_graph_static_cache(
     cfg: GPT2Config, weights: Dict[str, np.ndarray], capacity: int,
-    kv_quant: bool = False,
+    kv_quant: bool = False, deferred_kv: bool = False,
 ) -> Graph:
     """Serving-engine variant: KV caches are preallocated [slots, H, cap, D]
     buffers written in-graph at per-slot offsets (GroupQueryAttention with
@@ -161,6 +161,11 @@ def build_graph_static_cache(
     Inputs: input_ids [slots, T], past_lens [slots], position_ids
     [slots, T], past_key_values.N.{key,value} [slots, H, cap, D].
     Outputs: logits, present.N.{key,value} (the updated buffers).
+
+    ``deferred_kv`` adds per-layer recent.{i}.key/value window inputs and a
+    step_t scalar: decode steps buffer new KV rows in the window (one
+    uniform-index write) and the engine commits per-slot rows once per
+    fused dispatch instead of running a per-slot dus chain every step.
     """
     b = GraphBuilder()
     E, H, D = cfg.n_embd, cfg.n_head, cfg.head_dim
@@ -171,6 +176,9 @@ def build_graph_static_cache(
     ids = b.input("input_ids", DataType.Int32, ("slots", "seq"))
     past_lens = b.input("past_lens", DataType.Int32, ("slots",))
     pos = b.input("position_ids", DataType.Int32, ("slots", "seq"))
+    step_t = (
+        b.input("step_t", DataType.Int32, (1,)) if deferred_kv else None
+    )
 
     x = b.op("Gather", [w("transformer.wte.weight"), ids])
     x = x + b.op("Gather", [w("transformer.wpe.weight"), pos])
@@ -191,6 +199,13 @@ def build_graph_static_cache(
             name=f"{p}.attn.c_attn",
         )
         q, k, v = b.op("Split", [qkv], {"axis": -1, "num_outputs": 3}, n_outputs=3)
+        if deferred_kv:
+            recent_k = b.input(
+                f"recent.{i}.key", DataType.Float, ("slots", H, "recent", D)
+            )
+            recent_v = b.input(
+                f"recent.{i}.value", DataType.Float, ("slots", H, "recent", D)
+            )
         if kv_quant:
             past_k = b.input(
                 f"past_key_values.{i}.key", DataType.Int8, ("slots", H, capacity, D)
@@ -206,17 +221,34 @@ def build_graph_static_cache(
                 f"past_key_values.{i}.value_scale", DataType.Float,
                 ("slots", H, capacity, 1),
             )
-            attn, pk, pks, pv, pvs = b.op(
-                "QuantizedKVAttention",
-                [q, k, v, past_k, k_sc, past_v, v_sc, past_lens],
-                {"num_heads": H},
-                n_outputs=5,
-                output_names=[
-                    f"attn_out_{i}", f"present.{i}.key", f"present.{i}.key_scale",
-                    f"present.{i}.value", f"present.{i}.value_scale",
-                ],
-            )
-            presents.extend([pk, pks, pv, pvs])
+            if deferred_kv:
+                outs = b.op(
+                    "QuantizedKVAttention",
+                    [q, k, v, past_k, k_sc, past_v, v_sc, past_lens,
+                     recent_k, recent_v, step_t],
+                    {"num_heads": H, "rten_recent_kv": 1},
+                    n_outputs=7,
+                    output_names=[
+                        f"attn_out_{i}", f"present.{i}.key",
+                        f"present.{i}.key_scale", f"present.{i}.value",
+                        f"present.{i}.value_scale",
+                        f"recent_present.{i}.key", f"recent_present.{i}.value",
+                    ],
+                )
+                attn = outs[0]
+                presents.extend(outs[1:])
+            else:
+                attn, pk, pks, pv, pvs = b.op(
+                    "QuantizedKVAttention",
+                    [q, k, v, past_k, k_sc, past_v, v_sc, past_lens],
+                    {"num_heads": H},
+                    n_outputs=5,
+                    output_names=[
+                        f"attn_out_{i}", f"present.{i}.key", f"present.{i}.key_scale",
+                        f"present.{i}.value", f"present.{i}.value_scale",
+                    ],
+                )
+                presents.extend([pk, pks, pv, pvs])
         else:
             past_k = b.input(
                 f"past_key_values.{i}.key", DataType.Float, ("slots", H, capacity, D)
@@ -224,16 +256,33 @@ def build_graph_static_cache(
             past_v = b.input(
                 f"past_key_values.{i}.value", DataType.Float, ("slots", H, capacity, D)
             )
-            attn, pk, pv = b.op(
-                "GroupQueryAttention",
-                [q, k, v, past_k, past_v, past_lens],
-                {"num_heads": H, "kv_num_heads": H, "rten_past_lens": 1},
-                n_outputs=3,
-                output_names=[
-                    f"attn_out_{i}", f"present.{i}.key", f"present.{i}.value",
-                ],
-            )
-            presents.extend([pk, pv])
+            if deferred_kv:
+                outs = b.op(
+                    "GroupQueryAttention",
+                    [q, k, v, past_k, past_v, past_lens, None, None, None,
+                     recent_k, recent_v, step_t],
+                    {"num_heads": H, "kv_num_heads": H, "rten_past_lens": 1,
+                     "rten_recent_kv": 1},
+                    n_outputs=5,
+                    output_names=[
+                        f"attn_out_{i}", f"present.{i}.key",
+                        f"present.{i}.value",
+                        f"recent_present.{i}.key", f"recent_present.{i}.value",
+                    ],
+                )
+                attn = outs[0]
+                presents.extend(outs[1:])
+            else:
+                attn, pk, pv = b.op(
+                    "GroupQueryAttention",
+                    [q, k, v, past_k, past_v, past_lens],
+                    {"num_heads": H, "kv_num_heads": H, "rten_past_lens": 1},
+                    n_outputs=3,
+                    output_names=[
+                        f"attn_out_{i}", f"present.{i}.key", f"present.{i}.value",
+                    ],
+                )
+                presents.extend([pk, pv])
         proj = b.op(
             "MatMulAdd",
             [attn, w(f"{p}.attn.c_proj.weight"), w(f"{p}.attn.c_proj.bias")],

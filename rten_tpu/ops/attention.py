@@ -271,6 +271,47 @@ def _group_query_attention(ctx, inputs, attrs):
         q = _rotary(q, cos_cache, sin_cache, pos, interleaved)
         k = _rotary(k, cos_cache, sin_cache, pos, interleaved)
 
+    if past_lens is not None and bool(attrs.get("rten_recent_kv", 0)):
+        # Deferred-KV serving graphs: decode steps append the new row to a
+        # small per-dispatch "recent" window with ONE uniform-index
+        # dynamic_update_slice (the per-slot dus chain cost 558us/step at
+        # slots=32 in the round-3 trace); the engine commits the window
+        # into the big cache once per dispatch. Prefill (S>1) writes the
+        # big cache directly as before.
+        recent_k = get_input(inputs, 9, "recent_k")
+        recent_v = get_input(inputs, 10, "recent_v")
+        step_t = get_input(inputs, 11, "step_t")
+        n_out = attrs.get("__n_outputs__", 5)
+        if S == 1 and not softcap:
+            t = jnp.asarray(step_t, jnp.int32).reshape(())
+            lens0 = past_lens - t
+            rk_new = jax.lax.dynamic_update_slice(
+                recent_k, k.astype(recent_k.dtype), (0, 0, t, 0)
+            )
+            rv_new = jax.lax.dynamic_update_slice(
+                recent_v, v.astype(recent_v.dtype), (0, 0, t, 0)
+            )
+            from ..kernels.flash_attention import (
+                decode_attention, decode_mha_xla,
+            )
+
+            f = decode_attention if _use_flash(ctx) else decode_mha_xla
+            out = f(q, past_k, past_v, lens0, scale=scale,
+                    recent_k=rk_new, recent_v=rv_new, t=t)
+            out = _merge_heads(out)
+            return (out, past_k, past_v, rk_new, rv_new)[:n_out]
+        # Prefill: direct big-cache write; the recent window is untouched.
+        k = _slot_kv_update(past_k, k.astype(past_k.dtype), past_lens)
+        v = _slot_kv_update(past_v, v.astype(past_v.dtype), past_lens)
+        from ..kernels.flash_attention import decode_attention, decode_mha_xla
+
+        if _use_flash(ctx):
+            out = decode_attention(q, k, v, past_lens, scale=scale)
+        else:
+            out = decode_mha_xla(q, k, v, past_lens, scale=scale)
+        out = _merge_heads(out)
+        return (out, k, v, recent_k, recent_v)[:n_out]
+
     if past_lens is not None:
         k = _slot_kv_update(past_k, k.astype(past_k.dtype), past_lens)
         v = _slot_kv_update(past_v, v.astype(past_v.dtype), past_lens)
@@ -356,10 +397,49 @@ def _quantized_kv_attention(ctx, inputs, attrs):
         q8 = jnp.clip(jnp.round(x4 / s), -127, 127).astype(jnp.int8)
         return q8, s.astype(jnp.float32)
 
+    lens = past_lens.reshape(B)
+    if bool(attrs.get("rten_recent_kv", 0)):
+        # Deferred-KV (see GroupQueryAttention): decode rows stay f32 in
+        # the recent window; the engine quantizes at commit time. The
+        # kernel mixes the s8 big cache with the f32 window.
+        recent_k = get_input(inputs, 8, "recent_k")
+        recent_v = get_input(inputs, 9, "recent_v")
+        step_t = get_input(inputs, 10, "step_t")
+        cap = past_k_q8.shape[2]
+        ks = k_scales.reshape(B, n_heads, cap)
+        vs = v_scales.reshape(B, n_heads, cap)
+        from ..kernels.flash_attention import decode_attention, decode_mha_xla
+
+        f = decode_attention if _use_flash(ctx) else decode_mha_xla
+        if S == 1:
+            t = jnp.asarray(step_t, jnp.int32).reshape(())
+            lens0 = lens - t
+            rk_new = jax.lax.dynamic_update_slice(
+                recent_k, k4.astype(recent_k.dtype), (0, 0, t, 0)
+            )
+            rv_new = jax.lax.dynamic_update_slice(
+                recent_v, v4.astype(recent_v.dtype), (0, 0, t, 0)
+            )
+            out = f(q4, past_k_q8, past_v_q8, lens0, ks, vs, scale=scale,
+                    recent_k=rk_new, recent_v=rv_new, t=t)
+            return (_merge_heads(out), past_k_q8, k_scales, past_v_q8,
+                    v_scales, rk_new, rv_new)
+        # Prefill: quantize + write the big cache directly.
+        k_q8, k_s = quantize(k4)
+        v_q8, v_s = quantize(v4)
+        new_k_q8 = _slot_kv_update(past_k_q8, k_q8, lens)
+        new_k_s = _slot_kv_update(k_scales, k_s, lens)
+        new_v_q8 = _slot_kv_update(past_v_q8, v_q8, lens)
+        new_v_s = _slot_kv_update(v_scales, v_s, lens)
+        out = f(q4, new_k_q8, new_v_q8, lens,
+                new_k_s.reshape(B, n_heads, cap),
+                new_v_s.reshape(B, n_heads, cap), scale=scale)
+        return (_merge_heads(out), new_k_q8, new_k_s, new_v_q8, new_v_s,
+                recent_k, recent_v)
+
     k_q8, k_s = quantize(k4)
     v_q8, v_s = quantize(v4)
 
-    lens = past_lens.reshape(B)
     new_k_q8 = _slot_kv_update(past_k_q8, k_q8, lens)
     new_k_s = _slot_kv_update(k_scales, k_s, lens)
     new_v_q8 = _slot_kv_update(past_v_q8, v_q8, lens)

@@ -139,6 +139,37 @@ class ContinuousBatchingEngine:
             self.g.find_node(n) for n in self.present_names
         ]
 
+        # Deferred-KV graphs (build_graph_static_cache(deferred_kv=True)):
+        # decode steps buffer new rows in per-layer recent.{i}.key/value
+        # windows with one uniform-index write; _commit_recent writes them
+        # into the big caches once per fused dispatch (the per-slot dus
+        # chain cost 558us/step at slots=32 in the round-3 device trace).
+        self.recent_names = [
+            self.g.node_name(nid)
+            for nid in self.g.input_ids
+            if self.g.node_name(nid).startswith("recent.")
+        ]
+        self.deferred_kv = bool(self.recent_names)
+        self.recent_ids = [self.g.find_node(n) for n in self.recent_names]
+        self.step_t_id = self.g.find_node("step_t") if self.deferred_kv else None
+        self.recent_out_ids = [
+            self.g.find_node("recent_present." + n[len("recent."):])
+            for n in self.recent_names
+        ]
+        self._recent_alloc = []     # (heads, head_dim) per window
+        self._commit_plan = []      # (recent_idx, cache_idx, scale_idx|None)
+        for ri, rname in enumerate(self.recent_names):
+            node = self.g.nodes[self.recent_ids[ri]]
+            self._recent_alloc.append((node.shape[1], node.shape[3]))
+            base = "past_key_values." + rname[len("recent."):]
+            ci = self.cache_names.index(base)
+            sname = base + "_scale"
+            si = (
+                self.cache_names.index(sname)
+                if sname in self.cache_names else None
+            )
+            self._commit_plan.append((ri, ci, si))
+
         self.caches = [
             jnp.zeros((slots,) + tail, dtype)
             for tail, dtype in self._cache_alloc
@@ -203,6 +234,7 @@ class ContinuousBatchingEngine:
         # discarded (eos-lagged reads), so D is capped by the minimum
         # remaining budget across active slots to bound waste.
         self.dispatches_per_drain = max(1, dispatches_per_drain)
+        self._commit_jit = None        # deferred-KV single-step commit
         self._multi_step = None
         if self.steps_per_dispatch > 1:
             self._multi_step = self._build_multi_step(self.steps_per_dispatch)
@@ -222,17 +254,38 @@ class ContinuousBatchingEngine:
         cache_ids = self.cache_ids
         out_ids = self.out_ids  # [next_token | logits, presents...]
         ds = self.device_sampler
+        deferred = self.deferred_kv
+        recent_ids = self.recent_ids
+        step_t_id = self.step_t_id
+        slots = self.slots
+        # Decode steps of a deferred graph return the recent windows; the
+        # big caches pass through untouched until the commit below.
+        dec_out_ids = (
+            [out_ids[0]] + self.recent_out_ids if deferred else out_ids
+        )
 
         def fn(weights: Dict, caches, toks, lens, key):
-            def body(carry, _):
-                caches, toks, lens, key = carry
+            recents = tuple(
+                jnp.zeros((slots, h, k, d), jnp.float32)
+                for h, d in self._recent_alloc
+            )
+
+            def body(carry, t):
+                recents, toks, lens, key = carry
                 env = dict(weights)
                 env[in_ids["input_ids"]] = toks[:, None]
                 env[in_ids["past_lens"]] = lens
                 env[in_ids["position_ids"]] = lens[:, None]
-                for nid, c in zip(cache_ids, caches):
-                    env[nid] = c
-                outs = executor.trace(env, out_ids)
+                if deferred:
+                    env[step_t_id] = t.reshape(1)
+                    for nid, r in zip(recent_ids, recents):
+                        env[nid] = r
+                    for nid, c in zip(cache_ids, carry_caches):
+                        env[nid] = c
+                else:
+                    for nid, c in zip(cache_ids, recents):
+                        env[nid] = c
+                outs = executor.trace(env, dec_out_ids)
                 if ds is not None:
                     # outs[0] is [slots, 1, V] logits; sample on device so
                     # temperature/top-k/top-p serving keeps the fused k-step
@@ -242,15 +295,48 @@ class ContinuousBatchingEngine:
                     new_toks = outs[0][:, 0].astype(jnp.int32)
                 return (tuple(outs[1:]), new_toks, lens + 1, key), new_toks
 
-            (caches, toks, lens, key), tok_seq = jax.lax.scan(
-                body, (tuple(caches), toks, lens, key), None, length=k
-            )
+            if deferred:
+                carry_caches = tuple(caches)  # loop-invariant inside scan
+                (recents, toks2, lens2, key), tok_seq = jax.lax.scan(
+                    body, (recents, toks, lens, key),
+                    jnp.arange(k, dtype=jnp.int32),
+                )
+                caches = self._commit_recent(list(carry_caches), recents, lens)
+                toks, lens = toks2, lens2
+            else:
+                carry_caches = None
+                (caches, toks, lens, key), tok_seq = jax.lax.scan(
+                    body, (tuple(caches), toks, lens, key),
+                    jnp.arange(k, dtype=jnp.int32),
+                )
             # Return the chained (toks, lens, key) so the NEXT dispatch can
             # be issued without a host round trip (pipeline_dispatch).
-            return caches, toks, lens, key, tok_seq.T  # [slots, k]
+            return tuple(caches), toks, lens, key, tok_seq.T  # [slots, k]
 
         # Donate the caches (arg 1) so updates stay in place.
         return jax.jit(fn, donate_argnums=(1,))
+
+    def _commit_recent(self, caches, recents, lens0):
+        """Write each recent window's rows into its big cache at per-slot
+        offsets — ONCE per dispatch. int8-KV caches quantize here (the
+        window itself stays f32, so in-dispatch rows lose no precision)."""
+        from ..ops.attention import _slot_kv_update
+
+        for ri, ci, si in self._commit_plan:
+            rows = recents[ri]
+            if si is None:
+                caches[ci] = _slot_kv_update(
+                    caches[ci], rows.astype(caches[ci].dtype), lens0
+                )
+            else:
+                absmax = jnp.max(jnp.abs(rows), axis=-1, keepdims=True)
+                s = jnp.maximum(absmax / 127.0, 1e-8)
+                q8 = jnp.clip(jnp.round(rows / s), -127, 127).astype(jnp.int8)
+                caches[ci] = _slot_kv_update(caches[ci], q8, lens0)
+                caches[si] = _slot_kv_update(
+                    caches[si], s.astype(jnp.float32), lens0
+                )
+        return caches
 
     # -- pipelined dispatch helpers ------------------------------------------
 
@@ -519,6 +605,16 @@ class ContinuousBatchingEngine:
         m = self.prefill_bucket
         return ((x + m - 1) // m) * m if x else m
 
+    def _feed_recent_dummies(self, env):
+        """Deferred-KV graphs declare recent-window inputs; prefill and
+        single-step paths feed 1-row dummies (prefill writes the big cache
+        directly, so the windows are unused there)."""
+        if not self.deferred_kv:
+            return
+        env[self.step_t_id] = jnp.zeros(1, jnp.int32)
+        for nid, (h, d) in zip(self.recent_ids, self._recent_alloc):
+            env[nid] = jnp.zeros((self.slots, h, 1, d), jnp.float32)
+
     def _build_batch_prefill(self, T: int):
         """Fused admission executable for prompt bucket T: forward ALL slot
         rows (non-admitted rows carry dummy prompts whose results are
@@ -545,6 +641,7 @@ class ContinuousBatchingEngine:
             )
             for nid, c in zip(cache_ids, caches):
                 env[nid] = jnp.zeros_like(c)
+            self._feed_recent_dummies(env)
             outs = executor.trace(env, out_ids)
             m = admit_mask[:, None, None, None]
             merged = [
@@ -578,6 +675,7 @@ class ContinuousBatchingEngine:
             )
             for nid, c in zip(cache_ids, caches):
                 env[nid] = c
+            self._feed_recent_dummies(env)
             outs = executor.trace(env, out_ids)
             m = admit_mask[:, None, None, None]
             merged = [jnp.where(m, p, c) for c, p in zip(caches, outs[1:])]
@@ -770,8 +868,31 @@ class ContinuousBatchingEngine:
             feed[nid] = cache
         if self.params:
             feed.update(self.params)
-        outs = self.executor.run(feed, self.out_ids, donate=self.cache_ids)
-        self.caches = list(outs[1:])
+        if self.deferred_kv:
+            # One-step recent window, committed right away (the legacy
+            # per-step path — the fused dispatch is where deferral pays).
+            feed[self.step_t_id] = np.zeros(1, np.int32)
+            for nid, (h, d) in zip(self.recent_ids, self._recent_alloc):
+                feed[nid] = jnp.zeros((self.slots, h, 1, d), jnp.float32)
+            outs = self.executor.run(
+                feed, self.out_ids + self.recent_out_ids,
+                donate=self.cache_ids,
+            )
+            n_c = len(self.cache_ids)
+            if self._commit_jit is None:
+                self._commit_jit = jax.jit(
+                    lambda caches, recents, lens0: tuple(
+                        self._commit_recent(list(caches), recents, lens0)
+                    ),
+                    donate_argnums=(0,),
+                )
+            self.caches = list(self._commit_jit(
+                tuple(outs[1 : 1 + n_c]), tuple(outs[1 + n_c :]),
+                jnp.asarray(self.slot_len),
+            ))
+        else:
+            outs = self.executor.run(feed, self.out_ids, donate=self.cache_ids)
+            self.caches = list(outs[1:])
         if self.greedy_on_device:
             toks = np.asarray(outs[0])[active, 0]
         else:

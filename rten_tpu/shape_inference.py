@@ -546,6 +546,13 @@ def _r_gqa(op, ins, g=None):
             break
         pd, psh = ins[past_idx + kv] if past_idx + kv < len(ins) else (None, None)
         outs.append((pd, psh if op.attrs.get("rten_past_lens") else None))
+    if op.attrs.get("rten_recent_kv"):
+        # deferred-KV serving graphs: outputs 3,4 are the recent window
+        for kv in range(2):
+            if len(outs) >= n_out:
+                break
+            rd, rsh = ins[9 + kv] if 9 + kv < len(ins) else (None, None)
+            outs.append((rd, rsh))
     while len(outs) < n_out:
         outs.append((dq, None))
     return outs
@@ -1029,8 +1036,12 @@ def _r_loop(op, ins, g=None):
 @rule("QuantizedKVAttention")
 def _r_quantized_kv_attention(op, ins, g=None):
     # outputs: out [B,S,H*D] f32, new_k_q8, new_k_scales, new_v_q8,
-    # new_v_scales (cache buffers pass through shapes; ops/attention.py:323).
-    return [(DataType.Float, ins[0][1]), ins[3], ins[4], ins[5], ins[6]]
+    # new_v_scales (cache buffers pass through shapes; ops/attention.py:323),
+    # plus the recent window pair under rten_recent_kv (deferred-KV serving).
+    outs = [(DataType.Float, ins[0][1]), ins[3], ins[4], ins[5], ins[6]]
+    if op.attrs.get("rten_recent_kv") and len(ins) > 9:
+        outs += [ins[8], ins[9]]
+    return outs
 
 
 # --- symbolic VALUE tracking ------------------------------------------------

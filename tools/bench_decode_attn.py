@@ -41,11 +41,14 @@ def timed(fn, *args, iters=30):
 
 
 # --- DMA floor: stream the whole KV through VMEM, one multiply+reduce ---
-def _floor_kernel(lens_ref, k_ref, v_ref, o_ref):
-    o_ref[0, 0] = jnp.sum(k_ref[0], axis=(0, 1)) + jnp.sum(v_ref[0], axis=(0, 1))
+def _floor_kernel(lens_ref, q_ref, k_ref, v_ref, o_ref):
+    o_ref[0, 0] = (
+        jnp.sum(k_ref[0], axis=(0, 1)) + jnp.sum(v_ref[0], axis=(0, 1))
+        + q_ref[0, 0, 0]
+    )
 
 
-def dma_floor(k, v, lens):
+def dma_floor(q, k, v, lens):
     B, Hkv, cap, D = k.shape
     return pl.pallas_call(
         _floor_kernel,
@@ -53,6 +56,7 @@ def dma_floor(k, v, lens):
             num_scalar_prefetch=1,
             grid=(B,),
             in_specs=[
+                pl.BlockSpec((1, Hkv, 1, D), lambda b, lens: (b, 0, 0, 0)),
                 pl.BlockSpec((1, Hkv, cap, D), lambda b, lens: (b, 0, 0, 0)),
                 pl.BlockSpec((1, Hkv, cap, D), lambda b, lens: (b, 0, 0, 0)),
             ],
@@ -62,7 +66,7 @@ def dma_floor(k, v, lens):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-    )(lens, k, v)
+    )(lens, q, k, v)
 
 
 # --- VPU-vectorized: no per-head loop, elementwise mul + reduce ---
@@ -104,6 +108,38 @@ def vpu_attn(q, k, v, lens, scale):
     )(lens, q, k, v)
 
 
+def timed_chained(fn, q, *rest, iters=400):
+    """Serialized per-call device latency: iteration i+1's q depends on
+    iteration i's out (the serving regime — layers are sequential). Runs a
+    lax.scan at two lengths and differences the walls, cancelling the
+    ~30ms remote-tunnel round trip that dominates any single dispatch."""
+
+    def make(n):
+        @jax.jit
+        def chain(q, *rest):
+            def body(q, _):
+                o = fn(q, *rest)
+                return q + 1e-9 * o.reshape(q.shape), ()
+
+            q, _ = jax.lax.scan(body, q, None, length=n)
+            return q
+
+        return chain
+
+    short, long_ = make(8), make(iters)
+    jax.block_until_ready(short(q, *rest))
+    jax.block_until_ready(long_(q, *rest))
+
+    def wall(c):
+        t0 = time.perf_counter()
+        jax.block_until_ready(c(q, *rest))
+        return time.perf_counter() - t0
+
+    ws = min(wall(short) for _ in range(3))
+    wl = min(wall(long_) for _ in range(3))
+    return (wl - ws) / (iters - 8) * 1e6
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--slots", type=int, default=32)
@@ -126,12 +162,26 @@ def main():
     t, ref = timed(jax.jit(lambda *a: decode_mha(*a, scale=scale)), q, k, v, lens)
     print(f"current folded-loop kernel: {t:7.1f} us  ({kv_mb/t*1e6/1e3:.0f} GB/s)")
 
-    t, _ = timed(jax.jit(dma_floor), k, v, lens)
+    t, _ = timed(jax.jit(dma_floor), q, k, v, lens)
     print(f"pure DMA floor (same layout): {t:7.1f} us  ({kv_mb/t*1e6/1e3:.0f} GB/s)")
 
     t, got = timed(jax.jit(lambda *a: vpu_attn(*a, scale)), q, k, v, lens)
     err = float(jnp.max(jnp.abs(got - ref)))
     print(f"VPU-vectorized kernel:      {t:7.1f} us  ({kv_mb/t*1e6/1e3:.0f} GB/s)  maxerr {err:.2e}")
+
+    # Serialized latency (the serving regime: layers run back-to-back).
+    t = timed_chained(lambda q, *r: decode_mha(q, *r, scale=scale), q, k, v, lens)
+    print(f"CHAINED current kernel:     {t:7.1f} us  ({kv_mb/t*1e6/1e3:.0f} GB/s)")
+    kb16, vb16 = k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
+    t = timed_chained(lambda q, *r: decode_mha(q, *r, scale=scale), q, kb16, vb16, lens)
+    print(f"CHAINED bf16-KV kernel:     {t:7.1f} us  ({kv_mb/2/t*1e6/1e3:.0f} GB/s eff)")
+
+    def floor_fn(q, k, v, lens):
+        o = dma_floor(q, k, v, lens)  # [B, 1, D]
+        return jnp.broadcast_to(o[:, None], (B, H, 1, D))
+
+    t = timed_chained(floor_fn, q, k, v, lens)
+    print(f"CHAINED DMA floor:          {t:7.1f} us  ({kv_mb/t*1e6/1e3:.0f} GB/s)")
 
 
 if __name__ == "__main__":
