@@ -27,7 +27,7 @@ import numpy as np
 N_LAYER = int(os.environ.get("RTEN_BENCH_LAYERS", "12"))  # 12 = gpt2-small
 PROMPT_LEN = 128
 NEW_TOKENS = 64
-SLOTS = int(os.environ.get("RTEN_BENCH_SLOTS", "16"))
+SLOTS = int(os.environ.get("RTEN_BENCH_SLOTS", "32"))
 CAPACITY = int(os.environ.get("RTEN_BENCH_CAP", "256"))
 WAVE = int(os.environ.get("RTEN_BENCH_WAVE", "32"))  # timed requests
 # fused on-device decode steps per dispatch
@@ -46,15 +46,26 @@ def build_engine(capacity=None, kv_quant=False, device_sampler=None,
     from rten_tpu.serving import ContinuousBatchingEngine
 
     capacity = capacity or CAPACITY
-    if os.environ.get("RTEN_BENCH_KV", "") == "int8":
+    # bf16 KV is the headline default: the NT-folded decode kernel feeds
+    # bf16 straight to the MXU with no dequant scales -- 10,683 tok/s vs
+    # int8's 8,671 (loop kernel) at slots=32 (r3). int8 KV remains the
+    # long-context (hard config) choice at 4x f32 capacity.
+    kv_env = os.environ.get("RTEN_BENCH_KV", "bf16")
+    if kv_env == "int8":
         kv_quant = True
     cfg = gpt2.GPT2Config(n_layer=N_LAYER)
     weights = gpt2.random_weights(cfg, seed=0)
     if deferred_kv is None:
         deferred_kv = os.environ.get("RTEN_BENCH_DEFERRED_KV", "1") != "0"
+    from rten_tpu.dtypes import DataType
+
+    rdt = {
+        "f32": DataType.Float, "bf16": DataType.BFloat16,
+    }[os.environ.get("RTEN_BENCH_RECENT_DTYPE", "bf16")]
+    kdt = DataType.BFloat16 if (kv_env == "bf16" and not kv_quant) else None
     graph = gpt2.build_graph_static_cache(
         cfg, weights, capacity=capacity, kv_quant=kv_quant,
-        deferred_kv=deferred_kv,
+        deferred_kv=deferred_kv, recent_dtype=rdt, kv_dtype=kdt,
     )
     if os.environ.get("RTEN_BENCH_QUANT", "int8") == "int4":
         from rten_tpu.quantize_pass import quantize_weight_only_int4

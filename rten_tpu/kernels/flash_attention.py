@@ -214,9 +214,8 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref,
     q = q_ref[0, 0]            # [bq, D]
     k = k_ref[0, 0]            # [bk, D] (s8 when quant)
     bq = q.shape[0]
-    s = jax.lax.dot_general(
-        q, k.astype(q.dtype), (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    s = _dot_f32(
+        q, k, (((1,), (1,)), ((), ()))
     ) * scale                  # [bq, bk]
     if quant:
         # Per-position K scales ride the LANE axis of the scores — the
@@ -239,9 +238,8 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref,
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
     if quant:
         p = p * vs_ref[0, 0]   # [1, bk] V scales on p's lanes
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-        p, v_ref[0, 0].astype(jnp.float32), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    acc_ref[:] = acc_ref[:] * alpha + _dot_f32(
+        p, v_ref[0, 0], (((1,), (0,)), ((), ()))
     )
     m_ref[:] = m_new
 
@@ -252,12 +250,30 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref,
         out_ref[0, 0] = (acc_ref[:] / l).astype(out_ref.dtype)
 
 
+def _dot_f32(a, b, dims):
+    """dot_general accumulating in f32, feeding the MXU in the NARROWER
+    operand dtype: for a bf16 K/V block, cast the tiny q/p operand down
+    instead of converting the streamed block up (the s8->f32 / bf16->f32
+    VPU converts of whole KV blocks cost more than the bandwidth they
+    save -- round-3 trace: int8-KV attention 155us/layer vs f32 138)."""
+    if b.dtype == jnp.bfloat16:
+        a = a.astype(jnp.bfloat16)
+    else:
+        b = b.astype(a.dtype)
+    return jax.lax.dot_general(
+        a, b, dims, preferred_element_type=jnp.float32
+    )
+
+
 def _decode_kernel_folded(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
-                          vs_ref, rk_ref, rv_ref, out_ref, m_ref, l_ref,
-                          acc_ref, *, scale: float, S: int, cap: int,
-                          block_k: int, quant: bool, group: int,
-                          recent: int):
-    assert recent == 0, "deferred-KV requires the loop-mode kernel"
+                          vs_ref, rk_ref, rv_ref, kn_ref, vn_ref, out_ref,
+                          m_ref, l_ref, acc_ref, sems, *, scale: float,
+                          S: int, cap: int, block_k: int, quant: bool,
+                          group: int, recent: int, append: bool,
+                          nt: bool = False):
+    assert recent == 0 and not append and not nt, (
+        "deferred-KV requires the loop-mode kernel"
+    )
     """All heads of one slot per grid step (grid = B x key-blocks).
 
     The per-head variant runs a B*H*blocks grid of tiny steps; at decode
@@ -325,11 +341,186 @@ def _decode_kernel_folded(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
         out_ref[0] = out.reshape(H, bq, D).astype(out_ref.dtype)
 
 
+
+def _decode_kernel_folded_nt(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
+                             vs_ref, rk_ref, rv_ref, kn_ref, vn_ref,
+                             out_ref, rk_hbm, rv_hbm, m_ref, l_ref,
+                             acc_ref, sems, *, scale: float, S: int,
+                             cap: int, block_k: int, group: int,
+                             recent: int, append: bool):
+    """One-dot-per-(slot, key-block) decode attention (f32/bf16 KV).
+
+    The per-head loop kernel issues 2*H tiny MXU dots + H softmax passes
+    per grid step and is ISSUE-bound (r3 microbench: 106.8us/call chained
+    at B=32,H=12,cap=256 vs a 17.7us folded formulation and a 20us DMA
+    floor). Here ALL heads fold into two dots from the NATURAL
+    [B,H,cap,D] layout:
+
+      s = q_heads [Hp,D] @ K_merged[Hkv*bk, D]^T   -> [Hp, Hkv*bk]
+
+    is lane-major in (kv-head, position); masking lanes outside each
+    head's GQA group to NEG_INF makes exp() zero them, so ``p`` doubles
+    as the block-structured operand of the value dot
+
+      out = p [Hp, Hkv*bk] @ V_merged [Hkv*bk, D]  -> [Hp, D].
+
+    The extra cross-group MACs are free (MXU was idle); the softmax runs
+    once over [Hp, Hkv*bk] instead of per head. Deferred-KV window and
+    in-kernel DMA append (see the loop kernel) use the same NT trick.
+    """
+    b = pl.program_id(0)
+    kb = pl.program_id(1)
+    Hkv = k_ref.shape[1]
+    Dp = k_ref.shape[3]
+    H = q_ref.shape[1]
+    Hp = m_ref.shape[0]
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    if append:
+        tt = t_ref[0]
+        cp_k = pltpu.make_async_copy(
+            kn_ref.at[0], rk_hbm.at[b, :, pl.ds(tt, 1), :], sems.at[0]
+        )
+        cp_v = pltpu.make_async_copy(
+            vn_ref.at[0], rv_hbm.at[b, :, pl.ds(tt, 1), :], sems.at[1]
+        )
+
+        @pl.when(kb == 0)
+        def _():
+            cp_k.start()
+            cp_v.start()
+
+    q_sm = q_ref[0, :, 0, :]                       # [H, Dp] (S == 1)
+    if Hp > H:
+        q_t = jnp.concatenate(
+            [q_sm, jnp.zeros((Hp - H, Dp), q_sm.dtype)], axis=0
+        )
+    else:
+        q_t = q_sm
+
+    def nt_scores(kmat, width):
+        return _dot_f32(
+            q_t, kmat, (((1,), (1,)), ((), ()))
+        ) * scale                                  # [Hp, width]
+
+    def merge(s, vmat):
+        """Online-softmax merge of one lane-major score block; the masked
+        zeros in p implement the GQA block structure for the value dot."""
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        p = jnp.where(
+            jnp.broadcast_to(m_new, s.shape) <= NEG_INF / 2, 0.0, p
+        )
+        alpha = jnp.where(
+            m_prev <= NEG_INF / 2, 0.0, jnp.exp(m_prev - m_new)
+        )
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + _dot_f32(
+            p, vmat, (((1,), (0,)), ((), ()))
+        )
+        m_ref[:] = m_new
+
+    if recent:
+        jmax = jnp.maximum(lens_ref[b] - 1, 0) // block_k
+    else:
+        jmax = lens_ref[b] // block_k
+
+    @pl.when(kb <= jmax)
+    def _():
+        W = Hkv * block_k
+        km = k_ref[0].reshape(W, Dp)
+        s = nt_scores(km, W)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (Hp, W), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Hp, W), 1)
+        col = kb * block_k + lane % block_k
+        valid = ((lane // block_k) == (sub // group)) & (sub < H)
+        if recent:
+            valid &= (col < lens_ref[b]) & (col < cap)
+        else:
+            valid &= (col <= lens_ref[b]) & (col < cap)
+        s = jnp.where(valid, s, NEG_INF)
+        merge(s, v_ref[0].reshape(W, Dp))
+
+    last = kb == pl.num_programs(1) - 1
+    if recent:
+        @pl.when(last)
+        def _():
+            rkp = rk_ref.shape[2]
+            Wr = Hkv * rkp
+            rkm = rk_ref[0].reshape(Wr, Dp)
+            s = nt_scores(rkm, Wr)
+            sub = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wr), 0)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (Hp, Wr), 1)
+            tmax = t_ref[0] - 1 if append else t_ref[0]
+            valid = (
+                ((lane // rkp) == (sub // group)) & (sub < H)
+                & ((lane % rkp) <= tmax) & ((lane % rkp) < recent)
+            )
+            s = jnp.where(valid, s, NEG_INF)
+            merge(s, rv_ref[0].reshape(Wr, Dp))
+            if append:
+                knm = kn_ref[0].reshape(Hkv, Dp).astype(q_t.dtype)
+                sn = jax.lax.dot_general(
+                    q_t, knm, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                ) * scale                          # [Hp, Hkv]
+                subn = jax.lax.broadcasted_iota(jnp.int32, (Hp, Hkv), 0)
+                lanen = jax.lax.broadcasted_iota(jnp.int32, (Hp, Hkv), 1)
+                validn = (lanen == (subn // group)) & (subn < H)
+                sn = jnp.where(validn, sn, NEG_INF)
+                merge(sn, vn_ref[0].reshape(Hkv, Dp).astype(jnp.float32))
+
+    if append:
+        @pl.when(last)
+        def _():
+            cp_k.wait()
+            cp_v.wait()
+
+    @pl.when(last)
+    def _():
+        l = l_ref[:]
+        l = jnp.where(l == 0.0, 1.0, l)
+        out = (acc_ref[:] / l)[:H]                 # [H, Dp]
+        bq = out_ref.shape[2]
+        out_ref[0] = jnp.broadcast_to(
+            out[:, None, :], (H, bq, Dp)
+        ).astype(out_ref.dtype)
+
+
+def _folded_loop_entry(*refs, append: bool, nt: bool = False, **kw):
+    """Ref-count adapter: append mode adds two aliased ANY-space window
+    outputs between out_ref and the scratch refs."""
+    if append:
+        (lens, t, q, k, v, ks, vs, rk, rv, kn, vn,
+         out, rk_hbm, rv_hbm, m, l, acc, sems) = refs
+    else:
+        (lens, t, q, k, v, ks, vs, rk, rv, kn, vn,
+         out, m, l, acc, sems) = refs
+        rk_hbm = rv_hbm = None
+    if nt:
+        kw.pop("quant")
+        return _decode_kernel_folded_nt(
+            lens, t, q, k, v, ks, vs, rk, rv, kn, vn, out, rk_hbm,
+            rv_hbm, m, l, acc, sems, append=append, **kw
+        )
+    return _decode_kernel_folded_loop(
+        lens, t, q, k, v, ks, vs, rk, rv, kn, vn, out, rk_hbm, rv_hbm,
+        m, l, acc, sems, append=append, **kw
+    )
+
+
 def _decode_kernel_folded_loop(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
-                               vs_ref, rk_ref, rv_ref, out_ref, m_ref, l_ref,
-                               acc_ref, *, scale: float, S: int, cap: int,
-                               block_k: int, quant: bool, group: int,
-                               recent: int):
+                               vs_ref, rk_ref, rv_ref, kn_ref, vn_ref,
+                               out_ref, rk_hbm, rv_hbm, m_ref, l_ref,
+                               acc_ref, sems, *, scale: float, S: int,
+                               cap: int, block_k: int, quant: bool,
+                               group: int, recent: int, append: bool):
     """Head-folded decode attention with an UNROLLED per-head loop of 2-D
     ops (no batched dot_general — Mosaic compiles 3-D dots pathologically
     slowly). Same grid/semantics as _decode_kernel_folded.
@@ -365,7 +556,28 @@ def _decode_kernel_folded_loop(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
         rkp = rk_ref.shape[2]
         row_r = jax.lax.broadcasted_iota(jnp.int32, (bq, rkp), 0)
         col_r = jax.lax.broadcasted_iota(jnp.int32, (bq, rkp), 1)
-        valid_r = (col_r <= t_ref[0]) & (col_r < recent) & (row_r < S)
+        # append mode: row t is written by THIS kernel via DMA (the block
+        # read may be stale there) — the current row is scored from
+        # kn/vn in VMEM instead, so the window is valid strictly < t.
+        tmax = t_ref[0] - 1 if append else t_ref[0]
+        valid_r = (col_r <= tmax) & (col_r < recent) & (row_r < S)
+    if append:
+        # Write the new KV row into the aliased HBM window at t with two
+        # strided DMAs overlapped with this grid step's compute — replaces
+        # the XLA dus append (a strided read-modify-write across every
+        # (slot, head) tile: ~7.5us/call x 24 calls/step in the r3 trace).
+        tt = t_ref[0]
+        cp_k = pltpu.make_async_copy(
+            kn_ref.at[0], rk_hbm.at[b, :, pl.ds(tt, 1), :], sems.at[0]
+        )
+        cp_v = pltpu.make_async_copy(
+            vn_ref.at[0], rv_hbm.at[b, :, pl.ds(tt, 1), :], sems.at[1]
+        )
+
+        @pl.when(kb == 0)
+        def _():
+            cp_k.start()
+            cp_v.start()
 
     def online_update(h, s, v_block, vs_row):
         sl = slice(h * bq, (h + 1) * bq)
@@ -377,39 +589,72 @@ def _decode_kernel_folded_loop(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
         l_ref[sl] = l_ref[sl] * alpha + jnp.sum(p, axis=1, keepdims=True)
         if vs_row is not None:
             p = p * vs_row
-        acc_ref[sl] = acc_ref[sl] * alpha + jax.lax.dot_general(
-            p, v_block.astype(jnp.float32), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+        acc_ref[sl] = acc_ref[sl] * alpha + _dot_f32(
+            p, v_block, (((1,), (0,)), ((), ()))
         )
         m_ref[sl] = m_new
 
-    for h in range(H):  # static unroll: one grid step covers every head
-        kvh = h // group
-        q = q_ref[0, h]                  # [bq, D]
-        k = k_ref[0, kvh]                # [bk, D]
-        s = jax.lax.dot_general(
-            q, k.astype(q.dtype), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale                        # [bq, bk]
-        if quant:
-            s = s * ks_ref[0, kvh]       # [1, bk]
-        s = jnp.where(valid, s, NEG_INF)
-        online_update(h, s, v_ref[0, kvh], vs_ref[0, kvh] if quant else None)
+    # Valid-prefix clamp: blocks past the last live row are never DMA'd
+    # (the index maps clamp to jmax, so Mosaic skips the repeat copies)
+    # and never computed. At cap 1024 with ~160 live rows this skips 3 of
+    # 4 key blocks per slot — the kernel is issue-bound, so skipping the
+    # dead dots matters as much as the dead DMA.
+    if recent:
+        jmax = jnp.maximum(lens_ref[b] - 1, 0) // block_k
+    else:
+        jmax = (lens_ref[b] + S - 1) // block_k
+
+    @pl.when(kb <= jmax)
+    def _():
+        for h in range(H):  # static unroll: one grid step, every head
+            kvh = h // group
+            q = q_ref[0, h]              # [bq, D]
+            k = k_ref[0, kvh]            # [bk, D]
+            s = _dot_f32(
+                q, k, (((1,), (1,)), ((), ()))
+            ) * scale                    # [bq, bk]
+            if quant:
+                s = s * ks_ref[0, kvh]   # [1, bk]
+            s = jnp.where(valid, s, NEG_INF)
+            online_update(
+                h, s, v_ref[0, kvh], vs_ref[0, kvh] if quant else None
+            )
 
     if recent:
-        # The current dispatch's uncommitted rows (always f32, no scales).
+        # The current dispatch's uncommitted rows (window dtype, no scales).
         @pl.when(last)
         def _():
             for h in range(H):
                 kvh = h // group
                 q = q_ref[0, h]
-                s = jax.lax.dot_general(
-                    q, rk_ref[0, kvh].astype(q.dtype),
-                    (((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
+                s = _dot_f32(
+                    q, rk_ref[0, kvh], (((1,), (1,)), ((), ()))
                 ) * scale                # [bq, rkp]
                 s = jnp.where(valid_r, s, NEG_INF)
                 online_update(h, s, rv_ref[0, kvh], None)
+            if append:
+                # Score the current token's own row from VMEM. The row is
+                # a single vector: cast IT up rather than q down (Mosaic
+                # mis-lowers the [bq,D]x[1,D] bf16 dot via vector.broadcast
+                # with mismatched element types).
+                rowv = jax.lax.broadcasted_iota(jnp.int32, (bq, 1), 0) < S
+                for h in range(H):
+                    kvh = h // group
+                    q = q_ref[0, h]
+                    s = jax.lax.dot_general(
+                        q, kn_ref[0, kvh].astype(q.dtype),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    ) * scale            # [bq, 1]
+                    s = jnp.where(rowv, s, NEG_INF)
+                    online_update(h, s, vn_ref[0, kvh].astype(jnp.float32),
+                                  None)
+
+    if append:
+        @pl.when(last)
+        def _():
+            cp_k.wait()
+            cp_v.wait()
 
     @pl.when(last)
     def _():
@@ -420,7 +665,8 @@ def _decode_kernel_folded_loop(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
 
 
 def _decode_mha_folded(q, k, v, lens, k_scale, v_scale, *, scale, block_k,
-                       interpret, recent_k=None, recent_v=None, t=None):
+                       interpret, recent_k=None, recent_v=None, t=None,
+                       k_new=None, v_new=None):
     B, H, S, D = q.shape
     _, Hkv, cap, _ = k.shape
     group = H // Hkv
@@ -438,60 +684,117 @@ def _decode_mha_folded(q, k, v, lens, k_scale, v_scale, *, scale, block_k,
     else:
         ksp = jnp.ones((B, Hkv, 1, bk), jnp.float32)
         vsp = jnp.ones((B, Hkv, 1, bk), jnp.float32)
+    nkb = capp // bk
+    deferred = recent_k is not None
+
+    def _jclamp(j, lens, b):
+        # Last block holding a live row; repeats past it skip the DMA.
+        if deferred:
+            jmax = jnp.maximum(lens[b] - 1, 0) // bk
+        else:
+            jmax = jnp.minimum((lens[b] + S - 1) // bk, nkb - 1)
+        return jnp.minimum(j, jmax)
+
+    kv_index = lambda b, j, lens, *_: (b, 0, _jclamp(j, lens, b), 0)
     sc_index = (
-        (lambda b, j, *_: (b, 0, 0, j))
+        (lambda b, j, lens, *_: (b, 0, 0, _jclamp(j, lens, b)))
         if quant else (lambda b, j, *_: (b, 0, 0, 0))
     )
     recent = 0 if recent_k is None else recent_k.shape[2]
+    append = k_new is not None
     if recent:
+        # Keep the window's own dtype (the engine uses bf16 windows: the
+        # MXU computes dots at bf16-pass precision anyway, and halving the
+        # window bytes matters — the full window is streamed per slot per
+        # layer every step).
         rkp = round_up(recent, 8)
-        rkb = pad_dim(pad_dim(recent_k, 2, rkp), 3, Dp).astype(jnp.float32)
-        rvb = pad_dim(pad_dim(recent_v, 2, rkp), 3, Dp).astype(jnp.float32)
+        rkb = pad_dim(pad_dim(recent_k, 2, rkp), 3, Dp)
+        rvb = pad_dim(pad_dim(recent_v, 2, rkp), 3, Dp)
         tvec = jnp.asarray(t, jnp.int32).reshape(1)
     else:
         rkp = 8
         rkb = jnp.zeros((B, Hkv, rkp, Dp), jnp.float32)
         rvb = jnp.zeros((B, Hkv, rkp, Dp), jnp.float32)
         tvec = jnp.zeros(1, jnp.int32)
+    if append:
+        # In-kernel DMA append: requires an unpadded window buffer (the
+        # aliased output IS the engine's carry — a pad would force a
+        # whole-window copy per step).
+        assert rkb.shape == recent_k.shape and rvb.shape == recent_v.shape
+        knb = pad_dim(k_new, 3, Dp).astype(rkb.dtype)
+        vnb = pad_dim(v_new, 3, Dp).astype(rvb.dtype)
+    else:
+        knb = jnp.zeros((B, Hkv, 1, Dp), rkb.dtype)
+        vnb = jnp.zeros((B, Hkv, 1, Dp), rvb.dtype)
     grid = (B, capp // bk)
     # "loop" (default): unrolled 2-D dots per head. "dot": one batched 3-D
     # dot_general — semantically identical but Mosaic compiles it
     # pathologically slowly (>10min for the GPT-2 decode shape).
+    # NT folding (one score dot + one value dot per grid step for ALL
+    # heads) needs S==1 and an unquantized cache (int8 per-position scales
+    # would need a lane-relayout; the loop kernel keeps that path).
+    use_nt = (
+        S == 1 and not quant
+        and os.environ.get("RTEN_DECODE_NT", "1") != "0"
+    )
+    Hp = round_up(H, 8)
     body = (
         _decode_kernel_folded
         if (os.environ.get("RTEN_DECODE_FOLD_MODE", "loop") == "dot"
-            and not recent)
-        else _decode_kernel_folded_loop
+            and not recent and not append)
+        else _folded_loop_entry
     )
     kernel = functools.partial(
         body,
         scale=float(scale), S=S, cap=cap, block_k=bk, quant=quant,
-        group=group, recent=recent,
+        group=group, recent=recent, append=append, nt=use_nt,
     )
-    out = pl.pallas_call(
+    win_spec = pl.BlockSpec((1, Hkv, rkp, Dp), lambda b, j, *_: (b, 0, 0, 0))
+    row_spec = pl.BlockSpec((1, Hkv, 1, Dp), lambda b, j, *_: (b, 0, 0, 0))
+    out_specs = [
+        pl.BlockSpec((1, H, bq, Dp), lambda b, j, *_: (b, 0, 0, 0)),
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((B, H, bq, Dp), q.dtype)]
+    aliases = {}
+    if append:
+        # Window buffers alias straight through as ANY-space outputs the
+        # kernel mutates via DMA (inputs 7/8 of (lens, t, q, k, v, ks,
+        # vs, rk, rv, kn, vn) -> outputs 1/2).
+        out_specs += [
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ]
+        out_shapes += [
+            jax.ShapeDtypeStruct(rkb.shape, rkb.dtype),
+            jax.ShapeDtypeStruct(rvb.shape, rvb.dtype),
+        ]
+        aliases = {7: 1, 8: 2}
+    res = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, H, bq, Dp), lambda b, j, *_: (b, 0, 0, 0)),
-                pl.BlockSpec((1, Hkv, bk, Dp), lambda b, j, *_: (b, 0, j, 0)),
-                pl.BlockSpec((1, Hkv, bk, Dp), lambda b, j, *_: (b, 0, j, 0)),
+                pl.BlockSpec((1, Hkv, bk, Dp), kv_index),
+                pl.BlockSpec((1, Hkv, bk, Dp), kv_index),
                 pl.BlockSpec((1, Hkv, 1, bk), sc_index),
                 pl.BlockSpec((1, Hkv, 1, bk), sc_index),
-                pl.BlockSpec((1, Hkv, rkp, Dp), lambda b, j, *_: (b, 0, 0, 0)),
-                pl.BlockSpec((1, Hkv, rkp, Dp), lambda b, j, *_: (b, 0, 0, 0)),
+                win_spec,
+                win_spec,
+                row_spec,
+                row_spec,
             ],
-            out_specs=pl.BlockSpec(
-                (1, H, bq, Dp), lambda b, j, *_: (b, 0, 0, 0)
-            ),
+            out_specs=out_specs,
             scratch_shapes=[
-                pltpu.VMEM((H * bq, 1), jnp.float32),
-                pltpu.VMEM((H * bq, 1), jnp.float32),
-                pltpu.VMEM((H * bq, Dp), jnp.float32),
+                pltpu.VMEM((Hp if use_nt else H * bq, 1), jnp.float32),
+                pltpu.VMEM((Hp if use_nt else H * bq, 1), jnp.float32),
+                pltpu.VMEM((Hp if use_nt else H * bq, Dp), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H, bq, Dp), q.dtype),
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
         ),
@@ -500,12 +803,16 @@ def _decode_mha_folded(q, k, v, lens, k_scale, v_scale, *, scale, block_k,
             bytes_accessed=(
                 B * H * bq * Dp * 8
                 + 2 * B * Hkv * capp * Dp * (1 if quant else 4)
-                + 2 * B * Hkv * rkp * Dp * 4
+                + 2 * B * Hkv * rkp * Dp * rkb.dtype.itemsize
             ),
             transcendentals=B * H * bq * (capp + rkp),
         ),
         interpret=interpret,
-    )(jnp.asarray(lens, jnp.int32), tvec, qp, kp, vp, ksp, vsp, rkb, rvb)
+    )(jnp.asarray(lens, jnp.int32), tvec, qp, kp, vp, ksp, vsp, rkb, rvb,
+      knb, vnb)
+    out = res[0]
+    if append:
+        return out[:, :, :S, :D], res[1], res[2]
     return out[:, :, :S, :D]
 
 
@@ -517,6 +824,7 @@ def decode_mha(
     block_k: int = 256,
     interpret: bool = False,
     recent_k=None, recent_v=None, t=None,
+    k_new=None, v_new=None,
 ):
     """Per-slot static-cache attention (the serving engine's hot path).
 
@@ -552,6 +860,7 @@ def decode_mha(
             q, k, v, lens, k_scale, v_scale,
             scale=scale, block_k=block_k, interpret=interpret,
             recent_k=recent_k, recent_v=recent_v, t=t,
+            k_new=k_new, v_new=v_new,
         )
 
     bq = round_up(S, 8)
@@ -665,6 +974,47 @@ def decode_attention(q, k, v, lens, k_scale=None, v_scale=None, *, scale=None,
                           recent_k=recent_k, recent_v=recent_v, t=t)
     return decode_mha_xla(q, k, v, lens, k_scale, v_scale, scale=scale,
                           recent_k=recent_k, recent_v=recent_v, t=t)
+
+
+def decode_attention_deferred(q, k, v, lens0, k_scale=None, v_scale=None, *,
+                              scale=None, recent_k, recent_v, t, k_new,
+                              v_new, use_flash=True, interpret=False):
+    """Deferred-KV decode step: returns (out, new_recent_k, new_recent_v).
+
+    On TPU (aligned window) the Pallas kernel appends the new row into the
+    aliased window via in-kernel DMA and scores it from VMEM; elsewhere
+    the append is a dynamic_update_slice followed by the standard
+    window-inclusive attention. Both orders compute identical math (the
+    online softmax is order-free)."""
+    B, Hkv = k_new.shape[0], k_new.shape[1]
+    D = k_new.shape[3]
+    aligned = (
+        recent_k.shape[2] % 8 == 0
+        and D in (64, 128, 256, 512)
+        and q.shape[2] == 1
+        # Single-row DMA writes need sublane-granular tiling: bf16 packs
+        # 2 rows per tile word, so a 1-row slice is unaligned (Mosaic:
+        # "Slice shape along dimension 2 must be aligned to tiling (2)").
+        # bf16 windows keep the XLA dus append.
+        and jnp.dtype(recent_k.dtype).itemsize >= 4
+    )
+    if use_flash and (on_tpu() or interpret) and aligned:
+        return decode_mha(
+            q, k, v, lens0, k_scale, v_scale, scale=scale,
+            recent_k=recent_k, recent_v=recent_v, t=t,
+            k_new=k_new, v_new=v_new, interpret=interpret,
+        )
+    tt = jnp.asarray(t, jnp.int32).reshape(())
+    rk = jax.lax.dynamic_update_slice(
+        recent_k, k_new.astype(recent_k.dtype), (0, 0, tt, 0)
+    )
+    rv = jax.lax.dynamic_update_slice(
+        recent_v, v_new.astype(recent_v.dtype), (0, 0, tt, 0)
+    )
+    f = decode_attention if use_flash else decode_mha_xla
+    out = f(q, k, v, lens0, k_scale, v_scale, scale=scale,
+            recent_k=rk, recent_v=rv, t=t)
+    return out, rk, rv
 
 
 def mha_xla(q, k, v, mask=None, *, scale=None, causal=False, softcap=0.0):

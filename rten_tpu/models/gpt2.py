@@ -151,6 +151,7 @@ def build_graph(cfg: GPT2Config, weights: Dict[str, np.ndarray]) -> Graph:
 def build_graph_static_cache(
     cfg: GPT2Config, weights: Dict[str, np.ndarray], capacity: int,
     kv_quant: bool = False, deferred_kv: bool = False,
+    recent_dtype: "DataType" = None, kv_dtype: "DataType" = None,
 ) -> Graph:
     """Serving-engine variant: KV caches are preallocated [slots, H, cap, D]
     buffers written in-graph at per-slot offsets (GroupQueryAttention with
@@ -163,7 +164,8 @@ def build_graph_static_cache(
     Outputs: logits, present.N.{key,value} (the updated buffers).
 
     ``deferred_kv`` adds per-layer recent.{i}.key/value window inputs and a
-    step_t scalar: decode steps buffer new KV rows in the window (one
+    step_t scalar (``recent_dtype`` selects the window element type —
+    bf16 halves the per-step window stream and matches MXU dot precision): decode steps buffer new KV rows in the window (one
     uniform-index write) and the engine commits per-slot rows once per
     fused dispatch instead of running a per-slot dus chain every step.
     """
@@ -200,11 +202,12 @@ def build_graph_static_cache(
         )
         q, k, v = b.op("Split", [qkv], {"axis": -1, "num_outputs": 3}, n_outputs=3)
         if deferred_kv:
+            rdt = recent_dtype or DataType.Float
             recent_k = b.input(
-                f"recent.{i}.key", DataType.Float, ("slots", H, "recent", D)
+                f"recent.{i}.key", rdt, ("slots", H, "recent", D)
             )
             recent_v = b.input(
-                f"recent.{i}.value", DataType.Float, ("slots", H, "recent", D)
+                f"recent.{i}.value", rdt, ("slots", H, "recent", D)
             )
         if kv_quant:
             past_k = b.input(
@@ -250,11 +253,16 @@ def build_graph_static_cache(
                 )
                 presents.extend([pk, pks, pv, pvs])
         else:
+            # kv_dtype=BFloat16: half the decode-attention stream of f32 at
+            # effectively MXU precision (dots run in bf16 on TPU anyway),
+            # with none of the int8 path's dequant converts or scale
+            # buffers. 2x context capacity per HBM byte.
+            kdt = kv_dtype or DataType.Float
             past_k = b.input(
-                f"past_key_values.{i}.key", DataType.Float, ("slots", H, capacity, D)
+                f"past_key_values.{i}.key", kdt, ("slots", H, capacity, D)
             )
             past_v = b.input(
-                f"past_key_values.{i}.value", DataType.Float, ("slots", H, capacity, D)
+                f"past_key_values.{i}.value", kdt, ("slots", H, capacity, D)
             )
             if deferred_kv:
                 outs = b.op(

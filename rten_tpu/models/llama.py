@@ -57,11 +57,18 @@ def rope_tables(cfg: LlamaConfig):
 
 
 def build_graph_static_cache(
-    cfg: LlamaConfig, weights: Dict[str, np.ndarray], capacity: int
+    cfg: LlamaConfig, weights: Dict[str, np.ndarray], capacity: int,
+    deferred_kv: bool = False, recent_dtype: DataType = None,
+    kv_dtype: DataType = None,
 ) -> Graph:
     """Serving graph: inputs input_ids [slots,seq], past_lens [slots],
     position_ids [slots,seq]; outputs logits, present.N.{key,value},
-    next_token (on-device argmax)."""
+    next_token (on-device argmax).
+
+    ``deferred_kv``: per-layer recent.{i}.key/value window inputs + step_t
+    (see gpt2.build_graph_static_cache) — decode KV rows buffer in a small
+    window with a uniform-index write; the engine commits once per fused
+    dispatch."""
     b = GraphBuilder()
     E = cfg.hidden_size
     Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -77,6 +84,9 @@ def build_graph_static_cache(
 
     ids = b.input("input_ids", DataType.Int32, ("slots", "seq"))
     past_lens = b.input("past_lens", DataType.Int32, ("slots",))
+    step_t = (
+        b.input("step_t", DataType.Int32, (1,)) if deferred_kv else None
+    )
     b.input("position_ids", DataType.Int32, ("slots", "seq"))  # unused: GQA
     # derives rotary positions from past_lens (kept for engine IO parity).
 
@@ -101,25 +111,53 @@ def build_graph_static_cache(
                  name=f"{p}.self_attn.k_proj")
         v = b.op("MatMul", [h, w_t(f"{p}.self_attn.v_proj.weight")],
                  name=f"{p}.self_attn.v_proj")
+        kdt = kv_dtype or DataType.Float
         past_k = b.input(
-            f"past_key_values.{i}.key", DataType.Float, ("slots", Hkv, capacity, D)
+            f"past_key_values.{i}.key", kdt, ("slots", Hkv, capacity, D)
         )
         past_v = b.input(
-            f"past_key_values.{i}.value", DataType.Float, ("slots", Hkv, capacity, D)
+            f"past_key_values.{i}.value", kdt, ("slots", Hkv, capacity, D)
         )
-        attn, pk, pv = b.op(
-            "GroupQueryAttention",
-            [q, k, v, past_k, past_v, past_lens, None, cos_c, sin_c],
-            {
-                "num_heads": Hq, "kv_num_heads": Hkv, "rten_past_lens": 1,
-                "do_rotary": 1,
-            },
-            n_outputs=3,
-            output_names=[
-                f"attn_out_{i}", f"present.{i}.key", f"present.{i}.value",
-            ],
-        )
-        presents.extend([pk, pv])
+        if deferred_kv:
+            rdt = recent_dtype or DataType.Float
+            recent_k = b.input(
+                f"recent.{i}.key", rdt, ("slots", Hkv, "recent", D)
+            )
+            recent_v = b.input(
+                f"recent.{i}.value", rdt, ("slots", Hkv, "recent", D)
+            )
+            outs = b.op(
+                "GroupQueryAttention",
+                [q, k, v, past_k, past_v, past_lens, None, cos_c, sin_c,
+                 recent_k, recent_v, step_t],
+                {
+                    "num_heads": Hq, "kv_num_heads": Hkv,
+                    "rten_past_lens": 1, "do_rotary": 1,
+                    "rten_recent_kv": 1,
+                },
+                n_outputs=5,
+                output_names=[
+                    f"attn_out_{i}", f"present.{i}.key",
+                    f"present.{i}.value",
+                    f"recent_present.{i}.key", f"recent_present.{i}.value",
+                ],
+            )
+            attn = outs[0]
+            presents.extend(outs[1:])
+        else:
+            attn, pk, pv = b.op(
+                "GroupQueryAttention",
+                [q, k, v, past_k, past_v, past_lens, None, cos_c, sin_c],
+                {
+                    "num_heads": Hq, "kv_num_heads": Hkv, "rten_past_lens": 1,
+                    "do_rotary": 1,
+                },
+                n_outputs=3,
+                output_names=[
+                    f"attn_out_{i}", f"present.{i}.key", f"present.{i}.value",
+                ],
+            )
+            presents.extend([pk, pv])
         x = x + b.op("MatMul", [attn, w_t(f"{p}.self_attn.o_proj.weight")],
                      name=f"{p}.self_attn.o_proj")
         h2 = rms(x, f"{p}.post_attention_layernorm.weight")

@@ -285,19 +285,13 @@ def _group_query_attention(ctx, inputs, attrs):
         if S == 1 and not softcap:
             t = jnp.asarray(step_t, jnp.int32).reshape(())
             lens0 = past_lens - t
-            rk_new = jax.lax.dynamic_update_slice(
-                recent_k, k.astype(recent_k.dtype), (0, 0, t, 0)
-            )
-            rv_new = jax.lax.dynamic_update_slice(
-                recent_v, v.astype(recent_v.dtype), (0, 0, t, 0)
-            )
-            from ..kernels.flash_attention import (
-                decode_attention, decode_mha_xla,
-            )
+            from ..kernels.flash_attention import decode_attention_deferred
 
-            f = decode_attention if _use_flash(ctx) else decode_mha_xla
-            out = f(q, past_k, past_v, lens0, scale=scale,
-                    recent_k=rk_new, recent_v=rv_new, t=t)
+            out, rk_new, rv_new = decode_attention_deferred(
+                q, past_k, past_v, lens0, scale=scale,
+                recent_k=recent_k, recent_v=recent_v, t=t,
+                k_new=k, v_new=v, use_flash=_use_flash(ctx),
+            )
             out = _merge_heads(out)
             return (out, past_k, past_v, rk_new, rv_new)[:n_out]
         # Prefill: direct big-cache write; the recent window is untouched.
@@ -414,14 +408,13 @@ def _quantized_kv_attention(ctx, inputs, attrs):
         if S == 1:
             t = jnp.asarray(step_t, jnp.int32).reshape(())
             lens0 = lens - t
-            rk_new = jax.lax.dynamic_update_slice(
-                recent_k, k4.astype(recent_k.dtype), (0, 0, t, 0)
+            from ..kernels.flash_attention import decode_attention_deferred
+
+            out, rk_new, rv_new = decode_attention_deferred(
+                q4, past_k_q8, past_v_q8, lens0, ks, vs, scale=scale,
+                recent_k=recent_k, recent_v=recent_v, t=t,
+                k_new=k4, v_new=v4, use_flash=_use_flash(ctx),
             )
-            rv_new = jax.lax.dynamic_update_slice(
-                recent_v, v4.astype(recent_v.dtype), (0, 0, t, 0)
-            )
-            out = f(q4, past_k_q8, past_v_q8, lens0, ks, vs, scale=scale,
-                    recent_k=rk_new, recent_v=rv_new, t=t)
             return (_merge_heads(out), past_k_q8, k_scales, past_v_q8,
                     v_scales, rk_new, rv_new)
         # Prefill: quantize + write the big cache directly.

@@ -156,11 +156,12 @@ class ContinuousBatchingEngine:
             self.g.find_node("recent_present." + n[len("recent."):])
             for n in self.recent_names
         ]
-        self._recent_alloc = []     # (heads, head_dim) per window
+        self._recent_alloc = []     # (heads, head_dim, dtype) per window
         self._commit_plan = []      # (recent_idx, cache_idx, scale_idx|None)
         for ri, rname in enumerate(self.recent_names):
             node = self.g.nodes[self.recent_ids[ri]]
-            self._recent_alloc.append((node.shape[1], node.shape[3]))
+            rdt = node.dtype.np_dtype if node.dtype else np.float32
+            self._recent_alloc.append((node.shape[1], node.shape[3], rdt))
             base = "past_key_values." + rname[len("recent."):]
             ci = self.cache_names.index(base)
             sname = base + "_scale"
@@ -266,8 +267,8 @@ class ContinuousBatchingEngine:
 
         def fn(weights: Dict, caches, toks, lens, key):
             recents = tuple(
-                jnp.zeros((slots, h, k, d), jnp.float32)
-                for h, d in self._recent_alloc
+                jnp.zeros((slots, h, k, d), dt)
+                for h, d, dt in self._recent_alloc
             )
 
             def body(carry, t):
@@ -323,8 +324,8 @@ class ContinuousBatchingEngine:
         from ..ops.attention import _slot_kv_update
 
         for ri, ci, si in self._commit_plan:
-            rows = recents[ri]
-            if si is None:
+            rows = recents[ri].astype(jnp.float32)  # bf16 windows: quantize
+            if si is None:                          # and commit in f32 math
                 caches[ci] = _slot_kv_update(
                     caches[ci], rows.astype(caches[ci].dtype), lens0
                 )
@@ -612,8 +613,8 @@ class ContinuousBatchingEngine:
         if not self.deferred_kv:
             return
         env[self.step_t_id] = jnp.zeros(1, jnp.int32)
-        for nid, (h, d) in zip(self.recent_ids, self._recent_alloc):
-            env[nid] = jnp.zeros((self.slots, h, 1, d), jnp.float32)
+        for nid, (h, d, dt) in zip(self.recent_ids, self._recent_alloc):
+            env[nid] = jnp.zeros((self.slots, h, 1, d), dt)
 
     def _build_batch_prefill(self, T: int):
         """Fused admission executable for prompt bucket T: forward ALL slot
@@ -872,8 +873,8 @@ class ContinuousBatchingEngine:
             # One-step recent window, committed right away (the legacy
             # per-step path — the fused dispatch is where deferral pays).
             feed[self.step_t_id] = np.zeros(1, np.int32)
-            for nid, (h, d) in zip(self.recent_ids, self._recent_alloc):
-                feed[nid] = jnp.zeros((self.slots, h, 1, d), jnp.float32)
+            for nid, (h, d, dt) in zip(self.recent_ids, self._recent_alloc):
+                feed[nid] = jnp.zeros((self.slots, h, 1, d), dt)
             outs = self.executor.run(
                 feed, self.out_ids + self.recent_out_ids,
                 donate=self.cache_ids,

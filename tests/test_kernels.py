@@ -167,3 +167,58 @@ def test_decode_mha_gqa_interpret():
     got = decode_mha(q, k, v, lens, interpret=True)
     want = decode_mha_xla(q, k, v, lens)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_decode_mha_recent_window_multiblock(quant):
+    """Deferred-KV decode: recent window (bf16) + valid-prefix block clamp.
+
+    lens straddle key-block boundaries (0 / mid-block / exact multiple /
+    block 1) so the clamped index maps and the compute-skip guard are both
+    exercised; the window adds the current dispatch's rows on top.
+    """
+    from rten_tpu.kernels.flash_attention import decode_mha, decode_mha_xla
+
+    rng = np.random.default_rng(3)
+    B, H, S, D, cap, rk = 4, 4, 1, 64, 512, 8
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    rkw = jnp.asarray(rng.standard_normal((B, H, rk, D)), jnp.bfloat16)
+    rvw = jnp.asarray(rng.standard_normal((B, H, rk, D)), jnp.bfloat16)
+    lens = jnp.asarray([0, 100, 256, 300], jnp.int32)
+    t = jnp.int32(2)
+    if quant:
+        k = jnp.asarray(rng.integers(-127, 127, (B, H, cap, D)), jnp.int8)
+        v = jnp.asarray(rng.integers(-127, 127, (B, H, cap, D)), jnp.int8)
+        ks = jnp.asarray(rng.uniform(0.005, 0.02, (B, H, cap)), jnp.float32)
+        vs = jnp.asarray(rng.uniform(0.005, 0.02, (B, H, cap)), jnp.float32)
+        got = decode_mha(q, k, v, lens, ks, vs, interpret=True,
+                         recent_k=rkw, recent_v=rvw, t=t, block_k=256)
+        want = decode_mha_xla(q, k, v, lens, ks, vs,
+                              recent_k=rkw, recent_v=rvw, t=t)
+    else:
+        k = jnp.asarray(rng.standard_normal((B, H, cap, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, H, cap, D)), jnp.float32)
+        got = decode_mha(q, k, v, lens, interpret=True,
+                         recent_k=rkw, recent_v=rvw, t=t, block_k=256)
+        want = decode_mha_xla(q, k, v, lens,
+                              recent_k=rkw, recent_v=rvw, t=t)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=5e-3
+    )
+
+
+def test_decode_mha_clamp_nondeferred_multiblock():
+    """Non-deferred path with the clamped index maps at cap > block_k."""
+    from rten_tpu.kernels.flash_attention import decode_mha, decode_mha_xla
+
+    rng = np.random.default_rng(4)
+    B, H, S, D, cap = 4, 2, 1, 64, 512
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, cap, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, cap, D)), jnp.float32)
+    lens = jnp.asarray([5, 255, 256, 511], jnp.int32)
+    got = decode_mha(q, k, v, lens, interpret=True, block_k=256)
+    want = decode_mha_xla(q, k, v, lens)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )

@@ -26,8 +26,11 @@ def tiny():
     return module, cfg, weights
 
 
-def _engine(cfg, weights, quantize=None, slots=2, capacity=64):
-    g = llama.build_graph_static_cache(cfg, weights, capacity=capacity)
+def _engine(cfg, weights, quantize=None, slots=2, capacity=64,
+            deferred_kv=False):
+    g = llama.build_graph_static_cache(
+        cfg, weights, capacity=capacity, deferred_kv=deferred_kv
+    )
     if quantize == "int8":
         from rten_tpu.quantize_pass import quantize_dynamic
 
@@ -43,6 +46,19 @@ def _engine(cfg, weights, quantize=None, slots=2, capacity=64):
 def test_llama_engine_matches_torch(tiny):
     module, cfg, weights = tiny
     eng = _engine(cfg, weights)
+    prompts = [[3, 17, 9, 101, 42], [7, 7, 200]]
+    n_new = 8
+    reqs = [eng.submit(p, max_new_tokens=n_new) for p in prompts]
+    eng.run()
+    for p, r in zip(prompts, reqs):
+        want = torch_greedy(module, p, n_new)
+        assert r.generated == want, (r.generated, want)
+
+
+def test_llama_engine_deferred_kv_matches_torch(tiny):
+    """GQA+rotary through the deferred-KV (recent window) serving path."""
+    module, cfg, weights = tiny
+    eng = _engine(cfg, weights, deferred_kv=True)
     prompts = [[3, 17, 9, 101, 42], [7, 7, 200]]
     n_new = 8
     reqs = [eng.submit(p, max_new_tokens=n_new) for p in prompts]

@@ -124,6 +124,37 @@ def test_deferred_int8_kv_matches_nondeferred(setup):
         assert a[:4] == b[:4]
 
 
+def test_deferred_tp_sharded_matches(setup):
+    """TP-sharded deferred engine (virtual 8-device mesh) matches unsharded:
+    the recent windows are scan-local arrays, so XLA must propagate the
+    head-axis sharding through the window append + commit."""
+    from rten_tpu.parallel import MeshConfig, make_mesh, shard_constants
+
+    cfg = gpt2.GPT2Config(
+        vocab_size=96, n_positions=64, n_embd=64, n_layer=2, n_head=8
+    )
+    weights = gpt2.random_weights(cfg, seed=5)
+    g = gpt2.build_graph_static_cache(
+        cfg, weights, capacity=64, deferred_kv=True
+    )
+    model = Model(g, ModelOptions(optimize=True))
+
+    def run(params=None):
+        eng = ContinuousBatchingEngine(
+            model, n_layer=cfg.n_layer, n_head=cfg.n_head,
+            head_dim=cfg.head_dim, slots=2, capacity=64, prefill_bucket=8,
+            greedy_on_device=True, steps_per_dispatch=2, params=params,
+        )
+        reqs = [eng.submit(p, max_new_tokens=6) for p in [[5, 9, 23], [40, 7, 12, 3]]]
+        eng.run()
+        return [r.generated for r in reqs]
+
+    want = run()
+    mesh = make_mesh(MeshConfig(1, 8))
+    got = run(shard_constants(g, mesh))
+    assert got == want
+
+
 def test_deferred_eos_mid_dispatch(setup):
     """Requests finishing mid-dispatch (eos) must not corrupt later ones."""
     cfg, weights, seq_model = setup
