@@ -346,9 +346,9 @@ def _decode_kernel_folded_nt(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
                              vs_ref, rk_ref, rv_ref, kn_ref, vn_ref,
                              out_ref, rk_hbm, rv_hbm, m_ref, l_ref,
                              acc_ref, sems, *, scale: float, S: int,
-                             cap: int, block_k: int, group: int,
-                             recent: int, append: bool):
-    """One-dot-per-(slot, key-block) decode attention (f32/bf16 KV).
+                             cap: int, block_k: int, quant: bool,
+                             group: int, recent: int, append: bool):
+    """One-dot-per-(slot, key-block) decode attention (f32/bf16/int8 KV).
 
     The per-head loop kernel issues 2*H tiny MXU dots + H softmax passes
     per grid step and is ISSUE-bound (r3 microbench: 106.8us/call chained
@@ -367,6 +367,14 @@ def _decode_kernel_folded_nt(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
     The extra cross-group MACs are free (MXU was idle); the softmax runs
     once over [Hp, Hkv*bk] instead of per head. Deferred-KV window and
     in-kernel DMA append (see the loop kernel) use the same NT trick.
+
+    int8 KV: the per-position scales live lane-major per kv-head
+    ([Hkv, bk] with positions on LANES), and the merged score layout
+    needs them as one [1, Hkv*bk] lane row. A sublane->lane reshape is
+    not Mosaic-legal, but CONCATENATING the Hkv per-head lane slices
+    along the lane axis is - a trivial VPU copy. K/V int8 values are
+    exact in bf16 (8 mantissa bits cover [-127,127]), so the blocks feed
+    the MXU as bf16 and the scores/probabilities are rescaled on lanes.
     """
     b = pl.program_id(0)
     kb = pl.program_id(1)
@@ -408,9 +416,11 @@ def _decode_kernel_folded_nt(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
             q_t, kmat, (((1,), (1,)), ((), ()))
         ) * scale                                  # [Hp, width]
 
-    def merge(s, vmat):
+    def merge(s, vmat, vs_row=None):
         """Online-softmax merge of one lane-major score block; the masked
-        zeros in p implement the GQA block structure for the value dot."""
+        zeros in p implement the GQA block structure for the value dot.
+        ``vs_row`` ([1, width]) rescales quantized V on p's lanes AFTER
+        the denominator accumulates (scales weight values, not probs)."""
         m_prev = m_ref[:]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)
@@ -421,10 +431,20 @@ def _decode_kernel_folded_nt(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
             m_prev <= NEG_INF / 2, 0.0, jnp.exp(m_prev - m_new)
         )
         l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        if vs_row is not None:
+            p = p * vs_row
         acc_ref[:] = acc_ref[:] * alpha + _dot_f32(
             p, vmat, (((1,), (0,)), ((), ()))
         )
         m_ref[:] = m_new
+
+    def lane_merge(sc_ref, width):
+        """[Hkv, width] per-head lane rows -> one [1, Hkv*width] lane row
+        (kv-head-major, matching the K/V sublane merge order)."""
+        return jnp.concatenate(
+            [sc_ref[0, kvh, 0, :].reshape(1, width) for kvh in range(Hkv)],
+            axis=1,
+        )
 
     if recent:
         jmax = jnp.maximum(lens_ref[b] - 1, 0) // block_k
@@ -436,6 +456,8 @@ def _decode_kernel_folded_nt(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
         W = Hkv * block_k
         km = k_ref[0].reshape(W, Dp)
         s = nt_scores(km, W)
+        if quant:
+            s = s * lane_merge(ks_ref, block_k)
         sub = jax.lax.broadcasted_iota(jnp.int32, (Hp, W), 0)
         lane = jax.lax.broadcasted_iota(jnp.int32, (Hp, W), 1)
         col = kb * block_k + lane % block_k
@@ -445,7 +467,8 @@ def _decode_kernel_folded_nt(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
         else:
             valid &= (col <= lens_ref[b]) & (col < cap)
         s = jnp.where(valid, s, NEG_INF)
-        merge(s, v_ref[0].reshape(W, Dp))
+        merge(s, v_ref[0].reshape(W, Dp),
+              lane_merge(vs_ref, block_k) if quant else None)
 
     last = kb == pl.num_programs(1) - 1
     if recent:
@@ -504,7 +527,6 @@ def _folded_loop_entry(*refs, append: bool, nt: bool = False, **kw):
          out, m, l, acc, sems) = refs
         rk_hbm = rv_hbm = None
     if nt:
-        kw.pop("quant")
         return _decode_kernel_folded_nt(
             lens, t, q, k, v, ks, vs, rk, rv, kn, vn, out, rk_hbm,
             rv_hbm, m, l, acc, sems, append=append, **kw
@@ -731,12 +753,9 @@ def _decode_mha_folded(q, k, v, lens, k_scale, v_scale, *, scale, block_k,
     # dot_general — semantically identical but Mosaic compiles it
     # pathologically slowly (>10min for the GPT-2 decode shape).
     # NT folding (one score dot + one value dot per grid step for ALL
-    # heads) needs S==1 and an unquantized cache (int8 per-position scales
-    # would need a lane-relayout; the loop kernel keeps that path).
-    use_nt = (
-        S == 1 and not quant
-        and os.environ.get("RTEN_DECODE_NT", "1") != "0"
-    )
+    # heads) needs S==1; int8 scales merge onto the lane axis by
+    # concatenating per-head lane rows (see _decode_kernel_folded_nt).
+    use_nt = S == 1 and os.environ.get("RTEN_DECODE_NT", "1") != "0"
     Hp = round_up(H, 8)
     body = (
         _decode_kernel_folded
@@ -990,7 +1009,11 @@ def decode_attention_deferred(q, k, v, lens0, k_scale=None, v_scale=None, *,
     D = k_new.shape[3]
     aligned = (
         recent_k.shape[2] % 8 == 0
-        and D in (64, 128, 256, 512)
+        # The DMA destination slice covers the FULL head dim, and Mosaic
+        # requires HBM slice shapes 128-aligned on the lane axis — D=64
+        # narrow-lane models (GPT-2) must take the dus fallback (padding
+        # the window to 128 would break the no-copy output alias).
+        and D % 128 == 0
         and q.shape[2] == 1
         # Single-row DMA writes need sublane-granular tiling: bf16 packs
         # 2 rows per tile word, so a 1-row slice is unaligned (Mosaic:

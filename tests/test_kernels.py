@@ -222,3 +222,29 @@ def test_decode_mha_clamp_nondeferred_multiblock():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
     )
+
+
+def test_decode_mha_gqa_quant_nt():
+    """GQA (group=3) + int8 KV through the NT-folded kernel: the merged
+    lane mask must zero cross-group probabilities AND the concatenated
+    per-kv-head scale rows must line up with the sublane K/V merge."""
+    from rten_tpu.kernels.flash_attention import decode_mha, decode_mha_xla
+
+    rng = np.random.default_rng(11)
+    B, H, Hkv, S, D, cap, rk = 3, 6, 2, 1, 64, 256, 8
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    k = jnp.asarray(rng.integers(-127, 127, (B, Hkv, cap, D)), jnp.int8)
+    v = jnp.asarray(rng.integers(-127, 127, (B, Hkv, cap, D)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.005, 0.02, (B, Hkv, cap)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.005, 0.02, (B, Hkv, cap)), jnp.float32)
+    lens = jnp.asarray([0, 100, 255], jnp.int32)
+    rkw = jnp.asarray(rng.standard_normal((B, Hkv, rk, D)), jnp.bfloat16)
+    rvw = jnp.asarray(rng.standard_normal((B, Hkv, rk, D)), jnp.bfloat16)
+    t = jnp.int32(1)
+    got = decode_mha(q, k, v, lens, ks, vs, interpret=True, block_k=128,
+                     recent_k=rkw, recent_v=rvw, t=t)
+    want = decode_mha_xla(q, k, v, lens, ks, vs,
+                          recent_k=rkw, recent_v=rvw, t=t)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=5e-3
+    )
