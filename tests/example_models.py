@@ -435,3 +435,62 @@ def export_g2p_models(enc_path, dec_path, E=32):
                               "attention_mask": {0: "b", 1: "t"}})
     dec = export_merged_decoder(dec_path, vocab=259 + 3, E=E)
     return enc, dec
+
+
+class MLMModel(nn.Module):
+    """Masked-LM (fill-mask) model: encoder trunk + vocab-projection head
+    (ModernBERT/BERT masked-word-prediction class)."""
+
+    def __init__(self, vocab=128, E=32):
+        super().__init__()
+        self.trunk = TinyEncoder(vocab=vocab, E=E)
+        self.head = nn.Linear(E, vocab)
+
+    def forward(self, input_ids, attention_mask):
+        return self.head(self.trunk(input_ids, attention_mask))
+
+
+def export_mlm_model(path, vocab=128):
+    torch.manual_seed(7)
+    m = MLMModel(vocab=vocab).eval()
+    ids = torch.zeros(1, 8, dtype=torch.int64)
+    mask = torch.ones(1, 8, dtype=torch.int64)
+    _export(m, (ids, mask), path, ["input_ids", "attention_mask"],
+            ["logits"],
+            dyn={"input_ids": {0: "b", 1: "t"},
+                 "attention_mask": {0: "b", 1: "t"}})
+    return m
+
+
+class PatchEncoder(nn.Module):
+    """ViT-style image encoder: non-overlapping patch embed (a strided
+    conv) + one transformer block -> [B, patches, E] hidden states
+    (DistilViT image-captioning class)."""
+
+    def __init__(self, E=32, patch=8, heads=4):
+        super().__init__()
+        self.proj = nn.Conv2d(3, E, patch, stride=patch)
+        self.blk = _EncBlock(E, heads)
+
+    def forward(self, image):
+        h = self.proj(image)                 # [B, E, h, w]
+        x = h.flatten(2).transpose(1, 2)     # [B, h*w, E]
+        return self.blk(x, torch.zeros(1, 1, 1, 1))
+
+
+def export_caption_models(enc_path, dec_path, E=32):
+    """DistilViT-style captioning pair: ViT patch encoder + merged text
+    decoder (same Optimum merged-decoder conventions as OCR/g2p)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from merged_decoder_model import export_merged_decoder
+
+    torch.manual_seed(8)
+    enc = PatchEncoder(E).eval()
+    img = torch.randn(1, 3, 32, 32)
+    export_onnx(enc, (img,), enc_path, ["image"], ["encoder_hidden_states"],
+                dynamic_axes={"image": {0: "b"}})
+    dec = export_merged_decoder(dec_path, vocab=64, E=E)
+    return enc, dec

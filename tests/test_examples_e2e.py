@@ -287,3 +287,73 @@ def test_g2p_matches_torch_loop(tmp_path):
     # byte round-trip incl. non-ascii
     s = "héllo"
     assert byte_detokenize(byte_tokenize(s)[:-1]) == s
+
+
+def test_fill_mask_matches_torch(tmp_path):
+    """fill_mask top-k at every [MASK] position == torch logits ranking."""
+    from fill_mask import predict_masked
+
+    path = str(tmp_path / "mlm.onnx")
+    torch_m = em.export_mlm_model(path)
+    model = Model.load_file(path)
+    rng = np.random.default_rng(4)
+    ids = rng.integers(3, 128, 12)
+    mask_id = 1
+    ids[2] = mask_id
+    ids[7] = mask_id
+
+    got = predict_masked(model, ids, mask_id, top_k=5)
+
+    with torch.no_grad():
+        logits = torch_m(
+            torch.from_numpy(ids[None].astype(np.int64)),
+            torch.ones(1, 12, dtype=torch.int64),
+        )[0].numpy()
+    assert sorted(got) == [2, 7]
+    for pos, topk in got.items():
+        want_order = np.argsort(-logits[pos])[:5]
+        assert [i for i, _ in topk] == [int(i) for i in want_order]
+        probs = np.exp(logits[pos] - logits[pos].max())
+        probs /= probs.sum()
+        for (i, p) in topk:
+            np.testing.assert_allclose(p, probs[i], rtol=1e-3, atol=1e-5)
+
+
+def test_caption_matches_torch_loop(tmp_path):
+    """Captioning through the generic Generator == hand-driven torch
+    encoder-decoder loop (DistilViT-class stack)."""
+    from caption import caption
+
+    enc_path = str(tmp_path / "enc.onnx")
+    dec_path = str(tmp_path / "dec.onnx")
+    enc_m, dec_m = em.export_caption_models(enc_path, dec_path)
+    encoder = Model.load_file(enc_path)
+    decoder = Model.load_file(dec_path)
+    rng = np.random.default_rng(9)
+    img = rng.random((3, 32, 32)).astype(np.float32)
+
+    got_ids = caption(encoder, decoder, img, max_tokens=6)
+
+    with torch.no_grad():
+        enc_out = enc_m(torch.from_numpy(img[None]))
+    H, D = 4, 8
+    zdec = torch.zeros(1, H, 0, D)
+    caches = [zdec] * 8
+    flag = torch.tensor(False)
+    ids = torch.tensor([[1]], dtype=torch.int64)
+    want = []
+    with torch.no_grad():
+        for step in range(6):
+            out = dec_m(ids, enc_out, flag, *caches)
+            logits = out[0]
+            dk0, dv0, ek0, ev0, dk1, dv1, ek1, ev1 = out[1:]
+            if step == 0:
+                cross = [ek0, ev0, ek1, ev1]
+            caches = [dk0, dv0, cross[0], cross[1], dk1, dv1, cross[2], cross[3]]
+            flag = torch.tensor(True)
+            tok = int(torch.argmax(logits[0, -1]))
+            want.append(tok)
+            if tok == 2:
+                break
+            ids = torch.tensor([[tok]], dtype=torch.int64)
+    assert got_ids[: len(want)] == want
