@@ -46,11 +46,11 @@ def build_engine(capacity=None, kv_quant=False, device_sampler=None,
     from rten_tpu.serving import ContinuousBatchingEngine
 
     capacity = capacity or CAPACITY
-    # bf16 KV is the headline default: the NT-folded decode kernel feeds
-    # bf16 straight to the MXU with no dequant scales -- 10,683 tok/s vs
-    # int8's 8,671 (loop kernel) at slots=32 (r3). int8 KV remains the
-    # long-context (hard config) choice at 4x f32 capacity.
-    kv_env = os.environ.get("RTEN_BENCH_KV", "bf16")
+    # int8 KV is the headline default: once the NT-folded decode kernel
+    # learned to merge per-position scales onto the lane axis, the halved
+    # cache stream made int8 the fastest KV dtype (13,265 tok/s vs bf16's
+    # 9,823 at slots=32, r3) on top of its 4x-capacity advantage.
+    kv_env = os.environ.get("RTEN_BENCH_KV", "int8")
     if kv_env == "int8":
         kv_quant = True
     cfg = gpt2.GPT2Config(n_layer=N_LAYER)
