@@ -27,9 +27,13 @@ import numpy as np
 N_LAYER = int(os.environ.get("RTEN_BENCH_LAYERS", "12"))  # 12 = gpt2-small
 PROMPT_LEN = 128
 NEW_TOKENS = 64
-SLOTS = int(os.environ.get("RTEN_BENCH_SLOTS", "32"))
+# slots=96 is the measured throughput peak on the v5e tunnel (sweep r3:
+# 32->13.0k, 48->14.3k, 64->15.7k, 96->17.9k, 128->17.0k tok/s; TTFT grows
+# with the admission batch — 109ms at 96, still under round 2's 143ms).
+SLOTS = int(os.environ.get("RTEN_BENCH_SLOTS", "96"))
 CAPACITY = int(os.environ.get("RTEN_BENCH_CAP", "256"))
-WAVE = int(os.environ.get("RTEN_BENCH_WAVE", "32"))  # timed requests
+# timed requests: default one full wave of slots
+WAVE = int(os.environ.get("RTEN_BENCH_WAVE", str(SLOTS)))
 # fused on-device decode steps per dispatch
 STEPS_PER_DISPATCH = int(os.environ.get("RTEN_BENCH_K", "64"))
 
@@ -113,8 +117,18 @@ def decode_roofline_tps(engine) -> float:
         for n in engine.g.nodes.values()
         if isinstance(n, Constant) and is_weight_constant(n)
     )
+    # The decode-attention kernel clamps its K/V grid to the live prefix
+    # (valid-block clamp), so the bytes actually streamed are the LIVE
+    # rows, not the allocated capacity. Charge the timed wave's mean live
+    # length (prompt + half the generated span) — the tight bound; the
+    # full-capacity figure would overstate the bytes and report fractions
+    # above 1.0 once the clamp landed.
+    live = min(engine.capacity, PROMPT_LEN + NEW_TOKENS // 2)
     kv_bytes = sum(
-        int(np.prod(c.shape)) * c.dtype.itemsize for c in engine.caches
+        int(np.prod(c.shape)) * c.dtype.itemsize * live // c.shape[-2]
+        if c.shape[-2] == engine.capacity
+        else int(np.prod(c.shape)) * c.dtype.itemsize
+        for c in engine.caches
     )
     step_bytes = weight_bytes + kv_bytes  # KV read; writes are ~1 row/slot
     step_s = step_bytes / (HBM_GBPS * 1e9)
@@ -193,7 +207,9 @@ def measure_device_step(engine, k: int) -> float:
 
 def run_workload():
     rng = np.random.default_rng(0)
-    cfg, engine = build_engine()
+    cfg, engine = build_engine(
+        dispatches_per_drain=int(os.environ.get("RTEN_BENCH_D", "1"))
+    )
 
     def prompts(n):
         return [

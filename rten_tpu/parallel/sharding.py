@@ -50,6 +50,21 @@ GPT2_INPUT_RULES: List[Tuple[str, P]] = [
     (r"^past_key_values\..*\.(key|value)$", P("data", "model", None, None)),
 ]
 
+# Sequence-parallel (SP) prefill: long-prompt activations sharded along the
+# TOKEN axis over the 'model' mesh axis (weights replicated). Embeddings,
+# norms and MLPs are token-pointwise so the sharding propagates for free;
+# at attention GSPMD all-gathers K/V along ICI while Q/scores/output stay
+# token-sharded — the standard pjit-SP prefill recipe (scaling-book ch.
+# "inference"; no reference analog — rten is single-threaded per op,
+# SURVEY §2.6). Use for prompts long enough that prefill FLOPs dominate;
+# token count must divide the 'model' axis size.
+SP_PREFILL_INPUT_RULES: List[Tuple[str, P]] = [
+    (r"^input_ids$", P("data", "model")),
+    (r"^attention_mask$", P("data", None)),
+    (r"^position_ids$", P("data", "model")),
+    (r"^past_key_values\..*\.(key|value)$", P("data", None, None, None)),
+]
+
 
 def sharding_for_name(
     name: Optional[str], rules: List[Tuple[str, P]]

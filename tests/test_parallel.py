@@ -125,3 +125,30 @@ def test_sharded_generator(tiny_model):
     )
     got = gen.generate(6)[0]
     np.testing.assert_array_equal(got, want)
+
+
+def test_sp_prefill_matches_single_device(tiny_model):
+    """Sequence-parallel prefill: token axis sharded over the 'model' mesh
+    axis with replicated weights (SP_PREFILL_INPUT_RULES). Pointwise layers
+    keep the token sharding; GSPMD all-gathers K/V at attention. Numerics
+    must match the unsharded forward exactly (same math, partitioned)."""
+    from jax.sharding import PartitionSpec as P
+
+    from rten_tpu.parallel.sharding import SP_PREFILL_INPUT_RULES
+
+    cfg, model = tiny_model
+    B, T = 2, 16  # T divides the model axis (4)
+    ids = (np.arange(B * T, dtype=np.int32).reshape(B, T) * 5) % cfg.vocab_size
+    feed_by_name = _feed(cfg, ids)
+    want = np.asarray(model.run(feed_by_name, ["logits"])[0])
+
+    mesh = make_mesh(MeshConfig(2, 4))
+    g = model.graph
+    params = shard_constants(g, mesh, rules=[])  # replicated weights
+    feed = {g.find_node(k): v for k, v in feed_by_name.items()}
+    feed = shard_inputs(g, mesh, feed, SP_PREFILL_INPUT_RULES)
+    # The token axis really is split before the run.
+    assert feed[g.find_node("input_ids")].sharding.spec == P("data", "model")
+    feed.update(params)
+    got = model.executor.run(feed, [g.find_node("logits")])[0]
+    assert_close(np.asarray(got), want, rtol=1e-3, atol=1e-4)

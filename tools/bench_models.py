@@ -162,21 +162,31 @@ def bench_whisper_encoder(iters):
         encoder_ffn_dim=4 * cfg.d_model, decoder_ffn_dim=4 * cfg.d_model,
         max_source_positions=cfg.max_source_positions,
     ))
-    model = whisper.WhisperModel(cfg, whisper.weights_from_torch(hf))
+    weights = whisper.weights_from_torch(hf)
     mel = np.random.default_rng(0).normal(
         0, 1, (1, cfg.n_mels, cfg.max_source_positions * 2)
     ).astype(np.float32)
-    t = _timed(lambda: model.encoder.run({"mel": mel})[0], iters)
     # Encoder ~12 layers x 12*d^2 weights = 85M params over 1500 positions
-    # + attention scores: ~2 * 87M * 1500 FLOPs per 30s window (f32 path,
-    # so the bound is the bf16/f32 MXU peak).
+    # + attention scores: ~2 * 87M * 1500 FLOPs per 30s window.
     flops = 2 * 87e6 * cfg.max_source_positions
-    yield {
-        "config": "whisper_small_encoder",
-        "value": round(30.0 / t, 1),  # one 30s audio window per pass
-        "unit": "audio-s/s",
-        "mfu_bf16": round(_mfu(flops, t, int8=False), 4),
-    }
+    from rten_tpu.model import ModelOptions
+    from rten_tpu.runtime.executor import RunConfig
+
+    for name, opts in (
+        ("whisper_small_encoder", None),
+        # bf16 MXU passes (RunConfig.prefer_bf16): the MXU's native mode —
+        # f32 HIGHEST runs the 6x-pass float path.
+        ("whisper_small_encoder_bf16", ModelOptions(
+            run_config=RunConfig(prefer_bf16=True))),
+    ):
+        model = whisper.WhisperModel(cfg, weights, options=opts)
+        t = _timed(lambda: model.encoder.run({"mel": mel})[0], iters)
+        yield {
+            "config": name,
+            "value": round(30.0 / t, 1),  # one 30s audio window per pass
+            "unit": "audio-s/s",
+            "mfu_bf16": round(_mfu(flops, t, int8=False), 4),
+        }
 
 
 BENCHES = {
