@@ -24,6 +24,11 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from rten_tpu.utils import honor_jax_platforms_env  # noqa: E402
+
+honor_jax_platforms_env()
+
 N_LAYER = int(os.environ.get("RTEN_BENCH_LAYERS", "12"))  # 12 = gpt2-small
 PROMPT_LEN = 128
 NEW_TOKENS = 64
