@@ -248,3 +248,48 @@ def test_decode_mha_gqa_quant_nt():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-2, atol=5e-3
     )
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_decode_mha_inkernel_append(quant):
+    """In-kernel DMA append (aligned case: f32 window, D%128==0, S=1):
+    the kernel writes the new K/V row into the ALIASED window at row t and
+    scores it from VMEM. Output and mutated windows must match the
+    dus-append + window-inclusive reference."""
+    from rten_tpu.kernels.flash_attention import (
+        decode_attention_deferred,
+        decode_mha_xla,
+    )
+
+    rng = np.random.default_rng(7)
+    B, H, S, D, cap, rk = 2, 4, 1, 128, 256, 8
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    rkw = jnp.asarray(rng.standard_normal((B, H, rk, D)), jnp.float32)
+    rvw = jnp.asarray(rng.standard_normal((B, H, rk, D)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    lens = jnp.asarray([100, 256], jnp.int32)
+    t = jnp.int32(3)
+    if quant:
+        k = jnp.asarray(rng.integers(-127, 127, (B, H, cap, D)), jnp.int8)
+        v = jnp.asarray(rng.integers(-127, 127, (B, H, cap, D)), jnp.int8)
+        ks = jnp.asarray(rng.uniform(0.005, 0.02, (B, H, cap)), jnp.float32)
+        vs = jnp.asarray(rng.uniform(0.005, 0.02, (B, H, cap)), jnp.float32)
+    else:
+        k = jnp.asarray(rng.standard_normal((B, H, cap, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, H, cap, D)), jnp.float32)
+        ks = vs = None
+    out, rk2, rv2 = decode_attention_deferred(
+        q, k, v, lens, ks, vs, recent_k=rkw, recent_v=rvw, t=t,
+        k_new=kn, v_new=vn, interpret=True,
+    )
+    # Reference: dus append, then window-inclusive attention.
+    rk_want = rkw.at[:, :, 3:4, :].set(kn)
+    rv_want = rvw.at[:, :, 3:4, :].set(vn)
+    want = decode_mha_xla(q, k, v, lens, ks, vs,
+                          recent_k=rk_want, recent_v=rv_want, t=t)
+    np.testing.assert_allclose(np.asarray(rk2), np.asarray(rk_want))
+    np.testing.assert_allclose(np.asarray(rv2), np.asarray(rv_want))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(want), rtol=2e-2, atol=5e-3
+    )

@@ -140,3 +140,105 @@ def test_decode_mha_gqa_on_tpu():
     got = np.asarray(decode_mha(q, k, v, lens))
     want = np.asarray(decode_mha_xla(q, k, v, lens))
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+def test_decode_mha_nt_folded_recent_window_on_tpu():
+    """Round-3 serving hot path compiled on the chip: NT-folded kernel
+    (S=1), bf16 recent window, valid-prefix clamp, f32 cache."""
+    import jax.numpy as jnp
+
+    from rten_tpu.kernels.flash_attention import decode_mha, decode_mha_xla
+
+    B, H, S, D, cap, rk = 4, 4, 1, 64, 512, 8
+    q = jnp.asarray(RNG.standard_normal((B, H, S, D)), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((B, H, cap, D)), jnp.float32)
+    v = jnp.asarray(RNG.standard_normal((B, H, cap, D)), jnp.float32)
+    rkw = jnp.asarray(RNG.standard_normal((B, H, rk, D)), jnp.bfloat16)
+    rvw = jnp.asarray(RNG.standard_normal((B, H, rk, D)), jnp.bfloat16)
+    lens = jnp.asarray([0, 100, 256, 300], jnp.int32)
+    t = jnp.int32(2)
+    got = decode_mha(q, k, v, lens, recent_k=rkw, recent_v=rvw, t=t,
+                     block_k=256)
+    want = decode_mha_xla(q, k, v, lens, recent_k=rkw, recent_v=rvw, t=t)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=1e-2
+    )
+
+
+def test_decode_mha_nt_int8_kv_on_tpu():
+    """NT-folded kernel with int8 KV (per-position scales on the merged
+    lane axis) — the headline-default configuration."""
+    import jax.numpy as jnp
+
+    from rten_tpu.kernels.flash_attention import decode_mha, decode_mha_xla
+
+    B, H, S, D, cap, rk = 4, 4, 1, 64, 256, 8
+    q = jnp.asarray(RNG.standard_normal((B, H, S, D)), jnp.float32)
+    k = jnp.asarray(RNG.integers(-127, 127, (B, H, cap, D)), jnp.int8)
+    v = jnp.asarray(RNG.integers(-127, 127, (B, H, cap, D)), jnp.int8)
+    ks = jnp.asarray(RNG.uniform(0.005, 0.02, (B, H, cap)), jnp.float32)
+    vs = jnp.asarray(RNG.uniform(0.005, 0.02, (B, H, cap)), jnp.float32)
+    rkw = jnp.asarray(RNG.standard_normal((B, H, rk, D)), jnp.bfloat16)
+    rvw = jnp.asarray(RNG.standard_normal((B, H, rk, D)), jnp.bfloat16)
+    lens = jnp.asarray([3, 50, 128, 200], jnp.int32)
+    t = jnp.int32(1)
+    got = decode_mha(q, k, v, lens, ks, vs, recent_k=rkw, recent_v=rvw,
+                     t=t, block_k=128)
+    want = decode_mha_xla(q, k, v, lens, ks, vs,
+                          recent_k=rkw, recent_v=rvw, t=t)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=1e-2
+    )
+
+
+def test_decode_mha_inkernel_append_on_tpu():
+    """In-kernel DMA append (f32 window, D=128): the aliased window must
+    come back with the new row written and scored."""
+    import jax.numpy as jnp
+
+    from rten_tpu.kernels.flash_attention import (
+        decode_attention_deferred,
+        decode_mha_xla,
+    )
+
+    B, H, S, D, cap, rk = 2, 4, 1, 128, 256, 8
+    q = jnp.asarray(RNG.standard_normal((B, H, S, D)), jnp.float32)
+    k = jnp.asarray(RNG.standard_normal((B, H, cap, D)), jnp.float32)
+    v = jnp.asarray(RNG.standard_normal((B, H, cap, D)), jnp.float32)
+    rkw = jnp.asarray(RNG.standard_normal((B, H, rk, D)), jnp.float32)
+    rvw = jnp.asarray(RNG.standard_normal((B, H, rk, D)), jnp.float32)
+    kn = jnp.asarray(RNG.standard_normal((B, H, 1, D)), jnp.float32)
+    vn = jnp.asarray(RNG.standard_normal((B, H, 1, D)), jnp.float32)
+    lens = jnp.asarray([100, 250], jnp.int32)
+    t = jnp.int32(3)
+    out, rk2, rv2 = decode_attention_deferred(
+        q, k, v, lens, None, None, recent_k=rkw, recent_v=rvw, t=t,
+        k_new=kn, v_new=vn,
+    )
+    rk_want = rkw.at[:, :, 3:4, :].set(kn)
+    rv_want = rvw.at[:, :, 3:4, :].set(vn)
+    want = decode_mha_xla(q, k, v, lens, recent_k=rk_want,
+                          recent_v=rv_want, t=t)
+    np.testing.assert_allclose(np.asarray(rk2), np.asarray(rk_want))
+    np.testing.assert_allclose(np.asarray(rv2), np.asarray(rv_want))
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(want), rtol=2e-2, atol=1e-2
+    )
+
+
+def test_skinny_m_int8_matmul_on_tpu():
+    """Decode-shape (M=16) int8 matmul through the skinny-M block path —
+    the configuration that retired the pallas_int8_min_m concession."""
+    from rten_tpu.kernels.int8_matmul import (
+        int8_matmul_dequant,
+        int8_matmul_dequant_xla,
+    )
+
+    for m, k, n in ((16, 768, 768), (16, 768, 3072), (16, 3072, 768)):
+        a = RNG.integers(0, 255, (m, k)).astype(np.uint8)
+        b = RNG.integers(-127, 127, (k, n)).astype(np.int8)
+        got = np.asarray(int8_matmul_dequant(
+            a, b, np.float32(0.01), np.float32(0.02), np.uint8(120), None))
+        want = np.asarray(int8_matmul_dequant_xla(
+            a, b, np.float32(0.01), np.float32(0.02), np.uint8(120), None))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
