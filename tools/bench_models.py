@@ -189,11 +189,79 @@ def bench_whisper_encoder(iters):
         }
 
 
+def bench_llama_serving(iters):
+    """TinyLlama-1.1B-shape int8 continuous-batching decode: the GQA+rotary
+    flagship at real model scale (22L x 2048h, 32q/4kv heads). Random
+    weights (engine throughput is weight-independent); roofline = weight +
+    live-KV bytes per step, as in bench.py."""
+    del iters  # one timed wave, like bench.py
+    from rten_tpu.models import llama
+    from rten_tpu.model import Model, ModelOptions
+    from rten_tpu.quantize_pass import quantize_dynamic
+    from rten_tpu.serving import ContinuousBatchingEngine
+    from rten_tpu.ir.graph import Constant, is_weight_constant
+
+    layers = int(os.environ.get("RTEN_LLAMA_LAYERS", "22"))
+    slots = int(os.environ.get("RTEN_LLAMA_SLOTS", "16"))
+    cap = int(os.environ.get("RTEN_LLAMA_CAP", "256"))
+    k = int(os.environ.get("RTEN_LLAMA_K", "32"))
+    prompt_len, new_tokens = 64, 64
+    cfg = llama.LlamaConfig(num_hidden_layers=layers)
+    g = llama.build_graph_static_cache(
+        cfg, llama.random_weights(cfg, seed=0), capacity=cap,
+        deferred_kv=os.environ.get("RTEN_LLAMA_DEFERRED", "1") != "0",
+    )
+    quantize_dynamic(g)
+    model = Model(g, ModelOptions(optimize=True))
+    engine = ContinuousBatchingEngine(
+        model, n_layer=cfg.num_hidden_layers,
+        n_head=cfg.num_key_value_heads, head_dim=cfg.head_dim,
+        slots=slots, capacity=cap, prefill_bucket=prompt_len,
+        greedy_on_device=True, steps_per_dispatch=k,
+    )
+    rng = np.random.default_rng(0)
+
+    def prompts(n):
+        return [rng.integers(0, cfg.vocab_size, prompt_len).tolist()
+                for _ in range(n)]
+
+    for p in prompts(slots):
+        engine.submit(p, max_new_tokens=2)
+    engine.run()
+    engine.finished.clear()
+    reqs = [engine.submit(p, max_new_tokens=new_tokens)
+            for p in prompts(slots)]
+    t0 = time.perf_counter()
+    engine.run()
+    elapsed = time.perf_counter() - t0
+    tps = sum(len(r.generated) for r in reqs) / elapsed
+
+    weight_bytes = sum(
+        n.array.nbytes for n in engine.g.nodes.values()
+        if isinstance(n, Constant) and is_weight_constant(n)
+    )
+    live = min(cap, prompt_len + new_tokens // 2)
+    kv_bytes = sum(
+        int(np.prod(c.shape)) * c.dtype.itemsize * live // c.shape[-2]
+        if c.shape[-2] == cap else int(np.prod(c.shape)) * c.dtype.itemsize
+        for c in engine.caches
+    )
+    roofline = slots / ((weight_bytes + kv_bytes) / (819.0e9))
+    yield {
+        "config": f"tinyllama_1.1b_int8_serving_{layers}L",
+        "value": round(tps, 1),
+        "unit": "tokens/s",
+        "slots": slots,
+        "roofline_fraction": round(tps / roofline, 4),
+    }
+
+
 BENCHES = {
     "mnist": bench_mnist,
     "resnet50": bench_resnet50,
     "distilbert": bench_distilbert,
     "whisper_encoder": bench_whisper_encoder,
+    "llama_serving": bench_llama_serving,
 }
 
 
