@@ -30,6 +30,9 @@ from rten_tpu.utils import honor_jax_platforms_env  # noqa: E402
 honor_jax_platforms_env()
 
 N_LAYER = int(os.environ.get("RTEN_BENCH_LAYERS", "12"))  # 12 = gpt2-small
+# gpt2-medium = LAYERS=24 WIDTH=1024 HEADS=16 (355M)
+N_EMBD = int(os.environ.get("RTEN_BENCH_WIDTH", "768"))
+N_HEAD = int(os.environ.get("RTEN_BENCH_HEADS", "12"))
 PROMPT_LEN = 128
 NEW_TOKENS = 64
 # slots=96 is the measured throughput peak on the v5e tunnel (sweep r3:
@@ -62,7 +65,7 @@ def build_engine(capacity=None, kv_quant=False, device_sampler=None,
     kv_env = os.environ.get("RTEN_BENCH_KV", "int8")
     if kv_env == "int8":
         kv_quant = True
-    cfg = gpt2.GPT2Config(n_layer=N_LAYER)
+    cfg = gpt2.GPT2Config(n_layer=N_LAYER, n_embd=N_EMBD, n_head=N_HEAD)
     weights = gpt2.random_weights(cfg, seed=0)
     if deferred_kv is None:
         deferred_kv = os.environ.get("RTEN_BENCH_DEFERRED_KV", "1") != "0"
