@@ -107,40 +107,14 @@ def build_engine(capacity=None, kv_quant=False, device_sampler=None,
     )
 
 
-HBM_GBPS = 819.0  # TPU v5e HBM bandwidth (public spec)
+from rten_tpu.serving.roofline import HBM_GBPS  # noqa: E402,F401
+from rten_tpu.serving.roofline import decode_roofline_tps as _roofline  # noqa: E402
 
 
 def decode_roofline_tps(engine) -> float:
-    """Weight-bandwidth-bound decode tokens/s for this engine config.
-
-    A decode step must read every weight byte once plus the live KV cache;
-    tokens/step = slots. This is the physics target the measured rate is
-    reported against (round-1 verdict: report roofline fractions, not just
-    a self-referential baseline).
-    """
-    from rten_tpu.ir.graph import Constant, is_weight_constant
-
-    weight_bytes = sum(
-        n.array.nbytes
-        for n in engine.g.nodes.values()
-        if isinstance(n, Constant) and is_weight_constant(n)
-    )
-    # The decode-attention kernel clamps its K/V grid to the live prefix
-    # (valid-block clamp), so the bytes actually streamed are the LIVE
-    # rows, not the allocated capacity. Charge the timed wave's mean live
-    # length (prompt + half the generated span) — the tight bound; the
-    # full-capacity figure would overstate the bytes and report fractions
-    # above 1.0 once the clamp landed.
-    live = min(engine.capacity, PROMPT_LEN + NEW_TOKENS // 2)
-    kv_bytes = sum(
-        int(np.prod(c.shape)) * c.dtype.itemsize * live // c.shape[-2]
-        if c.shape[-2] == engine.capacity
-        else int(np.prod(c.shape)) * c.dtype.itemsize
-        for c in engine.caches
-    )
-    step_bytes = weight_bytes + kv_bytes  # KV read; writes are ~1 row/slot
-    step_s = step_bytes / (HBM_GBPS * 1e9)
-    return engine.slots / step_s
+    """Shared physics accounting (rten_tpu.serving.roofline) at this
+    bench's wave shape."""
+    return _roofline(engine, PROMPT_LEN, NEW_TOKENS)
 
 
 def device_time_us(trace_dir: str) -> float:

@@ -755,14 +755,18 @@ def _decode_mha_folded(q, k, v, lens, k_scale, v_scale, *, scale, block_k,
     # NT folding (one score dot + one value dot per grid step for ALL
     # heads) needs S==1; int8 scales merge onto the lane axis by
     # concatenating per-head lane rows (see _decode_kernel_folded_nt).
-    use_nt = S == 1 and os.environ.get("RTEN_DECODE_NT", "1") != "0"
-    Hp = round_up(H, 8)
-    body = (
-        _decode_kernel_folded
-        if (os.environ.get("RTEN_DECODE_FOLD_MODE", "loop") == "dot"
-            and not recent and not append)
-        else _folded_loop_entry
+    dot_mode = (
+        os.environ.get("RTEN_DECODE_FOLD_MODE", "loop") == "dot"
+        and not recent and not append
     )
+    # The dot-mode kernel has no NT formulation — it must run with NT off
+    # (and NT scratch sizing would be wrong for it).
+    use_nt = (
+        S == 1 and not dot_mode
+        and os.environ.get("RTEN_DECODE_NT", "1") != "0"
+    )
+    Hp = round_up(H, 8)
+    body = _decode_kernel_folded if dot_mode else _folded_loop_entry
     kernel = functools.partial(
         body,
         scale=float(scale), S=S, cap=cap, block_k=bk, quant=quant,

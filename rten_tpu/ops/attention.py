@@ -282,7 +282,17 @@ def _group_query_attention(ctx, inputs, attrs):
         recent_v = get_input(inputs, 10, "recent_v")
         step_t = get_input(inputs, 11, "step_t")
         n_out = attrs.get("__n_outputs__", 5)
-        if S == 1 and not softcap:
+        if softcap:
+            # The deferred form routes S==1 to the window path and S>1 to
+            # the big-cache path; neither implements softcap, and falling
+            # through to a non-deferred path would silently DROP the KV
+            # rows the engine expects in the window outputs. Refuse at
+            # trace time instead of producing wrong tokens.
+            raise OpError(
+                "rten_recent_kv (deferred KV) does not support softcap; "
+                "build the serving graph with deferred_kv=False"
+            )
+        if S == 1:
             t = jnp.asarray(step_t, jnp.int32).reshape(())
             lens0 = past_lens - t
             from ..kernels.flash_attention import decode_attention_deferred

@@ -864,10 +864,11 @@ _LN_NORM = p_op(
     ),
 )
 _LN_SCALED = p_op("Mul", _LN_NORM, p_cst(name="scale"))
-_LAYER_NORM_PAT = p_any(
-    p_op("Add", _LN_SCALED, p_cst(name="bias")),
-    _LN_SCALED,
-)
+# Matched as TWO passes (biased first), not one p_any: graph order visits
+# the Mul before the Add, so a combined pattern would always take the
+# scale-only alternative at the Mul root and leave the bias Add unfused.
+_LAYER_NORM_BIASED_PAT = p_op("Add", _LN_SCALED, p_cst(name="bias"))
+_LAYER_NORM_PAT = _LN_SCALED
 
 _SILU_PAT = p_op("Mul", _X, p_op("Sigmoid", _X))
 _SWISH_PAT = p_op("Mul", _X, p_op("Sigmoid", p_op("Mul", p_cst(name="alpha"), _X)))
@@ -914,7 +915,11 @@ def fuse_layer_norm(g: Graph) -> bool:
         eps = float(eps_node.array.reshape(()))
         return "LayerNormalization", inputs, {"axis": -1, "epsilon": eps}
 
-    return _apply_pattern_fusion(g, _LAYER_NORM_PAT, build, "LayerNormalization")
+    c1 = _apply_pattern_fusion(
+        g, _LAYER_NORM_BIASED_PAT, build, "LayerNormalization (biased)"
+    )
+    c2 = _apply_pattern_fusion(g, _LAYER_NORM_PAT, build, "LayerNormalization")
+    return c1 or c2
 
 
 def fuse_silu_swish(g: Graph) -> bool:

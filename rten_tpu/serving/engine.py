@@ -150,6 +150,14 @@ class ContinuousBatchingEngine:
             if self.g.node_name(nid).startswith("recent.")
         ]
         self.deferred_kv = bool(self.recent_names)
+        if self.deferred_kv and prefill_bucket < 2:
+            # The deferred attention op distinguishes prefill from decode
+            # by S>1: a 1-token prefill would trace as a decode step and
+            # route the prompt's KV into window outputs prefill discards.
+            raise ValueError(
+                "deferred-KV graphs need prefill_bucket >= 2 (a 1-token "
+                "prefill is indistinguishable from a decode step)"
+            )
         self.recent_ids = [self.g.find_node(n) for n in self.recent_names]
         self.step_t_id = self.g.find_node("step_t") if self.deferred_kv else None
         self.recent_out_ids = [
@@ -594,6 +602,11 @@ class ContinuousBatchingEngine:
         self.slot_last_tok[:] = 0
         self._inflight = None
         self._dev_state = None
+        if self.device_sampler is not None:
+            # Same PRNG reset as restart(): post-failure sampling must draw
+            # from the seed's stream, or seed-determinism silently breaks.
+            self._dev_key = self.device_sampler.init_key()
+            self._host_rng = np.random.default_rng(self.device_sampler.seed)
         self.caches = [
             jnp.zeros((self.slots,) + tail, dtype)
             for tail, dtype in self._cache_alloc
@@ -836,6 +849,14 @@ class ContinuousBatchingEngine:
             # runtimes); host state is only re-materialized after admissions
             # (which reset _dev_state).
             self._drain_inflight()
+            # The drain may have finished requests (host bookkeeping lags
+            # the device by one dispatch when one was in flight) — the
+            # active set computed before it can hold freed slots.
+            active = [
+                s for s in range(self.slots) if self.slot_req[s] is not None
+            ]
+            if not active:
+                return
             d = 1
             if self.dispatches_per_drain > 1:
                 remaining = min(

@@ -115,6 +115,7 @@ def _skeleton_engine(step_error=None):
     eng._last_step_s = None
     eng.steps = 0
     eng.decode_tokens = 0
+    eng.device_sampler = None
     if step_error is not None:
         def _boom():
             raise RuntimeError(step_error)

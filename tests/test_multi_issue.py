@@ -58,3 +58,20 @@ def test_multi_issue_queue_wave(model):
     want = _run(model, 1, prompts)
     got = _run(model, 3, prompts)
     assert got == want
+
+
+def test_pipeline_with_multi_issue_tail(model):
+    """Regression (round-3 review): pipeline_dispatch=True combined with
+    dispatches_per_drain>1 crashed at the tail of every workload — the
+    serial branch's drain finished requests and then dereferenced
+    slot_req over the stale active list."""
+    cfg, m = model
+    eng = ContinuousBatchingEngine(
+        m, n_layer=cfg.n_layer, n_head=cfg.n_head, head_dim=cfg.head_dim,
+        slots=2, capacity=64, prefill_bucket=8, greedy_on_device=True,
+        steps_per_dispatch=2, dispatches_per_drain=2,
+        pipeline_dispatch=True,
+    )
+    reqs = [eng.submit(p, max_new_tokens=8) for p in ([5, 9, 23], [40, 7])]
+    eng.run()
+    assert all(len(r.generated) == 8 and r.error is None for r in reqs)

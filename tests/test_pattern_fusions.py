@@ -88,8 +88,12 @@ def test_fuse_layer_norm(with_bias, axes_input):
     want = _run(g, {"x": x})
     assert fuse_layer_norm(g)
     ops = _ops(g)
-    assert "LayerNormalization" in ops
-    assert "ReduceMean" not in ops and "Sqrt" not in ops
+    # The WHOLE chain must collapse — in particular the bias Add must be
+    # absorbed as LN's third input, not left as a standalone op (the
+    # biased pattern runs as its own pass before the scale-only one).
+    assert ops == ["LayerNormalization"]
+    ln = next(op for _, op in g.operators())
+    assert len(ln.inputs) == (3 if with_bias else 2)
     got = _run(g, {"x": x})
     assert_close(got, want, rtol=1e-5, atol=1e-6)
     # And against torch.

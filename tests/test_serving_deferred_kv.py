@@ -172,3 +172,17 @@ def test_deferred_eos_mid_dispatch(setup):
     for i, (req, exp) in enumerate(zip(reqs, want)):
         stop = exp.index(eos) + 1 if eos in exp else n_new
         assert req.generated == exp[:stop], f"request {i}"
+
+
+def test_deferred_rejects_one_token_prefill_bucket(setup):
+    """prefill_bucket=1 would make prefill trace as a decode step and
+    silently drop the prompt KV into discarded window outputs — the
+    engine must refuse it up front (round-3 review finding)."""
+    cfg, weights, _ = setup
+    m = build_static(cfg, weights)
+    with pytest.raises(ValueError, match="prefill_bucket"):
+        ContinuousBatchingEngine(
+            m, n_layer=cfg.n_layer, n_head=cfg.n_head,
+            head_dim=cfg.head_dim, slots=2, capacity=64, prefill_bucket=1,
+            greedy_on_device=True, steps_per_dispatch=4,
+        )

@@ -199,7 +199,7 @@ def bench_llama_serving(iters):
     from rten_tpu.model import Model, ModelOptions
     from rten_tpu.quantize_pass import quantize_dynamic
     from rten_tpu.serving import ContinuousBatchingEngine
-    from rten_tpu.ir.graph import Constant, is_weight_constant
+    from rten_tpu.serving.roofline import decode_roofline_tps
 
     layers = int(os.environ.get("RTEN_LLAMA_LAYERS", "22"))
     slots = int(os.environ.get("RTEN_LLAMA_SLOTS", "16"))
@@ -236,17 +236,7 @@ def bench_llama_serving(iters):
     elapsed = time.perf_counter() - t0
     tps = sum(len(r.generated) for r in reqs) / elapsed
 
-    weight_bytes = sum(
-        n.array.nbytes for n in engine.g.nodes.values()
-        if isinstance(n, Constant) and is_weight_constant(n)
-    )
-    live = min(cap, prompt_len + new_tokens // 2)
-    kv_bytes = sum(
-        int(np.prod(c.shape)) * c.dtype.itemsize * live // c.shape[-2]
-        if c.shape[-2] == cap else int(np.prod(c.shape)) * c.dtype.itemsize
-        for c in engine.caches
-    )
-    roofline = slots / ((weight_bytes + kv_bytes) / (819.0e9))
+    roofline = decode_roofline_tps(engine, prompt_len, new_tokens)
     yield {
         "config": f"tinyllama_1.1b_int8_serving_{layers}L",
         "value": round(tps, 1),
