@@ -23,6 +23,7 @@ for _optional in (
     "einsum",
     "fft",
     "grid_sample",
+    "moe",
     "nms",
     "random",
     "resize",

@@ -9,6 +9,7 @@ row-parallel partials) over ICI.
 """
 
 from .mesh import MeshConfig, make_mesh  # noqa: F401
+from .pipeline import PipelineRunner, plan_pipeline  # noqa: F401
 from .sharding import (  # noqa: F401
     GPT2_SHARDING_RULES,
     shard_constants,

@@ -65,6 +65,16 @@ SP_PREFILL_INPUT_RULES: List[Tuple[str, P]] = [
     (r"^past_key_values\..*\.(key|value)$", P("data", None, None, None)),
 ]
 
+# Expert parallelism: the MoE op's stacked [n_experts, ...] weights shard
+# on the leading expert axis; each device computes its experts' einsum
+# slice and GSPMD psums the gate-weighted combine (ops/moe.py). The expert
+# axis rides the 'model' mesh axis (the usual inference layout — EP and TP
+# trade the same ICI links); routers replicate.
+MOE_EP_RULES: List[Tuple[str, P]] = [
+    (r"\.moe\.(w_up|w_down|b_up|b_down)$", P("model")),
+    (r"\.moe\.router_w$", P()),
+]
+
 
 def sharding_for_name(
     name: Optional[str], rules: List[Tuple[str, P]]

@@ -1033,6 +1033,12 @@ def _r_loop(op, ins, g=None):
     return outs
 
 
+@rule("MoE")
+def _r_moe(op, ins, g=None):
+    # x [B,T,E] in, [B,T,E] out (ops/moe.py: gate-weighted expert combine).
+    return [ins[0]]
+
+
 @rule("QuantizedKVAttention")
 def _r_quantized_kv_attention(op, ins, g=None):
     # outputs: out [B,S,H*D] f32, new_k_q8, new_k_scales, new_v_q8,
