@@ -63,8 +63,14 @@ def build_engine(capacity=None, kv_quant=False, device_sampler=None,
     # cache stream made int8 the fastest KV dtype (13,265 tok/s vs bf16's
     # 9,823 at slots=32, r3) on top of its 4x-capacity advantage.
     kv_env = os.environ.get("RTEN_BENCH_KV", "int8")
+    kv_bits = 8
     if kv_env == "int8":
         kv_quant = True
+    elif kv_env == "int4":
+        # Nibble-packed KV (kernels/flash_attention.pack_int4): half int8's
+        # cache stream, 8x f32's context capacity per HBM byte.
+        kv_quant = True
+        kv_bits = 4
     cfg = gpt2.GPT2Config(n_layer=N_LAYER, n_embd=N_EMBD, n_head=N_HEAD)
     weights = gpt2.random_weights(cfg, seed=0)
     if deferred_kv is None:
@@ -78,6 +84,7 @@ def build_engine(capacity=None, kv_quant=False, device_sampler=None,
     graph = gpt2.build_graph_static_cache(
         cfg, weights, capacity=capacity, kv_quant=kv_quant,
         deferred_kv=deferred_kv, recent_dtype=rdt, kv_dtype=kdt,
+        kv_bits=kv_bits,
     )
     if os.environ.get("RTEN_BENCH_QUANT", "int8") == "int4":
         from rten_tpu.quantize_pass import quantize_weight_only_int4

@@ -32,6 +32,41 @@ from .common import on_tpu, pad_dim, round_up
 
 NEG_INF = -1e30
 
+# int4 KV cache: nibbles are stored BIASED (value + 8, range 0..15) so the
+# packed byte needs no sign handling, and the two nibbles of byte lane d
+# hold head dims d and d + D/2 (SPLIT-HALF, not interleaved): unpacking is
+# then a lane-axis CONCATENATE of the two nibble planes, which Mosaic
+# lowers as a VPU copy — a lane-interleave or lane-dim reshape would not.
+INT4_BIAS = 8
+
+
+def pack_int4(x):
+    """Quantize f32/bf16 rows to a nibble-packed int4 cache row.
+
+    x [..., D] -> (packed u8 [..., D/2], scales f32 [..., 1]) with
+    per-row absmax/7 scales — the int4 analog of the int8 KV path's
+    absmax/127 (ops/attention.py quantize()); 2x the context capacity
+    per HBM byte of int8, 8x of f32."""
+    D = x.shape[-1]
+    assert D % 2 == 0, f"int4 packing needs an even head dim, got {D}"
+    x = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    s = jnp.maximum(absmax / 7.0, 1e-8)
+    q = jnp.clip(jnp.round(x / s), -8, 7).astype(jnp.int32) + INT4_BIAS
+    lo = q[..., : D // 2]
+    hi = q[..., D // 2:]
+    return (lo | (hi << 4)).astype(jnp.uint8), s.astype(jnp.float32)
+
+
+def unpack_int4(packed, dtype=jnp.float32):
+    """[..., D/2] u8 -> [..., D] dtype (split-half lane concat; the same
+    expression is used INSIDE the Pallas kernels, where the u8 block is
+    widened to i32 first — Mosaic has no u8 vector shifts)."""
+    b = packed.astype(jnp.int32)
+    lo = (b & 0xF) - INT4_BIAS
+    hi = (b >> 4) - INT4_BIAS
+    return jnp.concatenate([lo, hi], axis=-1).astype(dtype)
+
 
 def _kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, m_ref, l_ref, acc_ref, *,
             scale: float, causal: bool, softcap: float, kv_offset: int,
@@ -201,7 +236,7 @@ def mha_pallas(
 
 def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref,
                    m_ref, l_ref, acc_ref, *, scale: float, S: int, cap: int,
-                   block_k: int, quant: bool):
+                   block_k: int, quant: bool, bits: int = 8):
     b = pl.program_id(0)
     kb = pl.program_id(2)
 
@@ -212,7 +247,15 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     q = q_ref[0, 0]            # [bq, D]
-    k = k_ref[0, 0]            # [bk, D] (s8 when quant)
+    k = k_ref[0, 0]            # [bk, D] (s8 when quant; u8 [bk, D/2] int4)
+    v_blk = v_ref[0, 0]
+    if bits == 4:
+        k = unpack_int4(k)
+        v_blk = unpack_int4(v_blk)
+        pad = q.shape[-1] - k.shape[-1]
+        if pad:  # q is lane-padded past D; match with zero lanes (zeros
+            k = jnp.pad(k, ((0, 0), (0, pad)))      # drop out of the dot,
+            v_blk = jnp.pad(v_blk, ((0, 0), (0, pad)))  # out is sliced)
     bq = q.shape[0]
     s = _dot_f32(
         q, k, (((1,), (1,)), ((), ()))
@@ -239,7 +282,7 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref,
     if quant:
         p = p * vs_ref[0, 0]   # [1, bk] V scales on p's lanes
     acc_ref[:] = acc_ref[:] * alpha + _dot_f32(
-        p, v_ref[0, 0], (((1,), (0,)), ((), ()))
+        p, v_blk, (((1,), (0,)), ((), ()))
     )
     m_ref[:] = m_new
 
@@ -270,9 +313,9 @@ def _decode_kernel_folded(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
                           m_ref, l_ref, acc_ref, sems, *, scale: float,
                           S: int, cap: int, block_k: int, quant: bool,
                           group: int, recent: int, append: bool,
-                          nt: bool = False):
-    assert recent == 0 and not append and not nt, (
-        "deferred-KV requires the loop-mode kernel"
+                          nt: bool = False, bits: int = 8):
+    assert recent == 0 and not append and not nt and bits == 8, (
+        "deferred-KV and int4 require the loop/NT-mode kernels"
     )
     """All heads of one slot per grid step (grid = B x key-blocks).
 
@@ -347,7 +390,8 @@ def _decode_kernel_folded_nt(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
                              out_ref, rk_hbm, rv_hbm, m_ref, l_ref,
                              acc_ref, sems, *, scale: float, S: int,
                              cap: int, block_k: int, quant: bool,
-                             group: int, recent: int, append: bool):
+                             group: int, recent: int, append: bool,
+                             bits: int = 8):
     """One-dot-per-(slot, key-block) decode attention (f32/bf16/int8 KV).
 
     The per-head loop kernel issues 2*H tiny MXU dots + H softmax passes
@@ -379,7 +423,11 @@ def _decode_kernel_folded_nt(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
     b = pl.program_id(0)
     kb = pl.program_id(1)
     Hkv = k_ref.shape[1]
-    Dp = k_ref.shape[3]
+    # int4 (bits==4): the cache block is nibble-packed, D/2 byte lanes;
+    # unpacking restores the q lane width. Everything q/window/out-sided
+    # uses Dp (the UNPACKED width); only the raw cache block is narrower.
+    Dp = q_ref.shape[3]
+    Dkv = k_ref.shape[3]
     H = q_ref.shape[1]
     Hp = m_ref.shape[0]
 
@@ -454,7 +502,15 @@ def _decode_kernel_folded_nt(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
     @pl.when(kb <= jmax)
     def _():
         W = Hkv * block_k
-        km = k_ref[0].reshape(W, Dp)
+        km = k_ref[0].reshape(W, Dkv)
+        vm = v_ref[0].reshape(W, Dkv)
+        if bits == 4:
+            km = unpack_int4(km)
+            vm = unpack_int4(vm)
+            pad = Dp - km.shape[-1]
+            if pad:  # zero lanes match q's lane padding (see _decode_kernel)
+                km = jnp.pad(km, ((0, 0), (0, pad)))
+                vm = jnp.pad(vm, ((0, 0), (0, pad)))
         s = nt_scores(km, W)
         if quant:
             s = s * lane_merge(ks_ref, block_k)
@@ -467,8 +523,7 @@ def _decode_kernel_folded_nt(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
         else:
             valid &= (col <= lens_ref[b]) & (col < cap)
         s = jnp.where(valid, s, NEG_INF)
-        merge(s, v_ref[0].reshape(W, Dp),
-              lane_merge(vs_ref, block_k) if quant else None)
+        merge(s, vm, lane_merge(vs_ref, block_k) if quant else None)
 
     last = kb == pl.num_programs(1) - 1
     if recent:
@@ -542,7 +597,8 @@ def _decode_kernel_folded_loop(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
                                out_ref, rk_hbm, rv_hbm, m_ref, l_ref,
                                acc_ref, sems, *, scale: float, S: int,
                                cap: int, block_k: int, quant: bool,
-                               group: int, recent: int, append: bool):
+                               group: int, recent: int, append: bool,
+                               bits: int = 8):
     """Head-folded decode attention with an UNROLLED per-head loop of 2-D
     ops (no batched dot_general — Mosaic compiles 3-D dots pathologically
     slowly). Same grid/semantics as _decode_kernel_folded.
@@ -554,6 +610,7 @@ def _decode_kernel_folded_loop(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
     engine append new KV with ONE uniform-index dynamic_update_slice per
     step and commit per-slot rows once per dispatch, instead of a per-slot
     dus chain per step (round-3 trace: 558us/step of dus at slots=32)."""
+    assert bits == 8, "int4 KV runs only through the NT-folded kernel"
     b = pl.program_id(0)
     kb = pl.program_id(1)
 
@@ -693,13 +750,17 @@ def _decode_mha_folded(q, k, v, lens, k_scale, v_scale, *, scale, block_k,
     _, Hkv, cap, _ = k.shape
     group = H // Hkv
     quant = k_scale is not None
+    # u8 cache = nibble-packed int4 (pack_int4): the K/V blocks stream at
+    # HALF the head-dim lane width and unpack inside the kernel.
+    bits = 4 if (quant and k.dtype == jnp.uint8) else 8
     bq = round_up(S, 8)
     bk = min(block_k, round_up(cap, 128))
     capp = round_up(cap, bk)
     Dp = D if D in (64, 128, 256, 512) else round_up(D, 128)
+    Dkv = k.shape[3] if bits == 4 else Dp
     qp = pad_dim(pad_dim(q, 2, bq), 3, Dp)
-    kp = pad_dim(pad_dim(k, 2, capp), 3, Dp)
-    vp = pad_dim(pad_dim(v, 2, capp), 3, Dp)
+    kp = pad_dim(pad_dim(k, 2, capp), 3, Dkv)
+    vp = pad_dim(pad_dim(v, 2, capp), 3, Dkv)
     if quant:
         ksp = pad_dim(k_scale.reshape(B, Hkv, cap), 2, capp)[:, :, None, :]
         vsp = pad_dim(v_scale.reshape(B, Hkv, cap), 2, capp)[:, :, None, :]
@@ -757,20 +818,24 @@ def _decode_mha_folded(q, k, v, lens, k_scale, v_scale, *, scale, block_k,
     # concatenating per-head lane rows (see _decode_kernel_folded_nt).
     dot_mode = (
         os.environ.get("RTEN_DECODE_FOLD_MODE", "loop") == "dot"
-        and not recent and not append
+        and not recent and not append and bits == 8
     )
     # The dot-mode kernel has no NT formulation — it must run with NT off
-    # (and NT scratch sizing would be wrong for it).
-    use_nt = (
+    # (and NT scratch sizing would be wrong for it). int4 is implemented
+    # only in the NT body (the unpack is one lane concat there; per-head
+    # it would repeat H times per grid step), so bits==4 forces NT on.
+    use_nt = bits == 4 or (
         S == 1 and not dot_mode
         and os.environ.get("RTEN_DECODE_NT", "1") != "0"
     )
+    if bits == 4:
+        assert S == 1, "int4 decode kernel is S==1 only (prefill: per-head)"
     Hp = round_up(H, 8)
     body = _decode_kernel_folded if dot_mode else _folded_loop_entry
     kernel = functools.partial(
         body,
         scale=float(scale), S=S, cap=cap, block_k=bk, quant=quant,
-        group=group, recent=recent, append=append, nt=use_nt,
+        group=group, recent=recent, append=append, nt=use_nt, bits=bits,
     )
     win_spec = pl.BlockSpec((1, Hkv, rkp, Dp), lambda b, j, *_: (b, 0, 0, 0))
     row_spec = pl.BlockSpec((1, Hkv, 1, Dp), lambda b, j, *_: (b, 0, 0, 0))
@@ -799,8 +864,8 @@ def _decode_mha_folded(q, k, v, lens, k_scale, v_scale, *, scale, block_k,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, H, bq, Dp), lambda b, j, *_: (b, 0, 0, 0)),
-                pl.BlockSpec((1, Hkv, bk, Dp), kv_index),
-                pl.BlockSpec((1, Hkv, bk, Dp), kv_index),
+                pl.BlockSpec((1, Hkv, bk, Dkv), kv_index),
+                pl.BlockSpec((1, Hkv, bk, Dkv), kv_index),
                 pl.BlockSpec((1, Hkv, 1, bk), sc_index),
                 pl.BlockSpec((1, Hkv, 1, bk), sc_index),
                 win_spec,
@@ -825,7 +890,8 @@ def _decode_mha_folded(q, k, v, lens, k_scale, v_scale, *, scale, block_k,
             flops=4 * B * H * bq * (capp + rkp) * Dp,
             bytes_accessed=(
                 B * H * bq * Dp * 8
-                + 2 * B * Hkv * capp * Dp * (1 if quant else 4)
+                + 2 * B * Hkv * capp
+                * (Dkv if bits == 4 else Dp * (1 if quant else 4))
                 + 2 * B * Hkv * rkp * Dp * rkb.dtype.itemsize
             ),
             transcendentals=B * H * bq * (capp + rkp),
@@ -868,17 +934,20 @@ def decode_mha(
     if scale is None:
         scale = 1.0 / float(np.sqrt(D))
     quant = k_scale is not None
+    bits = 4 if (quant and k.dtype == jnp.uint8) else 8
 
     # Head-folded variant: at decode shapes (S small) the per-head grid's
     # fixed per-step cost dominated the serving step; fold every head into
     # one grid step per (slot, key-block). Opt out with
     # RTEN_DECODE_FOLD_HEADS=0 (keeps the per-head grid, e.g. for very
-    # large H*cap where a folded block would not fit VMEM).
-    if recent_k is not None or (
+    # large H*cap where a folded block would not fit VMEM). int4 caches
+    # fold only at S==1 (the NT body owns the unpack); S>1 int4 takes the
+    # per-head grid below.
+    if (bits != 4 or S == 1) and (recent_k is not None or (
         S <= 8
         and os.environ.get("RTEN_DECODE_FOLD_HEADS", "1") != "0"
         and H * round_up(S, 8) * max(D, 64) <= 64 * 1024
-    ):
+    )):
         return _decode_mha_folded(
             q, k, v, lens, k_scale, v_scale,
             scale=scale, block_k=block_k, interpret=interpret,
@@ -895,9 +964,10 @@ def decode_mha(
     Dp = D if D in (64, 128, 256, 512) else round_up(D, 128)
     if os.environ.get("RTEN_DECODE_PAD_HEADDIM", "0") == "1":
         Dp = round_up(D, 128)
+    Dkv = k.shape[3] if bits == 4 else Dp
     qp = pad_dim(pad_dim(q, 2, bq), 3, Dp)
-    kp = pad_dim(pad_dim(k, 2, capp), 3, Dp)
-    vp = pad_dim(pad_dim(v, 2, capp), 3, Dp)
+    kp = pad_dim(pad_dim(k, 2, capp), 3, Dkv)
+    vp = pad_dim(pad_dim(v, 2, capp), 3, Dkv)
     if quant:
         ksp = pad_dim(k_scale.reshape(B, Hkv, cap), 2, capp)[:, :, None, :]
         vsp = pad_dim(v_scale.reshape(B, Hkv, cap), 2, capp)[:, :, None, :]
@@ -914,6 +984,7 @@ def decode_mha(
     kernel = functools.partial(
         _decode_kernel,
         scale=float(scale), S=S, cap=cap, block_k=bk, quant=quant,
+        bits=bits,
     )
     out = pl.pallas_call(
         kernel,
@@ -922,8 +993,8 @@ def decode_mha(
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1, bq, Dp), lambda b, h, j, lens: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, bk, Dp), lambda b, h, j, lens: (b, h // group, j, 0)),
-                pl.BlockSpec((1, 1, bk, Dp), lambda b, h, j, lens: (b, h // group, j, 0)),
+                pl.BlockSpec((1, 1, bk, Dkv), lambda b, h, j, lens: (b, h // group, j, 0)),
+                pl.BlockSpec((1, 1, bk, Dkv), lambda b, h, j, lens: (b, h // group, j, 0)),
                 pl.BlockSpec((1, 1, 1, bk), sc_index),
                 pl.BlockSpec((1, 1, 1, bk), sc_index),
             ],
@@ -944,7 +1015,8 @@ def decode_mha(
             flops=4 * B * H * bq * capp * Dp,
             bytes_accessed=(
                 B * H * bq * Dp * 8
-                + 2 * B * Hkv * capp * Dp * (1 if quant else 4)
+                + 2 * B * Hkv * capp
+                * (Dkv if bits == 4 else Dp * (1 if quant else 4))
             ),
             transcendentals=B * H * bq * capp,
         ),
@@ -958,8 +1030,12 @@ def decode_mha_xla(q, k, v, lens, k_scale=None, v_scale=None, *, scale=None,
     """XLA reference for decode_mha (CPU fallback + test golden)."""
     B, H, S, D = q.shape
     cap = k.shape[2]
-    kf = k.astype(jnp.float32)
-    vf = v.astype(jnp.float32)
+    if k.dtype == jnp.uint8:  # nibble-packed int4 cache
+        kf = unpack_int4(k)
+        vf = unpack_int4(v)
+    else:
+        kf = k.astype(jnp.float32)
+        vf = v.astype(jnp.float32)
     if k_scale is not None:
         kf = kf * k_scale.reshape(B, k.shape[1], cap, 1)
         vf = vf * v_scale.reshape(B, v.shape[1], cap, 1)

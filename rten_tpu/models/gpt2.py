@@ -152,6 +152,7 @@ def build_graph_static_cache(
     cfg: GPT2Config, weights: Dict[str, np.ndarray], capacity: int,
     kv_quant: bool = False, deferred_kv: bool = False,
     recent_dtype: "DataType" = None, kv_dtype: "DataType" = None,
+    kv_bits: int = 8,
 ) -> Graph:
     """Serving-engine variant: KV caches are preallocated [slots, H, cap, D]
     buffers written in-graph at per-slot offsets (GroupQueryAttention with
@@ -210,15 +211,20 @@ def build_graph_static_cache(
                 f"recent.{i}.value", rdt, ("slots", H, "recent", D)
             )
         if kv_quant:
+            # kv_bits=4: nibble-packed u8 cache at HALF the head-dim lanes
+            # (kernels/flash_attention.pack_int4) — 8x f32's context
+            # capacity per HBM byte, scales unchanged.
+            kv_elem = DataType.UInt8 if kv_bits == 4 else DataType.Int8
+            kv_d = D // 2 if kv_bits == 4 else D
             past_k = b.input(
-                f"past_key_values.{i}.key", DataType.Int8, ("slots", H, capacity, D)
+                f"past_key_values.{i}.key", kv_elem, ("slots", H, capacity, kv_d)
             )
             k_sc = b.input(
                 f"past_key_values.{i}.key_scale", DataType.Float,
                 ("slots", H, capacity, 1),
             )
             past_v = b.input(
-                f"past_key_values.{i}.value", DataType.Int8, ("slots", H, capacity, D)
+                f"past_key_values.{i}.value", kv_elem, ("slots", H, capacity, kv_d)
             )
             v_sc = b.input(
                 f"past_key_values.{i}.value_scale", DataType.Float,
@@ -229,7 +235,7 @@ def build_graph_static_cache(
                     "QuantizedKVAttention",
                     [q, k, v, past_k, k_sc, past_v, v_sc, past_lens,
                      recent_k, recent_v, step_t],
-                    {"num_heads": H, "rten_recent_kv": 1},
+                    {"num_heads": H, "rten_recent_kv": 1, "bits": kv_bits},
                     n_outputs=7,
                     output_names=[
                         f"attn_out_{i}", f"present.{i}.key",
@@ -244,7 +250,7 @@ def build_graph_static_cache(
                 attn, pk, pks, pv, pvs = b.op(
                     "QuantizedKVAttention",
                     [q, k, v, past_k, k_sc, past_v, v_sc, past_lens],
-                    {"num_heads": H},
+                    {"num_heads": H, "bits": kv_bits},
                     n_outputs=5,
                     output_names=[
                         f"attn_out_{i}", f"present.{i}.key", f"present.{i}.key_scale",

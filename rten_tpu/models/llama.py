@@ -59,7 +59,7 @@ def rope_tables(cfg: LlamaConfig):
 def build_graph_static_cache(
     cfg: LlamaConfig, weights: Dict[str, np.ndarray], capacity: int,
     deferred_kv: bool = False, recent_dtype: DataType = None,
-    kv_dtype: DataType = None,
+    kv_dtype: DataType = None, kv_quant: bool = False, kv_bits: int = 8,
 ) -> Graph:
     """Serving graph: inputs input_ids [slots,seq], past_lens [slots],
     position_ids [slots,seq]; outputs logits, present.N.{key,value},
@@ -68,7 +68,12 @@ def build_graph_static_cache(
     ``deferred_kv``: per-layer recent.{i}.key/value window inputs + step_t
     (see gpt2.build_graph_static_cache) — decode KV rows buffer in a small
     window with a uniform-index write; the engine commits once per fused
-    dispatch."""
+    dispatch.
+
+    ``kv_quant``: quantized KV cache via QuantizedKVAttention with GQA +
+    in-op rotary (do_rotary; positions derive from past_lens). kv_bits=8
+    is the s8 absmax/127 cache; kv_bits=4 the nibble-packed u8 cache at
+    D/2 lanes (kernels/flash_attention.pack_int4)."""
     b = GraphBuilder()
     E = cfg.hidden_size
     Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -111,6 +116,81 @@ def build_graph_static_cache(
                  name=f"{p}.self_attn.k_proj")
         v = b.op("MatMul", [h, w_t(f"{p}.self_attn.v_proj.weight")],
                  name=f"{p}.self_attn.v_proj")
+        if kv_quant:
+            kv_elem = DataType.UInt8 if kv_bits == 4 else DataType.Int8
+            kv_d = D // 2 if kv_bits == 4 else D
+            past_k = b.input(
+                f"past_key_values.{i}.key", kv_elem,
+                ("slots", Hkv, capacity, kv_d),
+            )
+            k_sc = b.input(
+                f"past_key_values.{i}.key_scale", DataType.Float,
+                ("slots", Hkv, capacity, 1),
+            )
+            past_v = b.input(
+                f"past_key_values.{i}.value", kv_elem,
+                ("slots", Hkv, capacity, kv_d),
+            )
+            v_sc = b.input(
+                f"past_key_values.{i}.value_scale", DataType.Float,
+                ("slots", Hkv, capacity, 1),
+            )
+            qattrs = {
+                "num_heads": Hq, "kv_num_heads": Hkv, "bits": kv_bits,
+                "do_rotary": 1,
+            }
+            if deferred_kv:
+                rdt = recent_dtype or DataType.Float
+                recent_k = b.input(
+                    f"recent.{i}.key", rdt, ("slots", Hkv, "recent", D)
+                )
+                recent_v = b.input(
+                    f"recent.{i}.value", rdt, ("slots", Hkv, "recent", D)
+                )
+                outs = b.op(
+                    "QuantizedKVAttention",
+                    [q, k, v, past_k, k_sc, past_v, v_sc, past_lens,
+                     recent_k, recent_v, step_t, cos_c, sin_c],
+                    {**qattrs, "rten_recent_kv": 1},
+                    n_outputs=7,
+                    output_names=[
+                        f"attn_out_{i}", f"present.{i}.key",
+                        f"present.{i}.key_scale", f"present.{i}.value",
+                        f"present.{i}.value_scale",
+                        f"recent_present.{i}.key",
+                        f"recent_present.{i}.value",
+                    ],
+                )
+                attn = outs[0]
+                presents.extend(outs[1:])
+            else:
+                outs = b.op(
+                    "QuantizedKVAttention",
+                    [q, k, v, past_k, k_sc, past_v, v_sc, past_lens,
+                     cos_c, sin_c],
+                    qattrs,
+                    n_outputs=5,
+                    output_names=[
+                        f"attn_out_{i}", f"present.{i}.key",
+                        f"present.{i}.key_scale", f"present.{i}.value",
+                        f"present.{i}.value_scale",
+                    ],
+                )
+                attn = outs[0]
+                presents.extend(outs[1:])
+            x = x + b.op(
+                "MatMul", [attn, w_t(f"{p}.self_attn.o_proj.weight")],
+                name=f"{p}.self_attn.o_proj",
+            )
+            h2 = rms(x, f"{p}.post_attention_layernorm.weight")
+            gate = b.op("MatMul", [h2, w_t(f"{p}.mlp.gate_proj.weight")],
+                        name=f"{p}.mlp.gate_proj")
+            up = b.op("MatMul", [h2, w_t(f"{p}.mlp.up_proj.weight")],
+                      name=f"{p}.mlp.up_proj")
+            act = b.op("Mul", [b.op("Silu", [gate]), up])
+            x = x + b.op("MatMul", [act, w_t(f"{p}.mlp.down_proj.weight")],
+                         name=f"{p}.mlp.down_proj")
+            continue
         kdt = kv_dtype or DataType.Float
         past_k = b.input(
             f"past_key_values.{i}.key", kdt, ("slots", Hkv, capacity, D)

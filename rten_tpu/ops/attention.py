@@ -388,14 +388,38 @@ def _quantized_kv_attention(ctx, inputs, attrs):
     v_scales = get_input(inputs, 6, "v_scales")
     past_lens = jnp.asarray(get_input(inputs, 7, "past_lens"), jnp.int32)
     n_heads = attrs.get("num_heads")
+    # GQA: K/V carry kv_num_heads (< num_heads) — the decode kernels
+    # broadcast per group (same as GroupQueryAttention).
+    kv_heads = attrs.get("kv_num_heads", n_heads)
     scale = attrs.get("scale")
+    # bits=4: the cache is nibble-packed u8 [B,H,cap,D/2] with absmax/7
+    # scales (kernels/flash_attention.pack_int4) — 2x the context capacity
+    # per HBM byte of int8; the decode kernel unpacks in VMEM.
+    bits = int(attrs.get("bits", 8))
 
     B, S, _ = q.shape
     q4 = _split_heads(q, n_heads)
-    k4 = _split_heads(k, n_heads)
-    v4 = _split_heads(v, n_heads)
+    k4 = _split_heads(k, kv_heads)
+    v4 = _split_heads(v, kv_heads)
+
+    if bool(attrs.get("do_rotary", 0)):
+        # Rotary on q/k BEFORE the cache quantize (llama-family serving
+        # graphs; positions derive from past_lens like GroupQueryAttention).
+        cos_cache = inputs[-2]
+        sin_cache = inputs[-1]
+        if cos_cache is None or sin_cache is None:
+            raise OpError("QuantizedKVAttention: do_rotary needs cos/sin "
+                          "caches as the last two inputs")
+        pos = past_lens.reshape(B)[:, None] + jnp.arange(S)[None]
+        interleaved = bool(attrs.get("rotary_interleaved", 0))
+        q4 = _rotary(q4, cos_cache, sin_cache, pos, interleaved)
+        k4 = _rotary(k4, cos_cache, sin_cache, pos, interleaved)
 
     def quantize(x4):
+        if bits == 4:
+            from ..kernels.flash_attention import pack_int4
+
+            return pack_int4(x4)
         absmax = jnp.max(jnp.abs(x4), axis=-1, keepdims=True)  # [B,H,S,1]
         s = jnp.maximum(absmax / 127.0, 1e-8)
         q8 = jnp.clip(jnp.round(x4 / s), -127, 127).astype(jnp.int8)
@@ -410,8 +434,8 @@ def _quantized_kv_attention(ctx, inputs, attrs):
         recent_v = get_input(inputs, 9, "recent_v")
         step_t = get_input(inputs, 10, "step_t")
         cap = past_k_q8.shape[2]
-        ks = k_scales.reshape(B, n_heads, cap)
-        vs = v_scales.reshape(B, n_heads, cap)
+        ks = k_scales.reshape(B, kv_heads, cap)
+        vs = v_scales.reshape(B, kv_heads, cap)
         from ..kernels.flash_attention import decode_attention, decode_mha_xla
 
         f = decode_attention if _use_flash(ctx) else decode_mha_xla
@@ -435,8 +459,8 @@ def _quantized_kv_attention(ctx, inputs, attrs):
         new_v_q8 = _slot_kv_update(past_v_q8, v_q8, lens)
         new_v_s = _slot_kv_update(v_scales, v_s, lens)
         out = f(q4, new_k_q8, new_v_q8, lens,
-                new_k_s.reshape(B, n_heads, cap),
-                new_v_s.reshape(B, n_heads, cap), scale=scale)
+                new_k_s.reshape(B, kv_heads, cap),
+                new_v_s.reshape(B, kv_heads, cap), scale=scale)
         return (_merge_heads(out), new_k_q8, new_k_s, new_v_q8, new_v_s,
                 recent_k, recent_v)
 
@@ -451,8 +475,8 @@ def _quantized_kv_attention(ctx, inputs, attrs):
     from ..kernels.flash_attention import decode_attention, decode_mha_xla
 
     cap = past_k_q8.shape[2]
-    ks = new_k_s.reshape(B, n_heads, cap)
-    vs = new_v_s.reshape(B, n_heads, cap)
+    ks = new_k_s.reshape(B, kv_heads, cap)
+    vs = new_v_s.reshape(B, kv_heads, cap)
     # Fused-dequant attention: the s8 cache is read at 1 byte/elem and
     # dequantized in VMEM (round-1 int8-KV lost to f32 because the dequant
     # materialized f32 copies of the whole cache each step).

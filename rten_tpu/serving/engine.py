@@ -337,6 +337,12 @@ class ContinuousBatchingEngine:
                 caches[ci] = _slot_kv_update(
                     caches[ci], rows.astype(caches[ci].dtype), lens0
                 )
+            elif caches[ci].dtype == jnp.uint8:  # nibble-packed int4 cache
+                from ..kernels.flash_attention import pack_int4
+
+                q4, s = pack_int4(rows)
+                caches[ci] = _slot_kv_update(caches[ci], q4, lens0)
+                caches[si] = _slot_kv_update(caches[si], s, lens0)
             else:
                 absmax = jnp.max(jnp.abs(rows), axis=-1, keepdims=True)
                 s = jnp.maximum(absmax / 127.0, 1e-8)

@@ -293,3 +293,109 @@ def test_decode_mha_inkernel_append(quant):
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(want), rtol=2e-2, atol=5e-3
     )
+
+
+def test_pack_int4_roundtrip():
+    """pack_int4/unpack_int4: split-half nibble layout, bounded error."""
+    from rten_tpu.kernels.flash_attention import pack_int4, unpack_int4
+
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.standard_normal((2, 3, 5, 64)) * 4.0, jnp.float32)
+    packed, s = pack_int4(x)
+    assert packed.shape == (2, 3, 5, 32) and packed.dtype == jnp.uint8
+    assert s.shape == (2, 3, 5, 1)
+    back = unpack_int4(packed) * s
+    # absmax/7 scaling: |err| <= s/2 per element.
+    err = np.abs(np.asarray(back) - np.asarray(x))
+    assert np.all(err <= np.asarray(s) / 2 + 1e-6)
+    # Split-half layout: lane d holds dims (d, d + D/2), low nibble first.
+    b = np.asarray(packed)
+    qlo = (b & 0xF).astype(np.int32) - 8
+    qhi = (b >> 4).astype(np.int32) - 8
+    ref = np.concatenate([qlo, qhi], axis=-1)
+    np.testing.assert_array_equal(np.asarray(unpack_int4(packed)), ref)
+
+
+@pytest.mark.parametrize("group", [1, 3])
+def test_decode_mha_int4_interpret(group):
+    """int4 nibble-packed KV through the NT-folded decode kernel (S=1),
+    incl. GQA lane masking and lens straddling key-block boundaries."""
+    from rten_tpu.kernels.flash_attention import (
+        decode_mha,
+        decode_mha_xla,
+        pack_int4,
+    )
+
+    rng = np.random.default_rng(13)
+    B, Hkv, cap, D = 3, 2, 256, 64
+    H = Hkv * group
+    q = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    kf = jnp.asarray(rng.standard_normal((B, Hkv, cap, D)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((B, Hkv, cap, D)), jnp.float32)
+    k4, ks = pack_int4(kf)
+    v4, vs = pack_int4(vf)
+    ks = ks.reshape(B, Hkv, cap)
+    vs = vs.reshape(B, Hkv, cap)
+    lens = jnp.asarray([0, 100, 255], jnp.int32)
+    got = decode_mha(q, k4, v4, lens, ks, vs, interpret=True, block_k=128)
+    want = decode_mha_xla(q, k4, v4, lens, ks, vs)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_decode_mha_int4_prefill_perhead():
+    """int4 KV at S>1 (prefill) takes the per-head grid; the in-kernel
+    unpack must match the XLA dequant golden."""
+    from rten_tpu.kernels.flash_attention import (
+        decode_mha,
+        decode_mha_xla,
+        pack_int4,
+    )
+
+    rng = np.random.default_rng(14)
+    B, H, S, cap, D = 3, 3, 5, 128, 32
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    kf = jnp.asarray(rng.standard_normal((B, H, cap, D)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((B, H, cap, D)), jnp.float32)
+    k4, ks = pack_int4(kf)
+    v4, vs = pack_int4(vf)
+    ks = ks.reshape(B, H, cap)
+    vs = vs.reshape(B, H, cap)
+    lens = jnp.asarray([0, 63, cap - S], jnp.int32)
+    got = decode_mha(q, k4, v4, lens, ks, vs, interpret=True)
+    want = decode_mha_xla(q, k4, v4, lens, ks, vs)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_decode_mha_int4_recent_window():
+    """Deferred-KV on an int4 big cache: the bf16 recent window rides the
+    NT kernel's window path while the u8 cache blocks unpack in VMEM."""
+    from rten_tpu.kernels.flash_attention import (
+        decode_mha,
+        decode_mha_xla,
+        pack_int4,
+    )
+
+    rng = np.random.default_rng(15)
+    B, H, cap, D, rk = 2, 4, 256, 64, 8
+    q = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    kf = jnp.asarray(rng.standard_normal((B, H, cap, D)), jnp.float32)
+    vf = jnp.asarray(rng.standard_normal((B, H, cap, D)), jnp.float32)
+    k4, ks = pack_int4(kf)
+    v4, vs = pack_int4(vf)
+    ks = ks.reshape(B, H, cap)
+    vs = vs.reshape(B, H, cap)
+    rkw = jnp.asarray(rng.standard_normal((B, H, rk, D)), jnp.bfloat16)
+    rvw = jnp.asarray(rng.standard_normal((B, H, rk, D)), jnp.bfloat16)
+    lens = jnp.asarray([7, 200], jnp.int32)
+    t = jnp.int32(2)
+    got = decode_mha(q, k4, v4, lens, ks, vs, interpret=True, block_k=128,
+                     recent_k=rkw, recent_v=rvw, t=t)
+    want = decode_mha_xla(q, k4, v4, lens, ks, vs,
+                          recent_k=rkw, recent_v=rvw, t=t)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=5e-3
+    )

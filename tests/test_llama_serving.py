@@ -77,3 +77,34 @@ def test_llama_engine_int8_generates(tiny):
     want = torch_greedy(module, prompt, 8)
     agree = np.mean(np.array(req.generated) == np.array(want))
     assert agree >= 0.5, (req.generated, want)
+
+
+@pytest.mark.parametrize("kv_bits,deferred", [(8, False), (8, True),
+                                              (4, False), (4, True)])
+def test_llama_quantized_kv_tracks_torch(tiny, kv_bits, deferred):
+    """GQA + in-op rotary over a QUANTIZED KV cache (int8 s8 / int4
+    nibble-packed): greedy tokens should mostly agree with the torch
+    reference on a tiny model (quantization noise allowed)."""
+    module, cfg, weights = tiny
+    g = llama.build_graph_static_cache(
+        cfg, weights, capacity=64, kv_quant=True, kv_bits=kv_bits,
+        deferred_kv=deferred,
+    )
+    model = Model(g, ModelOptions(optimize=True))
+    eng = ContinuousBatchingEngine(
+        model, n_layer=cfg.num_hidden_layers, n_head=cfg.num_key_value_heads,
+        head_dim=cfg.head_dim, slots=2, capacity=64,
+        prefill_bucket=8, greedy_on_device=True, steps_per_dispatch=4,
+    )
+    assert len(eng.caches) == 4 * cfg.num_hidden_layers
+    want_dtype = np.uint8 if kv_bits == 4 else np.int8
+    assert eng.caches[0].dtype == want_dtype
+    prompts = [[3, 17, 9, 101, 42], [7, 7, 200]]
+    n_new = 8
+    reqs = [eng.submit(p, max_new_tokens=n_new) for p in prompts]
+    eng.run()
+    floor = 0.5 if kv_bits == 8 else 0.4
+    for p, r in zip(prompts, reqs):
+        want = torch_greedy(module, p, n_new)
+        agree = np.mean(np.asarray(r.generated) == np.asarray(want))
+        assert agree >= floor, (kv_bits, deferred, r.generated, want)
