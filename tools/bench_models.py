@@ -207,9 +207,12 @@ def bench_llama_serving(iters):
     k = int(os.environ.get("RTEN_LLAMA_K", "32"))
     prompt_len, new_tokens = 64, 64
     cfg = llama.LlamaConfig(num_hidden_layers=layers)
+    kv_env = os.environ.get("RTEN_LLAMA_KV", "f32")  # f32|int8|int4
     g = llama.build_graph_static_cache(
         cfg, llama.random_weights(cfg, seed=0), capacity=cap,
         deferred_kv=os.environ.get("RTEN_LLAMA_DEFERRED", "1") != "0",
+        kv_quant=kv_env in ("int8", "int4"),
+        kv_bits=4 if kv_env == "int4" else 8,
     )
     quantize_dynamic(g)
     model = Model(g, ModelOptions(optimize=True))
@@ -238,7 +241,7 @@ def bench_llama_serving(iters):
 
     roofline = decode_roofline_tps(engine, prompt_len, new_tokens)
     yield {
-        "config": f"tinyllama_1.1b_int8_serving_{layers}L",
+        "config": f"tinyllama_1.1b_int8_serving_{layers}L_kv-{kv_env}",
         "value": round(tps, 1),
         "unit": "tokens/s",
         "slots": slots,
