@@ -8,3 +8,4 @@ prefill into free slots between steps.
 """
 
 from .engine import ContinuousBatchingEngine, Request  # noqa: F401
+from .speculative import SpeculativeEngine  # noqa: F401
