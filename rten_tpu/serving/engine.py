@@ -213,6 +213,13 @@ class ContinuousBatchingEngine:
         # insert per cache buffer (24 executes/slot was the round-1 TTFT
         # bottleneck).
         self._batch_prefill: Dict[int, object] = {}
+        # Shared-prefix (system-prompt) caching: set_shared_prefix()
+        # prefills the common prefix ONCE; admissions broadcast the cached
+        # rows and prefill only each prompt's suffix.
+        self.prefix_tokens: Optional[List[int]] = None
+        self.prefix_len = 0
+        self._prefix_rows = None           # per cache: [1, H, P, D|1]
+        self._prefix_prefill: Dict[int, object] = {}
         # Chunked prefill (SURVEY section 5 long-context plan): prompts run
         # through ONE fixed [slots, prefill_bucket] executable in
         # prefill_bucket-sized chunks at per-slot offsets, instead of one
@@ -674,6 +681,122 @@ class ContinuousBatchingEngine:
 
         return jax.jit(fn, donate_argnums=(1,))
 
+    def set_shared_prefix(self, tokens: Sequence[int]):
+        """Prefill a shared prompt prefix (system prompt) ONCE and cache
+        its KV rows; subsequent submissions whose prompts start with it
+        skip recomputing those positions (vLLM-style prefix caching,
+        specialized to the slot-cache design: rows broadcast into each
+        admitted slot — compute is saved, HBM copies are per-slot).
+
+        Must be set while no requests are queued/running; all later
+        prompts MUST extend the prefix by >= 1 token (one admission
+        executable serves the whole engine)."""
+        if self.has_work():
+            raise ValueError("set_shared_prefix requires an idle engine")
+        tokens = list(tokens)
+        if not tokens:
+            self.prefix_tokens, self._prefix_rows, self.prefix_len = None, None, 0
+            return
+        if len(tokens) >= self.capacity:
+            raise ValueError("prefix exceeds KV capacity")
+        P = len(tokens)
+        w = {**self.executor._weight_args(), **(self.params or {})}
+        ids = np.zeros((self.slots, P), np.int32)
+        ids[0] = tokens
+        env = dict(w)
+        env[self.in_ids["input_ids"]] = jnp.asarray(ids)
+        env[self.in_ids["past_lens"]] = jnp.zeros((self.slots,), jnp.int32)
+        env[self.in_ids["position_ids"]] = jnp.broadcast_to(
+            jnp.arange(P, dtype=jnp.int32)[None], (self.slots, P)
+        )
+        for nid, c in zip(self.cache_ids, self.caches):
+            env[nid] = jnp.zeros_like(c)
+        self._feed_recent_dummies(env)
+
+        def prefill(e):
+            outs = self.executor.trace(e, self.out_ids)
+            # Slot 0's first P cache rows are the prefix KV (axis 2 = cap).
+            return [p[0:1, :, :P] for p in outs[1:]]
+
+        self._prefix_rows = jax.jit(prefill)(env)
+        self.prefix_tokens = tokens
+        self.prefix_len = P
+
+    def _build_prefix_prefill(self, T: int):
+        """Admission executable for suffix bucket T against the cached
+        prefix: every slot's cache gets the prefix rows stamped in, the
+        suffix forwards at past_lens = P, and admitted rows merge into the
+        donated caches (same one-execute shape as _build_batch_prefill)."""
+        executor = self.executor
+        in_ids = self.in_ids
+        cache_ids = self.cache_ids
+        out_ids = self.out_ids
+        slots = self.slots
+        P = self.prefix_len
+
+        def fn(weights: Dict, caches, packed, prefix_rows):
+            ids = packed[:, :T]
+            admit_mask = packed[:, T] != 0
+            last_idx = packed[:, T + 1]
+            env = dict(weights)
+            env[in_ids["input_ids"]] = ids
+            env[in_ids["past_lens"]] = jnp.full((slots,), P, jnp.int32)
+            env[in_ids["position_ids"]] = jnp.broadcast_to(
+                P + jnp.arange(T, dtype=jnp.int32)[None], (slots, T)
+            )
+            for nid, c, pr in zip(cache_ids, caches, prefix_rows):
+                base = jnp.zeros_like(c)
+                base = base.at[:, :, :P].set(
+                    jnp.broadcast_to(pr, (slots,) + pr.shape[1:])
+                )
+                env[nid] = base
+            self._feed_recent_dummies(env)
+            outs = executor.trace(env, out_ids)
+            m = admit_mask[:, None, None, None]
+            merged = [jnp.where(m, p, c) for c, p in zip(caches, outs[1:])]
+            sel = outs[0][jnp.arange(slots), last_idx]
+            return sel, merged
+
+        return jax.jit(fn, donate_argnums=(1,))
+
+    def _admit_with_prefix(self, admissions):
+        P = self.prefix_len
+        suffixes = []
+        for slot, req in admissions:
+            if (len(req.prompt) <= P
+                    or req.prompt[:P] != self.prefix_tokens):
+                raise ValueError(
+                    "with a shared prefix set, every prompt must extend it "
+                    f"by >= 1 token (request {req.request_id})"
+                )
+            suffixes.append((slot, req, req.prompt[P:]))
+        T = self._round_up(max(len(s) for _, _, s in suffixes))
+        fn = self._prefix_prefill.get(T)
+        if fn is None:
+            fn = self._build_prefix_prefill(T)
+            self._prefix_prefill[T] = fn
+        packed = np.zeros((self.slots, T + 2), np.int32)
+        for slot, req, suf in suffixes:
+            packed[slot, : len(suf)] = suf
+            packed[slot, T] = 1
+            packed[slot, T + 1] = len(suf) - 1
+        w = {**self.executor._weight_args(), **(self.params or {})}
+        sel, self.caches = fn(w, self.caches, packed, self._prefix_rows)
+        self.caches = list(self.caches)
+        sel = np.asarray(sel)
+        now = time.perf_counter()
+        for slot, req in admissions:
+            if self.greedy_on_device:
+                tok = int(sel[slot])
+            else:
+                tok = int(self._host_sample(sel[slot][None])[0])
+            req.first_token_at = now
+            req.generated.append(tok)
+            self.slot_req[slot] = req
+            self.slot_len[slot] = len(req.prompt)
+            self.slot_last_tok[slot] = tok
+            self._maybe_finish(slot, tok)
+
     def _build_chunk_prefill(self):
         """One fixed-shape executable processing a [slots, bucket] prompt
         chunk at per-slot offsets against the LIVE caches (non-admitted
@@ -753,6 +876,9 @@ class ContinuousBatchingEngine:
         # Admission changes slot state: host bookkeeping becomes
         # authoritative, so the device-side token/length chain resets.
         self._dev_state = None
+        if self._prefix_rows is not None:
+            self._admit_with_prefix(admissions)
+            return
         if self.chunked_prefill:
             self._admit_chunked(admissions)
             return
