@@ -357,3 +357,21 @@ def test_caption_matches_torch_loop(tmp_path):
                 break
             ids = torch.tensor([[tok]], dtype=torch.int64)
     assert got_ids[: len(want)] == want
+
+
+def test_serve_speculative_demo():
+    """The speculative-serving demo's own assertion (spec == plain greedy)
+    must hold end to end (self-speculation draft from shared weights)."""
+    import subprocess
+    import sys as _sys
+
+    out = subprocess.run(
+        [_sys.executable, "examples/serve_speculative.py",
+         "--layers", "2", "--draft-layers", "1", "--max-new", "8",
+         "--requests", "2"],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "outputs identical: True" in out.stdout
