@@ -63,21 +63,61 @@ def _moe(ctx, inputs, attrs):
     onehot = jax.nn.one_hot(top_idx, X, dtype=jnp.float32)  # [B,T,k,X]
     gates = jnp.einsum("btk,btkx->btx", gate_vals, onehot)
 
+    def _act(h):
+        if act == "swiglu":
+            ff = h.shape[-1] // 2
+            return jax.nn.silu(h[..., :ff]) * h[..., ff:]
+        if act == "silu":
+            return jax.nn.silu(h)
+        if act == "gelu":
+            return jax.nn.gelu(h, approximate=False)
+        raise OpError(f"MoE: unknown activation '{act}'")
+
+    if attrs.get("dispatch", "dense") == "capacity":
+        # GShard capacity-based dispatch: each expert processes at most C
+        # token slots, so expert FLOPs scale with top_k/X instead of 1 —
+        # the win once X/top_k outgrows ~4 (the dense-mask crossover).
+        # One-hot dispatch/combine einsums keep everything static-shaped
+        # and MXU-tileable (no gather/scatter); tokens past an expert's
+        # capacity are DROPPED (contribute zero), standard GShard
+        # semantics — size capacity_factor for the expected imbalance.
+        B, T, E = x.shape
+        N, k = B * T, top_k
+        cf = float(attrs.get("capacity_factor", 1.25))
+        C = max(8, int(-(-N * k * cf // X)) + 7 & ~7)  # ceil, round to 8
+        xf = x.reshape(N, E).astype(jnp.float32)
+        idx = top_idx.reshape(N, k)
+        gts = gate_vals.reshape(N, k)
+        oh_e = jax.nn.one_hot(idx, X, dtype=jnp.float32)       # [N,k,X]
+        # Position of each (token, k) assignment within its expert's
+        # capacity, ordered token-major (earlier tokens keep their slot).
+        flat = oh_e.reshape(N * k, X)
+        pos = jnp.cumsum(flat, axis=0) * flat - 1.0            # [N*k,X]
+        keep = (pos >= 0) & (pos < C)
+        oh_c = jax.nn.one_hot(
+            jnp.clip(pos, 0, C - 1).astype(jnp.int32), C, dtype=jnp.float32
+        ) * keep[..., None].astype(jnp.float32)                # [N*k,X,C]
+        oh_c = oh_c.reshape(N, k, X, C)
+        disp = oh_c.sum(axis=1)                                # [N,X,C]
+        comb = (gts[:, :, None, None] * oh_c).sum(axis=1)      # [N,X,C]
+        xd = jnp.einsum("nxc,nd->xcd", disp, xf)               # [X,C,E]
+        h = jnp.einsum("xcd,xdf->xcf", xd, w_up.astype(jnp.float32))
+        if b_up is not None:
+            h = h + b_up.astype(jnp.float32)[:, None, :]
+        h = _act(h)
+        y = jnp.einsum("xcf,xfe->xce", h, w_down.astype(jnp.float32))
+        if b_down is not None:
+            y = y + b_down.astype(jnp.float32)[:, None, :]
+        out = jnp.einsum("nxc,xce->ne", comb, y)               # EP psum here
+        return out.reshape(B, T, E).astype(x.dtype)
+
     # Dense expert compute on the stacked weights: sharding the leading
     # axis (P('expert')) turns each einsum into a local slice per device.
     h = jnp.einsum("bte,xef->xbtf", x.astype(jnp.float32),
                    w_up.astype(jnp.float32))
     if b_up is not None:
         h = h + b_up.astype(jnp.float32)[:, None, None, :]
-    if act == "swiglu":
-        ff = h.shape[-1] // 2
-        h = jax.nn.silu(h[..., :ff]) * h[..., ff:]
-    elif act == "silu":
-        h = jax.nn.silu(h)
-    elif act == "gelu":
-        h = jax.nn.gelu(h, approximate=False)
-    else:
-        raise OpError(f"MoE: unknown activation '{act}'")
+    h = _act(h)
     y = jnp.einsum("xbtf,xfe->xbte", h, w_down.astype(jnp.float32))
     if b_down is not None:
         # Per-expert down biases must be gate-weighted like the expert

@@ -162,3 +162,63 @@ def test_moe_lm_pipelines():
     runner = PipelineRunner(m, mesh, n_micro=2)
     got = np.asarray(runner.run(feed))
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_moe_capacity_dispatch_matches_dense():
+    """GShard capacity dispatch == dense-mask compute when no expert
+    overflows (ample capacity_factor)."""
+    rng = np.random.default_rng(9)
+    B, T, E, X, F = 2, 8, 8, 4, 12
+    weights = {
+        "router": rng.standard_normal((E, X)).astype(np.float32),
+        "up": (rng.standard_normal((X, E, 2 * F)) * 0.3).astype(np.float32),
+        "down": (rng.standard_normal((X, F, E)) * 0.3).astype(np.float32),
+    }
+    x = rng.standard_normal((B, T, E)).astype(np.float32)
+
+    def run(extra):
+        b = GraphBuilder()
+        xin = b.input("x", DataType.Float, ("batch", "seq", E))
+        y = b.op(
+            "MoE",
+            [xin, b.constant("m.moe.router_w", weights["router"]),
+             b.constant("m.moe.w_up", weights["up"]),
+             b.constant("m.moe.w_down", weights["down"])],
+            {"top_k": 2, "activation": "swiglu", "normalize_gates": 1,
+             **extra},
+            output_names=["y"],
+        )
+        b.output(y)
+        return np.asarray(Model(b.finish()).run({"x": x})[0])
+
+    dense = run({})
+    # capacity_factor 4.0 with X=4, k=2: C >= N*k -> nothing ever drops.
+    cap = run({"dispatch": "capacity", "capacity_factor": 4.0})
+    np.testing.assert_allclose(cap, dense, rtol=1e-4, atol=1e-5)
+
+    # Tight capacity: drops allowed; output stays finite and no larger in
+    # norm than the dense one (dropped contributions are zeroed).
+    tight = run({"dispatch": "capacity", "capacity_factor": 0.5})
+    assert np.all(np.isfinite(tight))
+    assert np.linalg.norm(tight) <= np.linalg.norm(dense) * 1.5
+
+
+def test_moe_capacity_expert_parallel():
+    """Capacity dispatch under EP sharding == unsharded capacity run."""
+    cfg = moe_model.MoEConfig(n_layer=1, n_experts=4, top_k=2)
+    weights = moe_model.random_weights(cfg, seed=10)
+    g = moe_model.build_graph(cfg, weights)
+    # Flip every MoE op to capacity dispatch.
+    for _, op in g.operators():
+        if op.op_type == "MoE":
+            op.attrs["dispatch"] = "capacity"
+            op.attrs["capacity_factor"] = 4.0
+    m = Model(g, ModelOptions(optimize=True))
+    feed = _lm_feed(cfg)
+    want = np.asarray(m.run(feed)[0])
+    mesh = make_mesh(MeshConfig(data=2, model=4))
+    params = shard_constants(m.graph, mesh, rules=MOE_EP_RULES)
+    env = {m.graph.find_node(k): v for k, v in feed.items()}
+    env.update(params)
+    got = np.asarray(m.executor.run(env, [m.graph.find_node("logits")])[0])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
