@@ -92,6 +92,17 @@ def main(argv: Optional[List[str]] = None) -> int:
                     help="write the optimized/quantized model (.rtpu, or "
                          ".rten for the reference-compatible container — "
                          "the rten-convert analog)")
+    ap.add_argument("--serve", type=int, metavar="PORT",
+                    help="serve a static-cache LM graph over HTTP "
+                         "(POST /generate, GET /health|/stats|/metrics); "
+                         "model must have input_ids/past_lens/position_ids "
+                         "inputs and a next_token output")
+    ap.add_argument("--slots", type=int, default=8,
+                    help="serving: concurrent decode slots")
+    ap.add_argument("--steps-per-dispatch", type=int, default=8,
+                    help="serving: fused on-device decode steps per dispatch")
+    ap.add_argument("--prefill-bucket", type=int, default=64,
+                    help="serving: prompt-length bucket size")
     args = ap.parse_args(argv)
 
     t0 = time.perf_counter()
@@ -122,6 +133,39 @@ def main(argv: Optional[List[str]] = None) -> int:
         print(f"outputs: {', '.join(model.output_names())}")
         if model.metadata:
             print(f"metadata: {model.metadata}")
+
+    if args.serve is not None:
+        g = model.graph
+        for need in ("input_ids", "past_lens", "position_ids"):
+            if g.find_node(need) is None:
+                print(f"--serve needs a static-cache LM graph with a "
+                      f"'{need}' input (build via models/*.py "
+                      f"build_graph_static_cache and --save-model)")
+                return 2
+        cache0 = next(
+            (g.nodes[n] for n in g.input_ids
+             if g.node_name(n).startswith("past_key_values.")), None,
+        )
+        if cache0 is None:
+            print("--serve: graph declares no past_key_values.* caches")
+            return 2
+        capacity = int(cache0.shape[2])
+        from .serving import ContinuousBatchingEngine
+        from .serving.http_server import serve as http_serve
+
+        engine = ContinuousBatchingEngine(
+            model, n_layer=0, n_head=0, head_dim=0,
+            slots=args.slots, capacity=capacity,
+            prefill_bucket=args.prefill_bucket,
+            greedy_on_device=g.find_node("next_token") is not None,
+            steps_per_dispatch=args.steps_per_dispatch,
+        )
+        if not args.quiet:
+            print(f"serving on 127.0.0.1:{args.serve} "
+                  f"(slots={args.slots}, capacity={capacity}, "
+                  f"k={args.steps_per_dispatch})")
+        http_serve(engine, port=args.serve)
+        return 0
 
     if args.infer_shapes:
         from .shape_inference import infer_shapes
