@@ -152,7 +152,7 @@ def build_graph_static_cache(
     cfg: GPT2Config, weights: Dict[str, np.ndarray], capacity: int,
     kv_quant: bool = False, deferred_kv: bool = False,
     recent_dtype: "DataType" = None, kv_dtype: "DataType" = None,
-    kv_bits: int = 8,
+    kv_bits: int = 8, lora_rank: int = 0, n_adapters: int = 0,
 ) -> Graph:
     """Serving-engine variant: KV caches are preallocated [slots, H, cap, D]
     buffers written in-graph at per-slot offsets (GroupQueryAttention with
@@ -182,6 +182,31 @@ def build_graph_static_cache(
     step_t = (
         b.input("step_t", DataType.Int32, (1,)) if deferred_kv else None
     )
+    # Multi-LoRA serving (S-LoRA style): per-slot adapter selection over
+    # STACKED adapter inputs lora.{layer}.{target}.{A,B} [n_adapters, ...];
+    # each matmul adds x @ A[slot] @ B[slot] to the frozen base (alpha/r
+    # folded into B by the caller). slot_adapter [slots] selects per slot —
+    # a batch can mix adapters freely.
+    slot_adapter = (
+        b.input("slot_adapter", DataType.Int32, ("slots",))
+        if lora_rank else None
+    )
+
+    def lora(y, x_in, layer_prefix, target, k_in, k_out):
+        if not lora_rank:
+            return y
+        a_stack = b.input(
+            f"lora.{layer_prefix}.{target}.A", DataType.Float,
+            (n_adapters, k_in, lora_rank),
+        )
+        b_stack = b.input(
+            f"lora.{layer_prefix}.{target}.B", DataType.Float,
+            (n_adapters, lora_rank, k_out),
+        )
+        a_sel = b.op("Gather", [a_stack, slot_adapter])  # [slots, k_in, r]
+        b_sel = b.op("Gather", [b_stack, slot_adapter])  # [slots, r, k_out]
+        xa = b.op("Einsum", [x_in, a_sel], {"equation": "bse,ber->bsr"})
+        return y + b.op("Einsum", [xa, b_sel], {"equation": "bsr,bro->bso"})
 
     x = b.op("Gather", [w("transformer.wte.weight"), ids])
     x = x + b.op("Gather", [w("transformer.wpe.weight"), pos])
@@ -201,6 +226,7 @@ def build_graph_static_cache(
             "MatMulAdd", [h, w(f"{p}.attn.c_attn.weight"), w(f"{p}.attn.c_attn.bias")],
             name=f"{p}.attn.c_attn",
         )
+        qkv = lora(qkv, h, str(i), "attn.c_attn", E, 3 * E)
         q, k, v = b.op("Split", [qkv], {"axis": -1, "num_outputs": 3}, n_outputs=3)
         if deferred_kv:
             rdt = recent_dtype or DataType.Float
@@ -302,6 +328,7 @@ def build_graph_static_cache(
             [attn, w(f"{p}.attn.c_proj.weight"), w(f"{p}.attn.c_proj.bias")],
             name=f"{p}.attn.c_proj",
         )
+        proj = lora(proj, attn, str(i), "attn.c_proj", E, E)
         x = x + proj
         h2 = layer_norm(x, f"{p}.ln_2")
         fc = b.op(

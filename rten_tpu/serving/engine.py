@@ -41,6 +41,7 @@ class Request:                    # cancellation must not match look-alikes
     eos_id: Optional[int] = None
     request_id: int = 0
     timeout_s: Optional[float] = None
+    adapter_id: int = 0
     # Filled by the engine:
     generated: List[int] = dataclasses.field(default_factory=list)
     done: bool = False
@@ -178,6 +179,24 @@ class ContinuousBatchingEngine:
                 if sname in self.cache_names else None
             )
             self._commit_plan.append((ri, ci, si))
+
+        # Multi-LoRA serving: graphs built with lora_rank>0 declare a
+        # slot_adapter input plus stacked lora.* adapter inputs. Both ride
+        # the params override channel (merged into every dispatch's weight
+        # args), so no dispatch path needs to know about them: per-slot
+        # adapter ids refresh at admission, adapter stacks via
+        # set_lora_adapters().
+        self._adapter_nid = self.g.find_node("slot_adapter")
+        self.lora_input_ids = {
+            self.g.node_name(n): n
+            for n in self.g.input_ids
+            if self.g.node_name(n).startswith("lora.")
+        }
+        self.slot_adapter = np.zeros(slots, np.int32)
+        if self._adapter_nid is not None:
+            if self.params is None:
+                self.params = {}
+            self.params[self._adapter_nid] = jnp.asarray(self.slot_adapter)
 
         self.caches = [
             jnp.zeros((slots,) + tail, dtype)
@@ -415,9 +434,30 @@ class ContinuousBatchingEngine:
 
     # -- public API ----------------------------------------------------------
 
+    def set_lora_adapters(self, by_name: Dict[str, "np.ndarray"]):
+        """Install stacked LoRA adapter weights ([n_adapters, ...] arrays
+        keyed by the graph's lora.* input names). Must cover every lora
+        input; submit(adapter_id=j) then selects stack row j per request."""
+        if not self.lora_input_ids:
+            raise ValueError("graph was not built with lora_rank > 0")
+        missing = sorted(set(self.lora_input_ids) - set(by_name))
+        if missing:
+            raise ValueError(f"missing adapter arrays for: {missing}")
+        if self.params is None:
+            self.params = {}
+        for name, nid in self.lora_input_ids.items():
+            arr = np.asarray(by_name[name], np.float32)
+            node = self.g.nodes[nid]
+            if tuple(arr.shape) != tuple(node.shape):
+                raise ValueError(
+                    f"{name}: expected shape {node.shape}, got {arr.shape}"
+                )
+            self.params[nid] = jnp.asarray(arr)
+
     def submit(self, prompt: Sequence[int], max_new_tokens: int = 64,
                eos_id: Optional[int] = None,
-               timeout_s: Optional[float] = None) -> Request:
+               timeout_s: Optional[float] = None,
+               adapter_id: int = 0) -> Request:
         # Validate here, not in _prefill: a bad request must fail at submit
         # time instead of crashing the serving loop mid-step (losing every
         # in-flight request).
@@ -432,11 +472,16 @@ class ContinuousBatchingEngine:
             raise QueueFull(
                 f"admission queue at capacity ({self.max_queue}); retry later"
             )
+        if adapter_id and self._adapter_nid is None:
+            raise ValueError(
+                "adapter_id requires a graph built with lora_rank > 0"
+            )
         req = Request(
             prompt=list(prompt),
             max_new_tokens=max_new_tokens,
             eos_id=eos_id,
             timeout_s=timeout_s,
+            adapter_id=adapter_id,
             request_id=next(self._req_counter),
             submitted_at=time.perf_counter(),
         )
@@ -876,6 +921,12 @@ class ContinuousBatchingEngine:
         # Admission changes slot state: host bookkeeping becomes
         # authoritative, so the device-side token/length chain resets.
         self._dev_state = None
+        if self._adapter_nid is not None:
+            # Per-slot adapter selection must be current BEFORE the prefill
+            # executes (the admitted prompt runs under its adapter).
+            for slot, req in admissions:
+                self.slot_adapter[slot] = req.adapter_id
+            self.params[self._adapter_nid] = jnp.asarray(self.slot_adapter)
         if self._prefix_rows is not None:
             self._admit_with_prefix(admissions)
             return
