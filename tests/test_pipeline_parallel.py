@@ -146,3 +146,15 @@ def test_pipeline_backprop():
     d_num = (float(loss(put(w_pert))) - float(loss(put(ws0)))) / eps
     d_an = float(np.asarray(grads[0]).flat[0])
     assert abs(d_num - d_an) <= 1e-2 * max(1.0, abs(d_an)) + 1e-2
+
+
+def test_pipeline_on_optimized_graph():
+    """Fusion passes rewrite blocks uniformly, so the trunk stays periodic
+    and the pipeline must still match (attention fusion, folding, DCE)."""
+    cfg, model = _model(n_layer=4, optimize=True)
+    feed = _feed(cfg, B=4, T=8)
+    want = np.asarray(model.run(feed)[0])
+    runner = PipelineRunner(model, _mesh(2), n_micro=2)
+    assert runner.plan.layers == 4
+    got = np.asarray(runner.run(feed))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
