@@ -141,3 +141,43 @@ def test_int8_sharded_llama_decode_matches():
     feed.update(params)
     got = np.asarray(model.executor.run(feed, [tok_id])[0])
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("kv_bits", [8, 4])
+def test_quantized_kv_sharded_llama_serving(kv_bits):
+    """Quantized KV cache (int8/int4) x TP on the GQA family: weight-only
+    int8 + quantized cache + derived plan, sharded tokens == unsharded."""
+    cfg = llama.LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=8, num_key_value_heads=4,
+        max_position_embeddings=64,
+    )
+    g = llama.build_graph_static_cache(
+        cfg, llama.random_weights(cfg, seed=6), capacity=64,
+        kv_quant=True, kv_bits=kv_bits,
+    )
+    quantize_dynamic(g)
+    model = Model(g, ModelOptions(optimize=True))
+    g = model.graph
+
+    def make(params=None):
+        return ContinuousBatchingEngine(
+            model, n_layer=cfg.num_hidden_layers,
+            n_head=cfg.num_key_value_heads, head_dim=cfg.head_dim,
+            slots=2, capacity=64, prefill_bucket=8,
+            greedy_on_device=True, steps_per_dispatch=2, params=params,
+        )
+
+    prompts = [[5, 9, 23], [40, 7, 12, 3]]
+    plain = make()
+    reqs = [plain.submit(p, max_new_tokens=8) for p in prompts]
+    plain.run()
+    want = [r.generated for r in reqs]
+
+    mesh = make_mesh(MeshConfig(1, 8))
+    plan = tp_weight_shardings(g, mesh)
+    assert plan
+    sharded = make(params=shard_constants_by_plan(g, mesh, plan))
+    reqs2 = [sharded.submit(p, max_new_tokens=8) for p in prompts]
+    sharded.run()
+    assert [r.generated for r in reqs2] == want
