@@ -476,6 +476,13 @@ class ContinuousBatchingEngine:
             raise ValueError(
                 "adapter_id requires a graph built with lora_rank > 0"
             )
+        if self.lora_input_ids and not (
+            0 <= adapter_id
+            < self.g.nodes[next(iter(self.lora_input_ids.values()))].shape[0]
+        ):
+            # An out-of-range id would CLAMP in the on-device gather and
+            # silently serve the wrong adapter — reject at submit time.
+            raise ValueError(f"adapter_id {adapter_id} out of range")
         req = Request(
             prompt=list(prompt),
             max_new_tokens=max_new_tokens,

@@ -117,3 +117,17 @@ def test_lora_guards():
     eng = _engine(g)
     with pytest.raises(ValueError, match="missing adapter"):
         eng.set_lora_adapters({})
+
+
+def test_out_of_range_adapter_rejected():
+    """OOB adapter ids would clamp in the device gather (silently serving
+    adapter N-1) — submit must reject them."""
+    cfg = gpt2.GPT2Config(**CFG)
+    weights = gpt2.random_weights(cfg, seed=2)
+    g = gpt2.build_graph_static_cache(
+        cfg, weights, capacity=64, lora_rank=RANK, n_adapters=N_ADAPTERS
+    )
+    eng = _engine(g)
+    eng.set_lora_adapters(_adapters(cfg))
+    with pytest.raises(ValueError, match="out of range"):
+        eng.submit([1, 2], max_new_tokens=8, adapter_id=N_ADAPTERS)
