@@ -943,6 +943,13 @@ def decode_mha(
     # large H*cap where a folded block would not fit VMEM). int4 caches
     # fold only at S==1 (the NT body owns the unpack); S>1 int4 takes the
     # per-head grid below.
+    if bits == 4 and S > 1 and recent_k is not None:
+        # The per-head fallback below ignores the window arguments — a
+        # silent wrong result. No caller builds this combination (deferred
+        # S>1 prefill writes the cache directly); refuse loudly.
+        raise NotImplementedError(
+            "int4 KV with S>1 and a recent window is unsupported"
+        )
     if (bits != 4 or S == 1) and (recent_k is not None or (
         S <= 8
         and os.environ.get("RTEN_DECODE_FOLD_HEADS", "1") != "0"

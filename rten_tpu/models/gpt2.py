@@ -182,6 +182,8 @@ def build_graph_static_cache(
     step_t = (
         b.input("step_t", DataType.Int32, (1,)) if deferred_kv else None
     )
+    if lora_rank and n_adapters < 1:
+        raise ValueError("lora_rank > 0 requires n_adapters >= 1")
     # Multi-LoRA serving (S-LoRA style): per-slot adapter selection over
     # STACKED adapter inputs lora.{layer}.{target}.{A,B} [n_adapters, ...];
     # each matmul adds x @ A[slot] @ B[slot] to the frozen base (alpha/r

@@ -106,6 +106,20 @@ def build_graph_static_cache(
             "RMSNormalization", [h, w(name)], {"epsilon": cfg.rms_norm_eps}
         )
 
+    def block_tail(x, attn, p):
+        """o_proj residual + RMSNorm + SwiGLU MLP (shared by the f32 and
+        quantized-KV attention variants)."""
+        x = x + b.op("MatMul", [attn, w_t(f"{p}.self_attn.o_proj.weight")],
+                     name=f"{p}.self_attn.o_proj")
+        h2 = rms(x, f"{p}.post_attention_layernorm.weight")
+        gate = b.op("MatMul", [h2, w_t(f"{p}.mlp.gate_proj.weight")],
+                    name=f"{p}.mlp.gate_proj")
+        up = b.op("MatMul", [h2, w_t(f"{p}.mlp.up_proj.weight")],
+                  name=f"{p}.mlp.up_proj")
+        act = b.op("Mul", [b.op("Silu", [gate]), up])
+        return x + b.op("MatMul", [act, w_t(f"{p}.mlp.down_proj.weight")],
+                        name=f"{p}.mlp.down_proj")
+
     presents = []
     for i in range(cfg.num_hidden_layers):
         p = f"model.layers.{i}"
@@ -178,18 +192,7 @@ def build_graph_static_cache(
                 )
                 attn = outs[0]
                 presents.extend(outs[1:])
-            x = x + b.op(
-                "MatMul", [attn, w_t(f"{p}.self_attn.o_proj.weight")],
-                name=f"{p}.self_attn.o_proj",
-            )
-            h2 = rms(x, f"{p}.post_attention_layernorm.weight")
-            gate = b.op("MatMul", [h2, w_t(f"{p}.mlp.gate_proj.weight")],
-                        name=f"{p}.mlp.gate_proj")
-            up = b.op("MatMul", [h2, w_t(f"{p}.mlp.up_proj.weight")],
-                      name=f"{p}.mlp.up_proj")
-            act = b.op("Mul", [b.op("Silu", [gate]), up])
-            x = x + b.op("MatMul", [act, w_t(f"{p}.mlp.down_proj.weight")],
-                         name=f"{p}.mlp.down_proj")
+            x = block_tail(x, attn, p)
             continue
         kdt = kv_dtype or DataType.Float
         past_k = b.input(
@@ -238,16 +241,7 @@ def build_graph_static_cache(
                 ],
             )
             presents.extend([pk, pv])
-        x = x + b.op("MatMul", [attn, w_t(f"{p}.self_attn.o_proj.weight")],
-                     name=f"{p}.self_attn.o_proj")
-        h2 = rms(x, f"{p}.post_attention_layernorm.weight")
-        gate = b.op("MatMul", [h2, w_t(f"{p}.mlp.gate_proj.weight")],
-                    name=f"{p}.mlp.gate_proj")
-        up = b.op("MatMul", [h2, w_t(f"{p}.mlp.up_proj.weight")],
-                  name=f"{p}.mlp.up_proj")
-        act = b.op("Mul", [b.op("Silu", [gate]), up])
-        x = x + b.op("MatMul", [act, w_t(f"{p}.mlp.down_proj.weight")],
-                     name=f"{p}.mlp.down_proj")
+        x = block_tail(x, attn, p)
 
     x = rms(x, "model.norm.weight")
     lm_name = (

@@ -463,6 +463,16 @@ class ContinuousBatchingEngine:
         # in-flight request).
         if len(prompt) == 0:
             raise ValueError("prompt must contain at least one token")
+        if self.prefix_tokens is not None and (
+            len(prompt) <= self.prefix_len
+            or list(prompt[: self.prefix_len]) != self.prefix_tokens
+        ):
+            # Fail HERE, not in the admission path mid-step: a bad request
+            # crashing _admit would drop every co-admitted request.
+            raise ValueError(
+                "with a shared prefix set, every prompt must start with it "
+                "and extend it by >= 1 token"
+            )
         if len(prompt) > self.capacity - max_new_tokens:
             raise ValueError(
                 f"prompt ({len(prompt)} tokens) + max_new_tokens "
@@ -694,18 +704,23 @@ class ContinuousBatchingEngine:
         for nid, (h, d, dt) in zip(self.recent_ids, self._recent_alloc):
             env[nid] = jnp.zeros((self.slots, h, 1, d), dt)
 
-    def _build_batch_prefill(self, T: int):
+    def _build_batch_prefill(self, T: int, prefixed: bool = False):
         """Fused admission executable for prompt bucket T: forward ALL slot
         rows (non-admitted rows carry dummy prompts whose results are
         discarded), then merge admitted rows into the donated caches —
-        one device execute for any number of simultaneous admissions."""
+        one device execute for any number of simultaneous admissions.
+
+        ``prefixed``: the shared-prefix variant — every slot's cache gets
+        the cached prefix rows stamped in and the (suffix) prompt forwards
+        at past_lens = P instead of 0."""
         executor = self.executor
         in_ids = self.in_ids
         cache_ids = self.cache_ids
         out_ids = self.out_ids
         slots = self.slots
+        P = self.prefix_len if prefixed else 0
 
-        def fn(weights: Dict, caches, packed):
+        def body(weights: Dict, caches, packed, prefix_rows):
             # packed [slots, T+2] int32: prompt ids | admit flag | last idx.
             # One host->device transfer per admission instead of three
             # (each transfer pays a round trip on remote runtimes).
@@ -714,12 +729,20 @@ class ContinuousBatchingEngine:
             last_idx = packed[:, T + 1]
             env = dict(weights)
             env[in_ids["input_ids"]] = ids
-            env[in_ids["past_lens"]] = jnp.zeros((slots,), jnp.int32)
+            env[in_ids["past_lens"]] = jnp.full((slots,), P, jnp.int32)
             env[in_ids["position_ids"]] = jnp.broadcast_to(
-                jnp.arange(T, dtype=jnp.int32)[None], (slots, T)
+                P + jnp.arange(T, dtype=jnp.int32)[None], (slots, T)
             )
-            for nid, c in zip(cache_ids, caches):
-                env[nid] = jnp.zeros_like(c)
+            for i, (nid, c) in enumerate(zip(cache_ids, caches)):
+                base = jnp.zeros_like(c)
+                if prefix_rows is not None:
+                    base = base.at[:, :, :P].set(
+                        jnp.broadcast_to(
+                            prefix_rows[i],
+                            (slots,) + prefix_rows[i].shape[1:],
+                        )
+                    )
+                env[nid] = base
             self._feed_recent_dummies(env)
             outs = executor.trace(env, out_ids)
             m = admit_mask[:, None, None, None]
@@ -731,7 +754,11 @@ class ContinuousBatchingEngine:
             sel = outs[0][jnp.arange(slots), last_idx]
             return sel, merged
 
-        return jax.jit(fn, donate_argnums=(1,))
+        if prefixed:
+            return jax.jit(body, donate_argnums=(1,))
+        return jax.jit(
+            lambda w, c, p: body(w, c, p, None), donate_argnums=(1,)
+        )
 
     def set_shared_prefix(self, tokens: Sequence[int]):
         """Prefill a shared prompt prefix (system prompt) ONCE and cache
@@ -745,12 +772,30 @@ class ContinuousBatchingEngine:
         executable serves the whole engine)."""
         if self.has_work():
             raise ValueError("set_shared_prefix requires an idle engine")
+        # The admission executables bake in the prefix length — changing
+        # the prefix must drop them or a stale P would be reused.
+        self._prefix_prefill = {}
         tokens = list(tokens)
         if not tokens:
             self.prefix_tokens, self._prefix_rows, self.prefix_len = None, None, 0
             return
         if len(tokens) >= self.capacity:
             raise ValueError("prefix exceeds KV capacity")
+        if self.deferred_kv and len(tokens) < 2:
+            # An S==1 forward traces as a decode step on deferred graphs
+            # (KV routed to the discarded recent-window outputs) — the
+            # prefix rows would silently come back as zeros.
+            raise ValueError(
+                "deferred-KV graphs need a shared prefix of >= 2 tokens"
+            )
+        if self.lora_input_ids:
+            # Prefix rows would be computed under ONE adapter but stamped
+            # into every slot regardless of its adapter_id — silently
+            # diverging from the per-adapter merged model.
+            raise ValueError(
+                "shared-prefix caching is not supported on LoRA graphs "
+                "(prefix KV is adapter-dependent)"
+            )
         P = len(tokens)
         w = {**self.executor._weight_args(), **(self.params or {})}
         ids = np.zeros((self.slots, P), np.int32)
@@ -774,45 +819,10 @@ class ContinuousBatchingEngine:
         self.prefix_tokens = tokens
         self.prefix_len = P
 
-    def _build_prefix_prefill(self, T: int):
-        """Admission executable for suffix bucket T against the cached
-        prefix: every slot's cache gets the prefix rows stamped in, the
-        suffix forwards at past_lens = P, and admitted rows merge into the
-        donated caches (same one-execute shape as _build_batch_prefill)."""
-        executor = self.executor
-        in_ids = self.in_ids
-        cache_ids = self.cache_ids
-        out_ids = self.out_ids
-        slots = self.slots
-        P = self.prefix_len
-
-        def fn(weights: Dict, caches, packed, prefix_rows):
-            ids = packed[:, :T]
-            admit_mask = packed[:, T] != 0
-            last_idx = packed[:, T + 1]
-            env = dict(weights)
-            env[in_ids["input_ids"]] = ids
-            env[in_ids["past_lens"]] = jnp.full((slots,), P, jnp.int32)
-            env[in_ids["position_ids"]] = jnp.broadcast_to(
-                P + jnp.arange(T, dtype=jnp.int32)[None], (slots, T)
-            )
-            for nid, c, pr in zip(cache_ids, caches, prefix_rows):
-                base = jnp.zeros_like(c)
-                base = base.at[:, :, :P].set(
-                    jnp.broadcast_to(pr, (slots,) + pr.shape[1:])
-                )
-                env[nid] = base
-            self._feed_recent_dummies(env)
-            outs = executor.trace(env, out_ids)
-            m = admit_mask[:, None, None, None]
-            merged = [jnp.where(m, p, c) for c, p in zip(caches, outs[1:])]
-            sel = outs[0][jnp.arange(slots), last_idx]
-            return sel, merged
-
-        return jax.jit(fn, donate_argnums=(1,))
-
     def _admit_with_prefix(self, admissions):
         P = self.prefix_len
+        # Validated at submit(); keep a defensive re-check so a prefix
+        # change between submit and admission can't mis-stamp rows.
         suffixes = []
         for slot, req in admissions:
             if (len(req.prompt) <= P
@@ -825,7 +835,7 @@ class ContinuousBatchingEngine:
         T = self._round_up(max(len(s) for _, _, s in suffixes))
         fn = self._prefix_prefill.get(T)
         if fn is None:
-            fn = self._build_prefix_prefill(T)
+            fn = self._build_batch_prefill(T, prefixed=True)
             self._prefix_prefill[T] = fn
         packed = np.zeros((self.slots, T + 2), np.int32)
         for slot, req, suf in suffixes:

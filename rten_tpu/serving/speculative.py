@@ -50,8 +50,18 @@ class SpeculativeEngine(ContinuousBatchingEngine):
     def __init__(self, model, draft_model, *, gamma: int = 4,
                  draft_params: Optional[Dict[int, object]] = None, **kw):
         kw.setdefault("greedy_on_device", True)
-        kw.pop("steps_per_dispatch", None)   # speculation owns the dispatch
-        kw.pop("device_sampler", None)       # greedy acceptance only
+        # Refuse conflicting configuration instead of silently discarding
+        # it (a user who passed a sampler would otherwise get greedy
+        # output with no signal).
+        if kw.pop("device_sampler", None) is not None:
+            raise ValueError(
+                "speculative decoding is greedy-only; device_sampler is "
+                "not supported"
+            )
+        if kw.pop("steps_per_dispatch", 1) != 1:
+            raise ValueError(
+                "steps_per_dispatch is owned by speculation (use gamma)"
+            )
         super().__init__(model, steps_per_dispatch=1, **kw)
         if self.deferred_kv:
             raise ValueError("speculative decoding needs deferred_kv=False")

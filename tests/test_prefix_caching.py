@@ -65,12 +65,15 @@ def test_prefix_caching_multi_step_dispatch():
 
 
 def test_prefix_caching_rejects_non_extending_prompt():
+    """Bad prompts fail at SUBMIT time (a mid-admission raise would drop
+    co-admitted requests)."""
     cfg, model = _model()
     eng = _engine(cfg, model)
     eng.set_shared_prefix(PREFIX)
-    eng.submit(PREFIX, max_new_tokens=4)  # equal to prefix: no suffix
     with pytest.raises(ValueError, match="extend it"):
-        eng.run()
+        eng.submit(PREFIX, max_new_tokens=4)  # equal to prefix: no suffix
+    with pytest.raises(ValueError, match="extend it"):
+        eng.submit([9] + PREFIX[1:] + [5], max_new_tokens=4)  # wrong prefix
 
 
 def test_prefix_requires_idle_engine():
