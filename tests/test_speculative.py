@@ -118,3 +118,30 @@ def test_speculative_capacity_guard():
     )
     with pytest.raises(ValueError, match="headroom"):
         eng.submit(list(range(1, 60)), max_new_tokens=65)
+
+
+def test_speculative_with_shared_prefix():
+    """Speculation composes with prefix caching: same tokens as the plain
+    engine with the same prefix (target admission routes through the
+    prefix path; the draft prefills the full prompt)."""
+    cfg, weights = _cfg()
+    target = _model(cfg, weights)
+    prefix = [11, 3, 42, 9]
+    prompts = [prefix + s for s in ([5, 9], [7, 3, 60])]
+
+    plain = _base_engine(cfg, target)
+    plain.set_shared_prefix(prefix)
+    want = [plain.submit(p, max_new_tokens=10) for p in prompts]
+    plain.run()
+
+    dcfg, dweights = _cfg(n_layer=1, seed=3)
+    draft = _model(dcfg, dweights)
+    eng = SpeculativeEngine(
+        target, draft, gamma=3,
+        n_layer=cfg.n_layer, n_head=cfg.n_head, head_dim=cfg.head_dim,
+        slots=2, capacity=128, prefill_bucket=8,
+    )
+    eng.set_shared_prefix(prefix)
+    got = [eng.submit(p, max_new_tokens=10) for p in prompts]
+    eng.run()
+    assert [r.generated for r in got] == [r.generated for r in want]
