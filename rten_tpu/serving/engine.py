@@ -60,6 +60,14 @@ class Request:                    # cancellation must not match look-alikes
 
 
 class ContinuousBatchingEngine:
+    # Class-level fallbacks for submit()'s validation state, so partially
+    # constructed engines (tests exercising validation in isolation) and
+    # subclasses stay safe before __init__ assigns instance copies.
+    prefix_tokens: Optional[List[int]] = None
+    prefix_len = 0
+    _adapter_nid: Optional[int] = None
+    lora_input_ids: Dict[str, int] = {}
+
     def __init__(
         self,
         model,

@@ -138,6 +138,9 @@ def test_submit_rejects_oversized_prompt():
     eng.capacity = 64
     eng.queue = __import__("collections").deque()
     eng._req_counter = __import__("itertools").count()
+    eng.prefix_tokens = None   # submit()'s prefix/LoRA validation state
+    eng._adapter_nid = None
+    eng.lora_input_ids = {}
     with pytest.raises(ValueError):
         eng.submit(list(range(60)), max_new_tokens=16)
 
