@@ -12,7 +12,11 @@ import os
 
 
 def honor_jax_platforms_env(n_cpu_devices: int | None = None) -> None:
-    """Re-apply JAX_PLATFORMS=cpu intent (no-op otherwise)."""
+    """Re-apply JAX_PLATFORMS=cpu intent (no-op otherwise), and enable the
+    persistent compilation cache when RTEN_COMPILE_CACHE is set."""
+    from .compile_cache import maybe_enable_from_env
+
+    maybe_enable_from_env()
     if not os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
         return
     import jax
