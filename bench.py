@@ -25,6 +25,13 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# Persist compiled executables across bench runs (fresh remote compiles
+# cost 30s-20min; repeat runs should measure the engine, not the
+# compiler). RTEN_COMPILE_CACHE= (empty) disables.
+os.environ.setdefault(
+    "RTEN_COMPILE_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 from rten_tpu.utils import honor_jax_platforms_env  # noqa: E402
 
 honor_jax_platforms_env()
