@@ -41,6 +41,9 @@ class LlamaConfig:
     rms_norm_eps: float = 1e-5
     rope_theta: float = 10000.0
     tie_word_embeddings: bool = False
+    # Qwen2-style q/k/v projection biases (the only architectural delta
+    # between Llama and Qwen2 at this level — set True for Qwen2 weights).
+    attention_bias: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -120,16 +123,21 @@ def build_graph_static_cache(
         return x + b.op("MatMul", [act, w_t(f"{p}.mlp.down_proj.weight")],
                         name=f"{p}.mlp.down_proj")
 
+    def proj(h, name):
+        if cfg.attention_bias:
+            return b.op(
+                "MatMulAdd", [h, w_t(f"{name}.weight"), w(f"{name}.bias")],
+                name=name,
+            )
+        return b.op("MatMul", [h, w_t(f"{name}.weight")], name=name)
+
     presents = []
     for i in range(cfg.num_hidden_layers):
         p = f"model.layers.{i}"
         h = rms(x, f"{p}.input_layernorm.weight")
-        q = b.op("MatMul", [h, w_t(f"{p}.self_attn.q_proj.weight")],
-                 name=f"{p}.self_attn.q_proj")
-        k = b.op("MatMul", [h, w_t(f"{p}.self_attn.k_proj.weight")],
-                 name=f"{p}.self_attn.k_proj")
-        v = b.op("MatMul", [h, w_t(f"{p}.self_attn.v_proj.weight")],
-                 name=f"{p}.self_attn.v_proj")
+        q = proj(h, f"{p}.self_attn.q_proj")
+        k = proj(h, f"{p}.self_attn.k_proj")
+        v = proj(h, f"{p}.self_attn.v_proj")
         if kv_quant:
             kv_elem = DataType.UInt8 if kv_bits == 4 else DataType.Int8
             kv_d = D // 2 if kv_bits == 4 else D
@@ -274,6 +282,10 @@ def random_weights(cfg: LlamaConfig, seed: int = 0) -> Dict[str, np.ndarray]:
         wd[f"{p}.self_attn.q_proj.weight"] = nrm(Hq * D, E)
         wd[f"{p}.self_attn.k_proj.weight"] = nrm(Hkv * D, E)
         wd[f"{p}.self_attn.v_proj.weight"] = nrm(Hkv * D, E)
+        if cfg.attention_bias:
+            wd[f"{p}.self_attn.q_proj.bias"] = nrm(Hq * D)
+            wd[f"{p}.self_attn.k_proj.bias"] = nrm(Hkv * D)
+            wd[f"{p}.self_attn.v_proj.bias"] = nrm(Hkv * D)
         wd[f"{p}.self_attn.o_proj.weight"] = nrm(E, Hq * D)
         wd[f"{p}.mlp.gate_proj.weight"] = nrm(F, E)
         wd[f"{p}.mlp.up_proj.weight"] = nrm(F, E)
@@ -306,6 +318,9 @@ def weights_from_torch(module) -> Dict[str, np.ndarray]:
                 "q_proj.weight": "self_attn.q_proj.weight",
                 "k_proj.weight": "self_attn.k_proj.weight",
                 "v_proj.weight": "self_attn.v_proj.weight",
+                "q_proj.bias": "self_attn.q_proj.bias",
+                "k_proj.bias": "self_attn.k_proj.bias",
+                "v_proj.bias": "self_attn.v_proj.bias",
                 "o_proj.weight": "self_attn.o_proj.weight",
                 "gate_proj.weight": "mlp.gate_proj.weight",
                 "up_proj.weight": "mlp.up_proj.weight",

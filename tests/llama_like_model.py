@@ -31,13 +31,14 @@ def _rotate_half(x):
 
 
 class LlamaLikeLayer(nn.Module):
-    def __init__(self, E: int, Hq: int, Hkv: int, ffn: int):
+    def __init__(self, E: int, Hq: int, Hkv: int, ffn: int,
+                 qkv_bias: bool = False):
         super().__init__()
         self.E, self.Hq, self.Hkv = E, Hq, Hkv
         self.D = E // Hq
-        self.q_proj = nn.Linear(E, Hq * self.D, bias=False)
-        self.k_proj = nn.Linear(E, Hkv * self.D, bias=False)
-        self.v_proj = nn.Linear(E, Hkv * self.D, bias=False)
+        self.q_proj = nn.Linear(E, Hq * self.D, bias=qkv_bias)
+        self.k_proj = nn.Linear(E, Hkv * self.D, bias=qkv_bias)
+        self.v_proj = nn.Linear(E, Hkv * self.D, bias=qkv_bias)
         self.o_proj = nn.Linear(Hq * self.D, E, bias=False)
         self.gate_proj = nn.Linear(E, ffn, bias=False)
         self.up_proj = nn.Linear(E, ffn, bias=False)
@@ -73,14 +74,15 @@ class LlamaLikeLayer(nn.Module):
 class LlamaLike(nn.Module):
     def __init__(self, vocab: int = 256, E: int = 64, Hq: int = 4,
                  Hkv: int = 2, ffn: int = 128, layers: int = 2,
-                 max_pos: int = 512, rope_theta: float = 10000.0):
+                 max_pos: int = 512, rope_theta: float = 10000.0,
+                 qkv_bias: bool = False):
         super().__init__()
         self.cfg = dict(vocab=vocab, E=E, Hq=Hq, Hkv=Hkv, ffn=ffn,
                         layers=layers, max_pos=max_pos)
         self.D = E // Hq
         self.embed_tokens = nn.Embedding(vocab, E)
         self.layers = nn.ModuleList(
-            [LlamaLikeLayer(E, Hq, Hkv, ffn) for _ in range(layers)]
+            [LlamaLikeLayer(E, Hq, Hkv, ffn, qkv_bias) for _ in range(layers)]
         )
         self.norm = RMSNorm(E)
         self.lm_head = nn.Linear(E, vocab, bias=False)

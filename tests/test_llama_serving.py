@@ -108,3 +108,27 @@ def test_llama_quantized_kv_tracks_torch(tiny, kv_bits, deferred):
         want = torch_greedy(module, p, n_new)
         agree = np.mean(np.asarray(r.generated) == np.asarray(want))
         assert agree >= floor, (kv_bits, deferred, r.generated, want)
+
+
+def test_qwen2_style_attention_bias_matches_torch():
+    """Qwen2 = Llama + q/k/v projection biases (LlamaConfig
+    attention_bias=True; reference counterpart rten-examples qwen2_chat):
+    serving tokens must match the torch reference exactly."""
+    torch.manual_seed(1)
+    module = LlamaLike(
+        vocab=256, E=64, Hq=4, Hkv=2, ffn=128, layers=2, qkv_bias=True
+    ).eval()
+    cfg = llama.LlamaConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=512, attention_bias=True,
+    )
+    weights = llama.weights_from_torch(module)
+    assert "model.layers.0.self_attn.q_proj.bias" in weights
+    eng = _engine(cfg, weights)
+    prompts = [[3, 17, 9, 101, 42], [7, 7, 200]]
+    reqs = [eng.submit(p, max_new_tokens=8) for p in prompts]
+    eng.run()
+    for p, r in zip(prompts, reqs):
+        want = torch_greedy(module, p, 8)
+        assert r.generated == want, (r.generated, want)
