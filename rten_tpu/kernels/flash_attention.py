@@ -236,7 +236,8 @@ def mha_pallas(
 
 def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref,
                    m_ref, l_ref, acc_ref, *, scale: float, S: int, cap: int,
-                   block_k: int, quant: bool, bits: int = 8):
+                   block_k: int, quant: bool, bits: int = 8,
+                   window: int = 0):
     b = pl.program_id(0)
     kb = pl.program_id(2)
 
@@ -271,6 +272,11 @@ def _decode_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, out_ref,
     # lens[b]+r and may attend j <= that position (the serving engine's
     # static-cache rule; new KV is already written at lens..lens+S-1).
     valid = (col <= lens_ref[b] + row) & (col < cap) & (row < S)
+    if window:
+        # Sliding-window (Mistral-style; ORT GQA local_window_size, ref
+        # contrib.rs:770): query at position p attends the last `window`
+        # keys [p-window+1, p].
+        valid &= col > lens_ref[b] + row - window
     s = jnp.where(valid, s, NEG_INF)
 
     m_prev = m_ref[:]
@@ -313,7 +319,7 @@ def _decode_kernel_folded(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
                           m_ref, l_ref, acc_ref, sems, *, scale: float,
                           S: int, cap: int, block_k: int, quant: bool,
                           group: int, recent: int, append: bool,
-                          nt: bool = False, bits: int = 8):
+                          nt: bool = False, bits: int = 8, window: int = 0):
     assert recent == 0 and not append and not nt and bits == 8, (
         "deferred-KV and int4 require the loop/NT-mode kernels"
     )
@@ -353,6 +359,8 @@ def _decode_kernel_folded(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
         jnp.int32, (Hkv, gq, block_k), 2
     )
     valid = (col <= lens_ref[b] + row) & (col < cap) & (row < S)
+    if window:
+        valid &= col > lens_ref[b] + row - window
     s = jnp.where(valid, s, NEG_INF)
 
     m_prev = m_ref[:].reshape(Hkv, gq, 1)
@@ -391,7 +399,7 @@ def _decode_kernel_folded_nt(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
                              acc_ref, sems, *, scale: float, S: int,
                              cap: int, block_k: int, quant: bool,
                              group: int, recent: int, append: bool,
-                             bits: int = 8):
+                             bits: int = 8, window: int = 0):
     """One-dot-per-(slot, key-block) decode attention (f32/bf16/int8 KV).
 
     The per-head loop kernel issues 2*H tiny MXU dots + H softmax passes
@@ -522,6 +530,9 @@ def _decode_kernel_folded_nt(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
             valid &= (col < lens_ref[b]) & (col < cap)
         else:
             valid &= (col <= lens_ref[b]) & (col < cap)
+            if window:
+                # Sliding window (S==1: the query sits at position lens).
+                valid &= col > lens_ref[b] - window
         s = jnp.where(valid, s, NEG_INF)
         merge(s, vm, lane_merge(vs_ref, block_k) if quant else None)
 
@@ -598,7 +609,7 @@ def _decode_kernel_folded_loop(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
                                acc_ref, sems, *, scale: float, S: int,
                                cap: int, block_k: int, quant: bool,
                                group: int, recent: int, append: bool,
-                               bits: int = 8):
+                               bits: int = 8, window: int = 0):
     """Head-folded decode attention with an UNROLLED per-head loop of 2-D
     ops (no batched dot_general — Mosaic compiles 3-D dots pathologically
     slowly). Same grid/semantics as _decode_kernel_folded.
@@ -630,6 +641,10 @@ def _decode_kernel_folded_loop(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
         valid = (col < lens_ref[b]) & (col < cap) & (row < S)
     else:
         valid = (col <= lens_ref[b] + row) & (col < cap) & (row < S)
+        if window:
+            # Sliding window (ORT GQA local_window_size): query at global
+            # position lens+row attends keys in (lens+row-window, lens+row].
+            valid &= col > lens_ref[b] + row - window
     last = kb == pl.num_programs(1) - 1
     if recent:
         rkp = rk_ref.shape[2]
@@ -745,7 +760,7 @@ def _decode_kernel_folded_loop(lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref,
 
 def _decode_mha_folded(q, k, v, lens, k_scale, v_scale, *, scale, block_k,
                        interpret, recent_k=None, recent_v=None, t=None,
-                       k_new=None, v_new=None):
+                       k_new=None, v_new=None, window: int = 0):
     B, H, S, D = q.shape
     _, Hkv, cap, _ = k.shape
     group = H // Hkv
@@ -836,6 +851,7 @@ def _decode_mha_folded(q, k, v, lens, k_scale, v_scale, *, scale, block_k,
         body,
         scale=float(scale), S=S, cap=cap, block_k=bk, quant=quant,
         group=group, recent=recent, append=append, nt=use_nt, bits=bits,
+        window=int(window),
     )
     win_spec = pl.BlockSpec((1, Hkv, rkp, Dp), lambda b, j, *_: (b, 0, 0, 0))
     row_spec = pl.BlockSpec((1, Hkv, 1, Dp), lambda b, j, *_: (b, 0, 0, 0))
@@ -914,6 +930,7 @@ def decode_mha(
     interpret: bool = False,
     recent_k=None, recent_v=None, t=None,
     k_new=None, v_new=None,
+    window: int = 0,
 ):
     """Per-slot static-cache attention (the serving engine's hot path).
 
@@ -935,6 +952,11 @@ def decode_mha(
         scale = 1.0 / float(np.sqrt(D))
     quant = k_scale is not None
     bits = 4 if (quant and k.dtype == jnp.uint8) else 8
+    if window and recent_k is not None:
+        raise NotImplementedError(
+            "sliding window + deferred-KV recent windows is unsupported "
+            "(build the serving graph with deferred_kv=False)"
+        )
 
     # Head-folded variant: at decode shapes (S small) the per-head grid's
     # fixed per-step cost dominated the serving step; fold every head into
@@ -957,7 +979,7 @@ def decode_mha(
     )):
         return _decode_mha_folded(
             q, k, v, lens, k_scale, v_scale,
-            scale=scale, block_k=block_k, interpret=interpret,
+            scale=scale, block_k=block_k, interpret=interpret, window=window,
             recent_k=recent_k, recent_v=recent_v, t=t,
             k_new=k_new, v_new=v_new,
         )
@@ -991,7 +1013,7 @@ def decode_mha(
     kernel = functools.partial(
         _decode_kernel,
         scale=float(scale), S=S, cap=cap, block_k=bk, quant=quant,
-        bits=bits,
+        bits=bits, window=int(window),
     )
     out = pl.pallas_call(
         kernel,
@@ -1033,7 +1055,7 @@ def decode_mha(
 
 
 def decode_mha_xla(q, k, v, lens, k_scale=None, v_scale=None, *, scale=None,
-                   recent_k=None, recent_v=None, t=None):
+                   recent_k=None, recent_v=None, t=None, window: int = 0):
     """XLA reference for decode_mha (CPU fallback + test golden)."""
     B, H, S, D = q.shape
     cap = k.shape[2]
@@ -1068,18 +1090,23 @@ def decode_mha_xla(q, k, v, lens, k_scale=None, v_scale=None, *, scale=None,
         mask = jnp.broadcast_to(mask, (B, 1, S, cap + rk))
         return mha_xla(q, kf, vf, mask, scale=scale)
     qpos = lens[:, None, None, None] + jnp.arange(S)[None, None, :, None]
-    mask = jnp.where(j <= qpos, 0.0, NEG_INF).astype(jnp.float32)
+    valid = j <= qpos
+    if window:
+        valid &= j > qpos - window
+    mask = jnp.where(valid, 0.0, NEG_INF).astype(jnp.float32)
     return mha_xla(q, kf, vf, mask, scale=scale)
 
 
 def decode_attention(q, k, v, lens, k_scale=None, v_scale=None, *, scale=None,
-                     recent_k=None, recent_v=None, t=None):
+                     recent_k=None, recent_v=None, t=None, window: int = 0):
     """Route decode_mha to Pallas on TPU, XLA elsewhere."""
     if on_tpu():
         return decode_mha(q, k, v, lens, k_scale, v_scale, scale=scale,
-                          recent_k=recent_k, recent_v=recent_v, t=t)
+                          recent_k=recent_k, recent_v=recent_v, t=t,
+                          window=window)
     return decode_mha_xla(q, k, v, lens, k_scale, v_scale, scale=scale,
-                          recent_k=recent_k, recent_v=recent_v, t=t)
+                          recent_k=recent_k, recent_v=recent_v, t=t,
+                          window=window)
 
 
 def decode_attention_deferred(q, k, v, lens0, k_scale=None, v_scale=None, *,

@@ -44,6 +44,10 @@ class LlamaConfig:
     # Qwen2-style q/k/v projection biases (the only architectural delta
     # between Llama and Qwen2 at this level — set True for Qwen2 weights).
     attention_bias: bool = False
+    # Mistral-style sliding-window attention: each position attends only
+    # the last `sliding_window` keys (0 = full attention). Requires
+    # deferred_kv=False serving graphs.
+    sliding_window: int = 0
 
     @property
     def head_dim(self) -> int:
@@ -161,6 +165,8 @@ def build_graph_static_cache(
                 "num_heads": Hq, "kv_num_heads": Hkv, "bits": kv_bits,
                 "do_rotary": 1,
             }
+            if cfg.sliding_window:
+                qattrs["local_window_size"] = cfg.sliding_window
             if deferred_kv:
                 rdt = recent_dtype or DataType.Float
                 recent_k = b.input(
@@ -225,6 +231,8 @@ def build_graph_static_cache(
                     "num_heads": Hq, "kv_num_heads": Hkv,
                     "rten_past_lens": 1, "do_rotary": 1,
                     "rten_recent_kv": 1,
+                    **({"local_window_size": cfg.sliding_window}
+                       if cfg.sliding_window else {}),
                 },
                 n_outputs=5,
                 output_names=[
@@ -242,6 +250,8 @@ def build_graph_static_cache(
                 {
                     "num_heads": Hq, "kv_num_heads": Hkv, "rten_past_lens": 1,
                     "do_rotary": 1,
+                    **({"local_window_size": cfg.sliding_window}
+                       if cfg.sliding_window else {}),
                 },
                 n_outputs=3,
                 output_names=[

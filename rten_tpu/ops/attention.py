@@ -229,6 +229,11 @@ def _group_query_attention(ctx, inputs, attrs):
     softcap = attrs.get("softcap", 0.0)
     do_rotary = bool(attrs.get("do_rotary", 0))
     interleaved = bool(attrs.get("rotary_interleaved", 0))
+    # Sliding-window (Mistral-style) attention: query at position p
+    # attends the last `local_window_size` keys (p-W, p] (reference
+    # contrib.rs:770; ORT default -1 = disabled).
+    lws = int(attrs.get("local_window_size", -1))
+    window = lws if lws > 0 else 0
 
     B, S, _ = query.shape
     if key is None:  # packed QKV
@@ -282,6 +287,11 @@ def _group_query_attention(ctx, inputs, attrs):
         recent_v = get_input(inputs, 10, "recent_v")
         step_t = get_input(inputs, 11, "step_t")
         n_out = attrs.get("__n_outputs__", 5)
+        if window:
+            raise OpError(
+                "local_window_size with deferred KV is unsupported; build "
+                "the serving graph with deferred_kv=False"
+            )
         if softcap:
             # The deferred form routes S==1 to the window path and S>1 to
             # the big-cache path; neither implements softcap, and falling
@@ -324,7 +334,10 @@ def _group_query_attention(ctx, inputs, attrs):
             cap = past_k.shape[2]
             j = jnp.arange(cap)[None, None, None, :]
             qpos = past_lens[:, None, None, None] + jnp.arange(S)[None, None, :, None]
-            add_mask = jnp.where(j <= qpos, 0.0, -1e30).astype(jnp.float32)
+            valid = j <= qpos
+            if window:
+                valid &= j > qpos - window
+            add_mask = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
             from ..kernels.flash_attention import mha_xla
 
             out = mha_xla(q, k, v, add_mask, scale=scale, softcap=softcap)
@@ -332,9 +345,11 @@ def _group_query_attention(ctx, inputs, attrs):
             from ..kernels.flash_attention import decode_attention, decode_mha_xla
 
             if _use_flash(ctx):
-                out = decode_attention(q, k, v, past_lens, scale=scale)
+                out = decode_attention(q, k, v, past_lens, scale=scale,
+                                       window=window)
             else:
-                out = decode_mha_xla(q, k, v, past_lens, scale=scale)
+                out = decode_mha_xla(q, k, v, past_lens, scale=scale,
+                                     window=window)
         out = _merge_heads(out)
         n_out = attrs.get("__n_outputs__", 1)
         if n_out >= 3:
@@ -351,7 +366,15 @@ def _group_query_attention(ctx, inputs, attrs):
 
     total = past_len + S
     kv_cap = k.shape[2]
-    if kv_cap > total:
+    if window:
+        # Sliding window needs a per-row mask (causal + window + tail).
+        col = jnp.arange(kv_cap)[None, :]
+        qpos = past_len + jnp.arange(S)[:, None]
+        valid = (col <= qpos) & (col > qpos - window) & (col < total)
+        mask = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
+        out = _attend(ctx, q, k, v, mask, scale=scale, causal=False,
+                      softcap=softcap)
+    elif kv_cap > total:
         # Preallocated cache: mask out the unwritten tail.
         mask = jnp.where(jnp.arange(kv_cap) < total, 0.0, -1e30)[None, :]
         mask = jnp.broadcast_to(mask, (S, kv_cap))
@@ -396,6 +419,8 @@ def _quantized_kv_attention(ctx, inputs, attrs):
     # scales (kernels/flash_attention.pack_int4) — 2x the context capacity
     # per HBM byte of int8; the decode kernel unpacks in VMEM.
     bits = int(attrs.get("bits", 8))
+    lws = int(attrs.get("local_window_size", -1))
+    window = lws if lws > 0 else 0
 
     B, S, _ = q.shape
     q4 = _split_heads(q, n_heads)
@@ -426,6 +451,11 @@ def _quantized_kv_attention(ctx, inputs, attrs):
         return q8, s.astype(jnp.float32)
 
     lens = past_lens.reshape(B)
+    if window and bool(attrs.get("rten_recent_kv", 0)):
+        raise OpError(
+            "local_window_size with deferred KV is unsupported; build the "
+            "serving graph with deferred_kv=False"
+        )
     if bool(attrs.get("rten_recent_kv", 0)):
         # Deferred-KV (see GroupQueryAttention): decode rows stay f32 in
         # the recent window; the engine quantizes at commit time. The
@@ -481,9 +511,11 @@ def _quantized_kv_attention(ctx, inputs, attrs):
     # dequantized in VMEM (round-1 int8-KV lost to f32 because the dequant
     # materialized f32 copies of the whole cache each step).
     if _use_flash(ctx):
-        out = decode_attention(q4, new_k_q8, new_v_q8, lens, ks, vs, scale=scale)
+        out = decode_attention(q4, new_k_q8, new_v_q8, lens, ks, vs,
+                               scale=scale, window=window)
     else:
-        out = decode_mha_xla(q4, new_k_q8, new_v_q8, lens, ks, vs, scale=scale)
+        out = decode_mha_xla(q4, new_k_q8, new_v_q8, lens, ks, vs,
+                             scale=scale, window=window)
     return (_merge_heads(out), new_k_q8, new_k_s, new_v_q8, new_v_s)
 
 
