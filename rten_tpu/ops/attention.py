@@ -203,6 +203,36 @@ def _multi_head_attention(ctx, inputs, attrs):
     return out
 
 
+def _sdpa_with_sink(q, k, v, mask, *, scale, softcap, sink):
+    """Attention with per-head SINK logits (GPT-OSS style): exp(sink)
+    joins the softmax denominator, damping low-affinity rows — equivalent
+    to an always-present key with value 0. The reference refuses head_sink
+    (contrib.rs:475); implemented here."""
+    B, Hq, Tq, D = q.shape
+    Hkv = k.shape[1]
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(D))
+    if Hq != Hkv:
+        k = jnp.repeat(k, Hq // Hkv, axis=1)
+        v = jnp.repeat(v, Hq // Hkv, axis=1)
+    s = jnp.einsum(
+        "bhqd,bhkd->bhqk", q.astype(jnp.float32), k.astype(jnp.float32)
+    ) * scale
+    if softcap:
+        s = softcap * jnp.tanh(s / softcap)
+    if mask is not None:
+        m4 = mask.astype(jnp.float32)
+        while m4.ndim < 4:
+            m4 = m4[None]
+        s = s + m4
+    sink = jnp.asarray(sink, jnp.float32).reshape(1, Hq, 1, 1)
+    m = jnp.maximum(jnp.max(s, axis=-1, keepdims=True), sink)
+    p = jnp.exp(s - m)
+    denom = p.sum(axis=-1, keepdims=True) + jnp.exp(sink - m)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)) / denom
+    return out.astype(q.dtype)
+
+
 @register("GroupQueryAttention")
 def _group_query_attention(ctx, inputs, attrs):
     """MS contrib GroupQueryAttention (rten contrib.rs:424).
@@ -234,6 +264,19 @@ def _group_query_attention(ctx, inputs, attrs):
     # contrib.rs:770; ORT default -1 = disabled).
     lws = int(attrs.get("local_window_size", -1))
     window = lws if lws > 0 else 0
+
+    # ORT optional extras (inputs 9-11; the deferred-KV serving form
+    # reuses these slots for recent_k/recent_v/step_t under the
+    # rten_recent_kv attr, so only parse them for ORT-compat graphs).
+    # The reference supports position_ids and attention_bias
+    # (contrib.rs:470-472) and REFUSES head_sink (:475); here head_sink
+    # (GPT-OSS-style attention sinks: a per-head logit joining the softmax
+    # denominator) is implemented.
+    gqa_pos = attn_bias_in = head_sink = None
+    if not attrs.get("rten_recent_kv", 0):
+        gqa_pos = opt_input(inputs, 9)
+        attn_bias_in = opt_input(inputs, 10)
+        head_sink = opt_input(inputs, 11)
 
     B, S, _ = query.shape
     if key is None:  # packed QKV
@@ -269,7 +312,11 @@ def _group_query_attention(ctx, inputs, attrs):
     if do_rotary:
         if cos_cache is None or sin_cache is None:
             raise OpError("do_rotary requires cos/sin caches")
-        if past_lens is not None:
+        if gqa_pos is not None:
+            pos = jnp.broadcast_to(
+                jnp.asarray(gqa_pos, jnp.int32).reshape(B, -1), (B, S)
+            )
+        elif past_lens is not None:
             pos = past_lens[:, None] + jnp.arange(S)[None]
         else:
             pos = jnp.broadcast_to(past_len + jnp.arange(S)[None], (B, S))
@@ -329,8 +376,9 @@ def _group_query_attention(ctx, inputs, attrs):
     if past_lens is not None:
         k = _slot_kv_update(past_k, k.astype(past_k.dtype), past_lens)
         v = _slot_kv_update(past_v, v.astype(past_v.dtype), past_lens)
-        if softcap:
-            # decode kernel has no softcap path; keep the XLA formulation.
+        if softcap or attn_bias_in is not None or head_sink is not None:
+            # decode kernel has no softcap/bias/sink path; keep the XLA
+            # formulation.
             cap = past_k.shape[2]
             j = jnp.arange(cap)[None, None, None, :]
             qpos = past_lens[:, None, None, None] + jnp.arange(S)[None, None, :, None]
@@ -338,9 +386,15 @@ def _group_query_attention(ctx, inputs, attrs):
             if window:
                 valid &= j > qpos - window
             add_mask = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
-            from ..kernels.flash_attention import mha_xla
+            if attn_bias_in is not None:
+                add_mask = add_mask + attn_bias_in.astype(jnp.float32)
+            if head_sink is not None:
+                out = _sdpa_with_sink(q, k, v, add_mask, scale=scale,
+                                      softcap=softcap, sink=head_sink)
+            else:
+                from ..kernels.flash_attention import mha_xla
 
-            out = mha_xla(q, k, v, add_mask, scale=scale, softcap=softcap)
+                out = mha_xla(q, k, v, add_mask, scale=scale, softcap=softcap)
         else:
             from ..kernels.flash_attention import decode_attention, decode_mha_xla
 
@@ -366,14 +420,22 @@ def _group_query_attention(ctx, inputs, attrs):
 
     total = past_len + S
     kv_cap = k.shape[2]
-    if window:
-        # Sliding window needs a per-row mask (causal + window + tail).
+    if window or attn_bias_in is not None or head_sink is not None:
+        # Explicit per-row mask (causal + window + tail + optional bias).
         col = jnp.arange(kv_cap)[None, :]
         qpos = past_len + jnp.arange(S)[:, None]
-        valid = (col <= qpos) & (col > qpos - window) & (col < total)
+        valid = (col <= qpos) & (col < total)
+        if window:
+            valid &= col > qpos - window
         mask = jnp.where(valid, 0.0, -1e30).astype(jnp.float32)
-        out = _attend(ctx, q, k, v, mask, scale=scale, causal=False,
-                      softcap=softcap)
+        if attn_bias_in is not None:
+            mask = mask + attn_bias_in.astype(jnp.float32)
+        if head_sink is not None:
+            out = _sdpa_with_sink(q, k, v, mask, scale=scale,
+                                  softcap=softcap, sink=head_sink)
+        else:
+            out = _attend(ctx, q, k, v, mask, scale=scale, causal=False,
+                          softcap=softcap)
     elif kv_cap > total:
         # Preallocated cache: mask out the unwritten tail.
         mask = jnp.where(jnp.arange(kv_cap) < total, 0.0, -1e30)[None, :]

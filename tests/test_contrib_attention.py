@@ -113,3 +113,111 @@ def test_tokenizer_encode_chunks():
     for c in chunks[1:]:
         recon.extend(c.ids[1:])
     assert recon == full
+
+
+def test_gqa_attention_bias_input():
+    """ORT GQA optional input 10 (attention_bias): additive [1,1,S,Tk]
+    bias must shift the scores (reference contrib.rs:472 supports it)."""
+    import jax.numpy as jnp
+
+    from rten_tpu.ops.registry import get_op
+
+    rng = np.random.default_rng(4)
+    B, Hq, Hkv, S, D = 1, 4, 2, 5, 8
+    q = rng.standard_normal((B, S, Hq * D)).astype(np.float32)
+    k = rng.standard_normal((B, S, Hkv * D)).astype(np.float32)
+    v = rng.standard_normal((B, S, Hkv * D)).astype(np.float32)
+    bias = rng.standard_normal((1, 1, S, S)).astype(np.float32)
+
+    def run(b):
+        ins = [jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+               None, None, None, None, None, None, None,
+               jnp.asarray(b) if b is not None else None, None]
+        out = get_op("GroupQueryAttention").lower(
+            None, ins, {"num_heads": Hq, "kv_num_heads": Hkv,
+                        "__n_outputs__": 1},
+        )
+        return np.asarray(out)
+
+    base = run(None)
+    biased = run(bias)
+    assert not np.allclose(base, biased)
+    # Golden: manual causal+bias attention.
+    qq = q.reshape(B, S, Hq, D).transpose(0, 2, 1, 3)
+    kk = np.repeat(k.reshape(B, S, Hkv, D).transpose(0, 2, 1, 3), 2, axis=1)
+    vv = np.repeat(v.reshape(B, S, Hkv, D).transpose(0, 2, 1, 3), 2, axis=1)
+    s = np.einsum("bhqd,bhkd->bhqk", qq, kk) / np.sqrt(D)
+    causal = np.where(
+        np.arange(S)[None, :] <= np.arange(S)[:, None], 0.0, -1e30
+    )
+    s = s + causal + bias
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    want = np.einsum("bhqk,bhkd->bhqd", p, vv).transpose(0, 2, 1, 3).reshape(
+        B, S, Hq * D
+    )
+    np.testing.assert_allclose(biased, want, rtol=1e-4, atol=1e-5)
+
+
+def test_gqa_head_sink():
+    """head_sink (input 11): per-head sink logits join the softmax
+    denominator (the reference REFUSES this input, contrib.rs:475; here it
+    runs). sink=-inf-ish must reduce to plain attention; a huge sink must
+    shrink outputs toward zero."""
+    import jax.numpy as jnp
+
+    from rten_tpu.ops.registry import get_op
+
+    rng = np.random.default_rng(5)
+    B, Hq, Hkv, S, D = 1, 2, 2, 4, 8
+    q = rng.standard_normal((B, S, Hq * D)).astype(np.float32)
+    k = rng.standard_normal((B, S, Hkv * D)).astype(np.float32)
+    v = rng.standard_normal((B, S, Hkv * D)).astype(np.float32)
+
+    def run(sink):
+        ins = [jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+               None, None, None, None, None, None, None, None,
+               jnp.asarray(sink) if sink is not None else None]
+        return np.asarray(get_op("GroupQueryAttention").lower(
+            None, ins, {"num_heads": Hq, "kv_num_heads": Hkv,
+                        "__n_outputs__": 1},
+        ))
+
+    base = run(None)
+    tiny = run(np.full(Hq, -1e30, np.float32))
+    np.testing.assert_allclose(tiny, base, rtol=1e-5, atol=1e-6)
+    big = run(np.full(Hq, 50.0, np.float32))
+    assert np.abs(big).max() < np.abs(base).max() * 1e-3
+
+
+def test_gqa_position_ids_input():
+    """ORT GQA input 9 (position_ids) overrides the rotary positions."""
+    import jax.numpy as jnp
+
+    from rten_tpu.ops.registry import get_op
+
+    rng = np.random.default_rng(6)
+    B, H, S, D = 1, 2, 4, 8
+    q = rng.standard_normal((B, S, H * D)).astype(np.float32)
+    k = rng.standard_normal((B, S, H * D)).astype(np.float32)
+    v = rng.standard_normal((B, S, H * D)).astype(np.float32)
+    cos = np.cos(np.outer(np.arange(32), 1 / 10000 ** (np.arange(D // 2) * 2 / D))).astype(np.float32)
+    sin = np.sin(np.outer(np.arange(32), 1 / 10000 ** (np.arange(D // 2) * 2 / D))).astype(np.float32)
+
+    def run(pos):
+        ins = [jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+               None, None, None, None, jnp.asarray(cos), jnp.asarray(sin),
+               jnp.asarray(pos, jnp.int32) if pos is not None else None,
+               None, None]
+        return np.asarray(get_op("GroupQueryAttention").lower(
+            None, ins, {"num_heads": H, "kv_num_heads": H, "do_rotary": 1,
+                        "__n_outputs__": 1},
+        ))
+
+    default = run(None)                      # positions 0..S-1
+    same = run(np.arange(S)[None])
+    np.testing.assert_allclose(same, default, rtol=1e-6)
+    # A uniform shift is a no-op (RoPE encodes RELATIVE position), so use
+    # non-uniformly spaced ids to prove the override is honored.
+    stretched = run(np.arange(S)[None] * 3)
+    assert not np.allclose(stretched, default)
