@@ -12,6 +12,8 @@ from .mesh import MeshConfig, make_mesh  # noqa: F401
 from .pipeline import PipelineRunner, plan_pipeline  # noqa: F401
 from .sharding import (  # noqa: F401
     GPT2_SHARDING_RULES,
+    fsdp_weight_shardings,
     shard_constants,
     sharding_for_name,
+    zero_init_state,
 )

@@ -267,6 +267,57 @@ def tp_weight_shardings(graph: Graph, mesh: Mesh, axis: str = "model") -> Dict[i
     return out
 
 
+def fsdp_weight_shardings(
+    graph: Graph, mesh: Mesh, axis: str = "data", min_size: int = 16
+) -> Dict[int, P]:
+    """ZeRO-3/FSDP parameter sharding: every weight-like constant sharded on
+    its largest mesh-divisible dimension over `axis` (usually 'data').
+
+    This is the GSPMD form of FSDP (scaling-book "training" recipe): params
+    live sharded across the data axis; XLA inserts the all-gather at each
+    use site and a reduce-scatter for the matching gradient, so per-device
+    parameter + optimizer-state memory drops by the axis size. Optimizer
+    state created with the same specs (see zero_init_state) is ZeRO-1/2.
+
+    No reference analog — rten is single-host inference (SURVEY §2.6); this
+    exists because the TPU engine also trains (tools/train_mnist.py,
+    dryrun_multichip).
+    """
+    size = mesh.shape[axis]
+    out: Dict[int, P] = {}
+    for nid, node in graph.nodes.items():
+        if not isinstance(node, Constant) or not is_weight_constant(node, min_size):
+            continue
+        shape = node.array.shape
+        # Largest divisible dim; ties prefer the leading dim (row-major
+        # contiguous shards -> cheap all-gather layout).
+        best = None
+        for d, n in enumerate(shape):
+            if n % size == 0 and (best is None or n > shape[best]):
+                best = d
+        if best is None:
+            continue
+        spec = [None] * len(shape)
+        spec[best] = axis
+        out[nid] = P(*spec)
+    return out
+
+
+def zero_init_state(
+    params: Dict[int, jax.Array], mesh: Mesh, plan: Dict[int, P]
+) -> Dict[int, jax.Array]:
+    """Zero-initialized per-param buffers (momentum/variance) placed with the
+    SAME sharding as the parameter — the ZeRO trick: optimizer state never
+    materializes unsharded anywhere."""
+    out: Dict[int, jax.Array] = {}
+    for nid, p in params.items():
+        spec = plan.get(nid, P())
+        out[nid] = jax.device_put(
+            np.zeros(p.shape, np.float32), NamedSharding(mesh, spec)
+        )
+    return out
+
+
 def shard_constants_by_plan(
     graph: Graph, mesh: Mesh, plan: Dict[int, P], dtype=None, min_size: int = 16
 ) -> Dict[int, jax.Array]:

@@ -127,6 +127,97 @@ def test_sharded_generator(tiny_model):
     np.testing.assert_array_equal(got, want)
 
 
+def test_fsdp_train_step_matches_replicated(tiny_model):
+    """ZeRO-3/FSDP: params sharded over the 'data' axis (fsdp_weight_
+    shardings), optimizer momentum created with the same specs
+    (zero_init_state). One SGD-momentum step must produce the same loss as
+    the fully replicated run (identical math, partitioned storage), and the
+    updated params must STAY sharded (out_shardings pin the ZeRO layout so
+    XLA can't all-gather the state)."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from rten_tpu.parallel.sharding import (
+        fsdp_weight_shardings,
+        shard_constants_by_plan,
+        zero_init_state,
+    )
+
+    cfg, model = tiny_model
+    mesh = make_mesh(MeshConfig(4, 2))
+    g = model.graph
+    plan = fsdp_weight_shardings(g, mesh, axis="data")
+    assert plan, "FSDP plan is empty"
+    # Every spec shards exactly one dim on 'data'.
+    for spec in plan.values():
+        assert sum(1 for s in spec if s == "data") == 1
+    params = shard_constants_by_plan(g, mesh, plan)
+    state = zero_init_state(params, mesh, plan)
+    param_ids = list(params.keys())
+
+    ids = np.arange(4 * 8, dtype=np.int32).reshape(4, 8) % cfg.vocab_size
+    labels = np.roll(ids, -1, axis=1)
+    feed_by_name = _feed(cfg, ids)
+    runtime = shard_inputs(
+        g, mesh, {g.find_node(k): v for k, v in feed_by_name.items()}
+    )
+    logits_id = g.find_node("logits")
+
+    def loss_fn(param_vals, runtime_env):
+        env = dict(zip(param_ids, param_vals))
+        env.update(runtime_env)
+        logits = model.executor.trace(env, [logits_id])[0]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(
+            logp, jnp.asarray(labels)[..., None], axis=-1
+        )[..., 0]
+        return nll.mean()
+
+    param_shards = [NamedSharding(mesh, plan.get(i, P())) for i in param_ids]
+
+    @jax.jit
+    def train_step(param_vals, mom, runtime_env):
+        loss, grads = jax.value_and_grad(loss_fn)(param_vals, runtime_env)
+        new_mom = [0.9 * m + g_ for m, g_ in zip(mom, grads)]
+        new_p = [p - 1e-2 * m for p, m in zip(param_vals, new_mom)]
+        # Pin the ZeRO layout: updated params/state keep the 'data' shards.
+        new_p = [jax.lax.with_sharding_constraint(p, s)
+                 for p, s in zip(new_p, param_shards)]
+        new_mom = [jax.lax.with_sharding_constraint(m, s)
+                   for m, s in zip(new_mom, param_shards)]
+        return loss, new_p, new_mom
+
+    pv = [params[i] for i in param_ids]
+    mv = [state[i] for i in param_ids]
+    loss0, pv, mv = train_step(pv, mv, runtime)
+    loss1, pv, mv = train_step(pv, mv, runtime)
+    assert float(loss1) < float(loss0)
+    # Updated params and momentum stayed in the sharded layout.
+    for arr, nid in zip(pv, param_ids):
+        if nid in plan:
+            assert arr.sharding.spec == plan[nid], (
+                g.node_name(nid), arr.sharding.spec, plan[nid])
+    for arr, nid in zip(mv, param_ids):
+        if nid in plan:
+            assert arr.sharding.spec == plan[nid]
+
+    # Replicated reference: same two steps, no sharding — loss must match.
+    rp = [np.asarray(g.nodes[i].array, np.float32) for i in param_ids]
+    rm = [np.zeros_like(p) for p in rp]
+    rfeed = {g.find_node(k): v for k, v in feed_by_name.items()}
+
+    @jax.jit
+    def ref_step(param_vals, mom):
+        loss, grads = jax.value_and_grad(loss_fn)(param_vals, rfeed)
+        new_mom = [0.9 * m + g_ for m, g_ in zip(mom, grads)]
+        return loss, [p - 1e-2 * m for p, m in zip(param_vals, new_mom)], new_mom
+
+    rloss0, rp, rm = ref_step(rp, rm)
+    rloss1, rp, rm = ref_step(rp, rm)
+    assert abs(float(loss0) - float(rloss0)) < 1e-4
+    assert abs(float(loss1) - float(rloss1)) < 1e-3
+
+
 def test_sp_prefill_matches_single_device(tiny_model):
     """Sequence-parallel prefill: token axis sharded over the 'model' mesh
     axis with replicated weights (SP_PREFILL_INPUT_RULES). Pointwise layers
