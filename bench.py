@@ -88,11 +88,32 @@ def build_engine(capacity=None, kv_quant=False, device_sampler=None,
         "f32": DataType.Float, "bf16": DataType.BFloat16,
     }[os.environ.get("RTEN_BENCH_RECENT_DTYPE", "bf16")]
     kdt = DataType.BFloat16 if (kv_env == "bf16" and not kv_quant) else None
-    graph = gpt2.build_graph_static_cache(
-        cfg, weights, capacity=capacity, kv_quant=kv_quant,
-        deferred_kv=deferred_kv, recent_dtype=rdt, kv_dtype=kdt,
-        kv_bits=kv_bits,
-    )
+    # Paged KV cache (vLLM-style block pool): RTEN_BENCH_PAGED=1 swaps the
+    # slot-major caches for a shared block pool + block-table decode kernel.
+    # Paged is f32/bf16 KV only; forces kv_quant/deferred off.
+    paged = os.environ.get("RTEN_BENCH_PAGED", "0") != "0"
+    if paged:
+        kv_quant, deferred_kv = False, False
+        block_size = int(os.environ.get("RTEN_BENCH_BLOCK_SIZE", "64"))
+        n_slots = slots or SLOTS
+        paged_blocks = int(os.environ.get(
+            "RTEN_BENCH_BLOCKS",
+            str(1 + n_slots * (capacity // block_size)),
+        ))
+        kdt = (
+            DataType.BFloat16
+            if kv_env in ("bf16", "int8", "int4") else None
+        )
+        graph = gpt2.build_graph_static_cache(
+            cfg, weights, capacity=capacity, kv_dtype=kdt,
+            paged_blocks=paged_blocks, block_size=block_size,
+        )
+    else:
+        graph = gpt2.build_graph_static_cache(
+            cfg, weights, capacity=capacity, kv_quant=kv_quant,
+            deferred_kv=deferred_kv, recent_dtype=rdt, kv_dtype=kdt,
+            kv_bits=kv_bits,
+        )
     if os.environ.get("RTEN_BENCH_QUANT", "int8") == "int4":
         from rten_tpu.quantize_pass import quantize_weight_only_int4
 

@@ -1154,6 +1154,145 @@ def decode_attention_deferred(q, k, v, lens0, k_scale=None, v_scale=None, *,
     return out, rk, rv
 
 
+# --- paged KV cache (block tables) -------------------------------------------
+#
+# vLLM-style paged attention, TPU-native: the KV cache is a shared POOL of
+# fixed-size blocks [n_blocks, Hkv, block_size, D]; each serving slot owns a
+# list of block ids (its block-table row). The decode kernel is the SAME
+# NT-folded online-softmax body as decode_mha — only the K/V BlockSpec index
+# maps change: grid step (slot, j) DMAs pool block ``bt[slot, j]`` instead of
+# cache rows [slot, j*bk:(j+1)*bk]. The block table rides scalar prefetch,
+# exactly like ``lens``. No reference analog (rten is single-sequence
+# inference; SURVEY §2.6) — this exists for the serving engine's
+# heterogeneous-length continuous batching.
+
+
+def paged_gather_kv(pool, bt):
+    """pool [NB, H, BS, D] gathered per slot -> [B, H, MB*BS, D] (the XLA
+    fallback's contiguous view; also the prefill formulation)."""
+    g = pool[bt]  # [B, MB, H, BS, D]
+    B, MB, H, BS, D = g.shape
+    return g.transpose(0, 2, 1, 3, 4).reshape(B, H, MB * BS, D)
+
+
+def _paged_nt_entry(lens_ref, t_ref, bt_ref, q_ref, k_ref, v_ref, ks_ref,
+                    vs_ref, rk_ref, rv_ref, kn_ref, vn_ref, out_ref,
+                    m_ref, l_ref, acc_ref, sems, **kw):
+    """Scalar-prefetch adapter: the paged grid prefetches (lens, t, bt); the
+    NT body itself never reads the block table (the index maps do)."""
+    return _decode_kernel_folded_nt(
+        lens_ref, t_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref, rk_ref,
+        rv_ref, kn_ref, vn_ref, out_ref, None, None, m_ref, l_ref,
+        acc_ref, sems, **kw
+    )
+
+
+def paged_decode_mha(q, pool_k, pool_v, lens, block_table, *,
+                     scale: Optional[float] = None, window: int = 0,
+                     interpret: bool = False):
+    """Paged decode attention (S == 1): q [B,H,1,D] against pool K/V
+    [NB,Hkv,BS,D] indexed by block_table [B,MB] with per-slot live lengths
+    ``lens`` [B] (query of slot b sits at position lens[b], already written
+    into its block). Logical position p of slot b lives at
+    pool[bt[b, p // BS], :, p % BS, :]."""
+    B, H, S, D = q.shape
+    assert S == 1, "paged decode kernel is S==1 (prefill gathers)"
+    NB, Hkv, BS, _ = pool_k.shape
+    assert BS % 8 == 0, f"block_size must be a multiple of 8, got {BS}"
+    MB = block_table.shape[1]
+    cap = MB * BS
+    group = H // Hkv
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(D))
+    bq = round_up(S, 8)
+    Dp = D if D in (64, 128, 256, 512) else round_up(D, 128)
+    qp = pad_dim(pad_dim(q, 2, bq), 3, Dp)
+    kp = pad_dim(pool_k, 3, Dp)
+    vp = pad_dim(pool_v, 3, Dp)
+    Hp = round_up(H, 8)
+
+    def kv_index(b, j, lens, t, bt):
+        # Clamp to the last live block: dead blocks are never DMA'd, and
+        # their table entries may be unallocated (0).
+        jc = jnp.minimum(j, lens[b] // BS)
+        return (bt[b, jc], 0, 0, 0)
+
+    ks_dummy = jnp.ones((1, Hkv, 1, BS), jnp.float32)
+    rk_dummy = jnp.zeros((1, Hkv, 8, Dp), jnp.float32)
+    kn_dummy = jnp.zeros((1, Hkv, 1, Dp), jnp.float32)
+    zero4 = lambda b, j, *_: (0, 0, 0, 0)
+    kernel = functools.partial(
+        _paged_nt_entry,
+        scale=float(scale), S=S, cap=cap, block_k=BS, quant=False,
+        group=group, recent=0, append=False, bits=8, window=int(window),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(B, MB),
+            in_specs=[
+                pl.BlockSpec((1, H, bq, Dp), lambda b, j, *_: (b, 0, 0, 0)),
+                pl.BlockSpec((1, Hkv, BS, Dp), kv_index),
+                pl.BlockSpec((1, Hkv, BS, Dp), kv_index),
+                pl.BlockSpec((1, Hkv, 1, BS), zero4),
+                pl.BlockSpec((1, Hkv, 1, BS), zero4),
+                pl.BlockSpec((1, Hkv, 8, Dp), zero4),
+                pl.BlockSpec((1, Hkv, 8, Dp), zero4),
+                pl.BlockSpec((1, Hkv, 1, Dp), zero4),
+                pl.BlockSpec((1, Hkv, 1, Dp), zero4),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, H, bq, Dp), lambda b, j, *_: (b, 0, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((Hp, 1), jnp.float32),
+                pltpu.VMEM((Hp, 1), jnp.float32),
+                pltpu.VMEM((Hp, Dp), jnp.float32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        ),
+        out_shape=[jax.ShapeDtypeStruct((B, H, bq, Dp), q.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * bq * cap * Dp,
+            bytes_accessed=(
+                B * H * bq * Dp * 8
+                + 2 * B * Hkv * cap * Dp * pool_k.dtype.itemsize
+            ),
+            transcendentals=B * H * bq * cap,
+        ),
+        interpret=interpret,
+    )(
+        jnp.asarray(lens, jnp.int32),
+        jnp.zeros(1, jnp.int32),
+        jnp.asarray(block_table, jnp.int32),
+        qp, kp, vp, ks_dummy, ks_dummy, rk_dummy, rk_dummy,
+        kn_dummy, kn_dummy,
+    )[0]
+    return out[:, :, :S, :D]
+
+
+def paged_attention(q, pool_k, pool_v, lens, block_table, *, scale=None,
+                    window: int = 0, use_flash: bool = True,
+                    interpret: bool = False):
+    """Route paged attention: the Pallas block-table kernel for decode
+    (S==1) on TPU; gather-to-contiguous + the standard per-slot attention
+    elsewhere (prefill, CPU)."""
+    S = q.shape[2]
+    if use_flash and (on_tpu() or interpret) and S == 1:
+        return paged_decode_mha(q, pool_k, pool_v, lens, block_table,
+                                scale=scale, window=window,
+                                interpret=interpret)
+    kf = paged_gather_kv(pool_k, block_table)
+    vf = paged_gather_kv(pool_v, block_table)
+    if use_flash and on_tpu():
+        return decode_attention(q, kf, vf, lens, scale=scale, window=window)
+    return decode_mha_xla(q, kf, vf, lens, scale=scale, window=window)
+
+
 def mha_xla(q, k, v, mask=None, *, scale=None, causal=False, softcap=0.0):
     """Reference attention: materialized scores (CPU fallback + golden)."""
     B, Hq, Tq, D = q.shape

@@ -153,6 +153,7 @@ def build_graph_static_cache(
     kv_quant: bool = False, deferred_kv: bool = False,
     recent_dtype: "DataType" = None, kv_dtype: "DataType" = None,
     kv_bits: int = 8, lora_rank: int = 0, n_adapters: int = 0,
+    paged_blocks: int = 0, block_size: int = 64,
 ) -> Graph:
     """Serving-engine variant: KV caches are preallocated [slots, H, cap, D]
     buffers written in-graph at per-slot offsets (GroupQueryAttention with
@@ -176,9 +177,32 @@ def build_graph_static_cache(
     def w(name):
         return b.constant(name, np.ascontiguousarray(weights[name], np.float32))
 
+    if paged_blocks:
+        # Paged KV cache (vLLM-style block tables; no reference analog —
+        # rten is single-sequence). Caches become shared POOLS of
+        # block_size-row blocks; the engine assigns blocks per slot via
+        # the block_table input. Block 0 is the reserved garbage sink for
+        # unallocated entries.
+        if kv_quant or deferred_kv:
+            raise ValueError(
+                "paged_blocks is incompatible with kv_quant/deferred_kv"
+            )
+        if capacity % block_size or block_size % 8:
+            raise ValueError(
+                "capacity must be a multiple of block_size, and block_size "
+                f"a multiple of 8 (got {capacity=}, {block_size=})"
+            )
+
     ids = b.input("input_ids", DataType.Int32, ("slots", "seq"))
     past_lens = b.input("past_lens", DataType.Int32, ("slots",))
     pos = b.input("position_ids", DataType.Int32, ("slots", "seq"))
+    block_table = (
+        b.input(
+            "block_table", DataType.Int32,
+            ("slots", capacity // block_size),
+        )
+        if paged_blocks else None
+    )
     step_t = (
         b.input("step_t", DataType.Int32, (1,)) if deferred_kv else None
     )
@@ -292,13 +316,35 @@ def build_graph_static_cache(
             # with none of the int8 path's dequant converts or scale
             # buffers. 2x context capacity per HBM byte.
             kdt = kv_dtype or DataType.Float
-            past_k = b.input(
-                f"past_key_values.{i}.key", kdt, ("slots", H, capacity, D)
-            )
-            past_v = b.input(
-                f"past_key_values.{i}.value", kdt, ("slots", H, capacity, D)
-            )
-            if deferred_kv:
+            if paged_blocks:
+                past_k = b.input(
+                    f"past_key_values.{i}.key", kdt,
+                    (paged_blocks, H, block_size, D),
+                )
+                past_v = b.input(
+                    f"past_key_values.{i}.value", kdt,
+                    (paged_blocks, H, block_size, D),
+                )
+                attn, pk, pv = b.op(
+                    "GroupQueryAttention",
+                    [q, k, v, past_k, past_v, past_lens, None, None, None,
+                     block_table],
+                    {"num_heads": H, "kv_num_heads": H, "rten_past_lens": 1,
+                     "rten_paged": 1},
+                    n_outputs=3,
+                    output_names=[
+                        f"attn_out_{i}", f"present.{i}.key",
+                        f"present.{i}.value",
+                    ],
+                )
+                presents.extend([pk, pv])
+            elif deferred_kv:
+                past_k = b.input(
+                    f"past_key_values.{i}.key", kdt, ("slots", H, capacity, D)
+                )
+                past_v = b.input(
+                    f"past_key_values.{i}.value", kdt, ("slots", H, capacity, D)
+                )
                 outs = b.op(
                     "GroupQueryAttention",
                     [q, k, v, past_k, past_v, past_lens, None, None, None,
@@ -315,6 +361,12 @@ def build_graph_static_cache(
                 attn = outs[0]
                 presents.extend(outs[1:])
             else:
+                past_k = b.input(
+                    f"past_key_values.{i}.key", kdt, ("slots", H, capacity, D)
+                )
+                past_v = b.input(
+                    f"past_key_values.{i}.value", kdt, ("slots", H, capacity, D)
+                )
                 attn, pk, pv = b.op(
                     "GroupQueryAttention",
                     [q, k, v, past_k, past_v, past_lens],

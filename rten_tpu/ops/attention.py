@@ -52,6 +52,41 @@ def _slot_kv_update(buf, new, starts):
     return buf
 
 
+def _paged_kv_update(pool, new, starts, bt):
+    """Write per-slot KV rows into a paged block POOL [NB, H, BS, D].
+
+    ``new`` [B, H, S, D] rows for slot b land at logical positions
+    starts[b]..starts[b]+S-1, i.e. pool[bt[b, p // BS], :, p % BS, :].
+
+    S == 1 (decode hot path): an unrolled dynamic_update_slice chain, same
+    rationale as _slot_kv_update (a batched scatter lowers to a full-pool
+    select on TPU). S > 1 (prefill, per-admission): one scatter — its
+    full-pool write matches the non-paged admission's zeros+merge cost.
+    Positions past the table (padded prompt tails) clamp to the last table
+    entry; unallocated entries are 0, the engine's reserved garbage block.
+    """
+    B, H, S, D = new.shape
+    BS = pool.shape[2]
+    MB = bt.shape[1]
+    starts = jnp.asarray(starts, jnp.int32)
+    bt = jnp.asarray(bt, jnp.int32)
+    new = new.astype(pool.dtype)
+    if S == 1:
+        for i in range(B):
+            blk = jax.lax.dynamic_index_in_dim(
+                bt[i], jnp.minimum(starts[i] // BS, MB - 1), keepdims=False
+            )
+            pool = jax.lax.dynamic_update_slice(
+                pool, new[i : i + 1], (blk, 0, starts[i] % BS, 0)
+            )
+        return pool
+    pos = starts[:, None] + jnp.arange(S, dtype=jnp.int32)[None]  # [B, S]
+    blk = jnp.take_along_axis(bt, jnp.minimum(pos // BS, MB - 1), axis=1)
+    off = pos % BS
+    rows = new.transpose(0, 2, 1, 3).reshape(B * S, H, D)
+    return pool.at[blk.reshape(-1), :, off.reshape(-1), :].set(rows)
+
+
 def _split_heads(x, n_heads):
     # [B, S, H*D] -> [B, H, S, D]
     B, S, HD = x.shape
@@ -273,7 +308,7 @@ def _group_query_attention(ctx, inputs, attrs):
     # (GPT-OSS-style attention sinks: a per-head logit joining the softmax
     # denominator) is implemented.
     gqa_pos = attn_bias_in = head_sink = None
-    if not attrs.get("rten_recent_kv", 0):
+    if not attrs.get("rten_recent_kv", 0) and not attrs.get("rten_paged", 0):
         gqa_pos = opt_input(inputs, 9)
         attn_bias_in = opt_input(inputs, 10)
         head_sink = opt_input(inputs, 11)
@@ -322,6 +357,28 @@ def _group_query_attention(ctx, inputs, attrs):
             pos = jnp.broadcast_to(past_len + jnp.arange(S)[None], (B, S))
         q = _rotary(q, cos_cache, sin_cache, pos, interleaved)
         k = _rotary(k, cos_cache, sin_cache, pos, interleaved)
+
+    if past_lens is not None and bool(attrs.get("rten_paged", 0)):
+        # Paged KV cache: past_k/past_v are shared block POOLS
+        # [n_blocks, Hkv, block_size, D]; input 9 is the per-slot block
+        # table [B, max_blocks]. Logical position p of slot b lives at
+        # pool[bt[b, p // BS], :, p % BS, :]. New rows scatter into the
+        # pool; attention reads through the table (Pallas block-table
+        # kernel at decode, gather-to-contiguous at prefill/CPU).
+        bt = get_input(inputs, 9, "block_table")
+        if softcap:
+            raise OpError("rten_paged does not support softcap")
+        from ..kernels.flash_attention import paged_attention
+
+        pool_k = _paged_kv_update(past_k, k.astype(past_k.dtype), past_lens, bt)
+        pool_v = _paged_kv_update(past_v, v.astype(past_v.dtype), past_lens, bt)
+        out = paged_attention(
+            q, pool_k, pool_v, past_lens, bt, scale=scale, window=window,
+            use_flash=_use_flash(ctx),
+        )
+        out = _merge_heads(out)
+        n_out = attrs.get("__n_outputs__", 3)
+        return (out, pool_k, pool_v)[:n_out]
 
     if past_lens is not None and bool(attrs.get("rten_recent_kv", 0)):
         # Deferred-KV serving graphs: decode steps append the new row to a

@@ -67,6 +67,8 @@ class ContinuousBatchingEngine:
     prefix_len = 0
     _adapter_nid: Optional[int] = None
     lora_input_ids: Dict[str, int] = {}
+    paged = False
+    _bt_dirty = False
 
     def __init__(
         self,
@@ -109,26 +111,48 @@ class ContinuousBatchingEngine:
         )
         self.params = dict(params) if params else None
 
+        # Paged KV cache (graphs built with paged_blocks > 0): caches are
+        # shared block POOLS [n_blocks, H, block_size, D] plus a per-slot
+        # block_table input; the engine owns a free-list allocator (block 0
+        # reserved as the garbage sink for unallocated table entries).
+        self._bt_nid = self.g.find_node("block_table")
+        self.paged = self._bt_nid is not None
+        if self.paged and chunked_prefill:
+            raise ValueError(
+                "chunked_prefill is not supported on paged-KV graphs"
+            )
+
         # Discover cache buffers from graph IO: every input named
-        # past_key_values.* is an engine-managed per-slot buffer whose
-        # declared [slots, ...] shape/dtype drives allocation (supports
-        # f32 KV, int8 KV + scale buffers, etc. without hardcoding).
+        # past_key_values.* is an engine-managed buffer whose declared
+        # shape/dtype drives allocation (supports f32 KV, int8 KV + scale
+        # buffers, paged pools, etc. without hardcoding).
         self.cache_names = []
-        self._cache_alloc = []  # (shape-tail, dtype)
+        self._cache_alloc = []  # (full allocation shape, dtype)
         for nid in self.g.input_ids:
             name = self.g.node_name(nid)
             if not name.startswith("past_key_values."):
                 continue
             node = self.g.nodes[nid]
-            tail = tuple(node.shape[1:]) if node.shape else None
-            if tail is None or any(not isinstance(d, int) for d in tail):
-                raise ValueError(
-                    f"cache input {name} needs concrete trailing dims, got "
-                    f"{node.shape}"
-                )
+            if self.paged:
+                shape = tuple(node.shape) if node.shape else None
+                if shape is None or any(
+                    not isinstance(d, int) for d in shape
+                ):
+                    raise ValueError(
+                        f"paged cache input {name} needs a concrete shape, "
+                        f"got {node.shape}"
+                    )
+            else:
+                tail = tuple(node.shape[1:]) if node.shape else None
+                if tail is None or any(not isinstance(d, int) for d in tail):
+                    raise ValueError(
+                        f"cache input {name} needs concrete trailing dims, "
+                        f"got {node.shape}"
+                    )
+                shape = (slots,) + tail
             dtype = node.dtype.np_dtype if node.dtype else np.float32
             self.cache_names.append(name)
-            self._cache_alloc.append((tail, dtype))
+            self._cache_alloc.append((shape, dtype))
         self.present_names = [
             "present." + n[len("past_key_values."):] for n in self.cache_names
         ]
@@ -206,9 +230,31 @@ class ContinuousBatchingEngine:
                 self.params = {}
             self.params[self._adapter_nid] = jnp.asarray(self.slot_adapter)
 
+        # Paged-KV allocator state. max_blocks comes from the block_table
+        # input's declared width; logical per-slot capacity = max_blocks *
+        # block_size and must match the ``capacity`` the caller dispatches
+        # against.
+        if self.paged:
+            bt_node = self.g.nodes[self._bt_nid]
+            self.max_blocks = int(bt_node.shape[1])
+            self.n_blocks = int(self._cache_alloc[0][0][0])
+            self.block_size = int(self._cache_alloc[0][0][2])
+            if capacity != self.max_blocks * self.block_size:
+                raise ValueError(
+                    f"capacity {capacity} != block_table width "
+                    f"{self.max_blocks} * block_size {self.block_size}"
+                )
+            self._free_blocks = list(range(self.n_blocks - 1, 0, -1))
+            self._slot_blocks: List[List[int]] = [[] for _ in range(slots)]
+            self.block_table = np.zeros(
+                (slots, self.max_blocks), np.int32
+            )
+            self._bt_dirty = True
+            if self.params is None:
+                self.params = {}
+
         self.caches = [
-            jnp.zeros((slots,) + tail, dtype)
-            for tail, dtype in self._cache_alloc
+            jnp.zeros(shape, dtype) for shape, dtype in self._cache_alloc
         ]
         self.slot_req: List[Optional[Request]] = [None] * slots
         self.slot_len = np.zeros(slots, np.int32)
@@ -290,6 +336,50 @@ class ContinuousBatchingEngine:
         self.pipeline_dispatch = pipeline_dispatch and self._multi_step is not None
         self._inflight = None          # (tok_seq future, active slots, k)
         self._dev_state = None         # (toks, lens) device arrays to chain
+
+    # -- paged-KV block allocator ----------------------------------------
+
+    def _blocks_needed(self, prompt_len: int, max_new: int) -> int:
+        """Blocks covering every position this request can ever write:
+        prefill rows 0..P-1, decode rows up to P+max_new-2, plus the fused
+        dispatch's overrun (discarded tokens past eos/budget still write
+        KV; bounded by k per drain group, 2k when pipelining)."""
+        span = min(
+            prompt_len + max_new + 2 * max(self.steps_per_dispatch, 1),
+            self.capacity,
+        )
+        return -(-span // self.block_size)
+
+    def _reserve_blocks(self, slot: int, n: int) -> bool:
+        """Assign n pool blocks to ``slot``; False if the pool is short
+        (caller re-queues the request — natural admission backpressure)."""
+        if len(self._free_blocks) < n:
+            return False
+        blocks = [self._free_blocks.pop() for _ in range(n)]
+        self._slot_blocks[slot] = blocks
+        row = self.block_table[slot]
+        row[:] = 0
+        row[: len(blocks)] = blocks
+        self._bt_dirty = True
+        return True
+
+    def _release_blocks(self, slot: int):
+        """Return a finished slot's blocks to the pool and point its table
+        row at the garbage sink (block 0) BEFORE any block is reused —
+        the freed slot keeps writing dummy rows in fused dispatches."""
+        if not self.paged or not self._slot_blocks[slot]:
+            return
+        self._free_blocks.extend(self._slot_blocks[slot])
+        self._slot_blocks[slot] = []
+        self.block_table[slot, :] = 0
+        self._bt_dirty = True
+
+    def _bt_sync(self):
+        """Push the host block table to the device params channel (lazily:
+        one transfer per change, not per free)."""
+        if self.paged and self._bt_dirty:
+            self.params[self._bt_nid] = jnp.asarray(self.block_table)
+            self._bt_dirty = False
 
     def _build_multi_step(self, k: int):
         executor = self.executor
@@ -391,6 +481,7 @@ class ContinuousBatchingEngine:
 
     def _issue_multi(self, from_host: bool):
         """Launch one fused k-step dispatch; does NOT block."""
+        self._bt_sync()
         w = {**self.executor._weight_args(), **(self.params or {})}
         if from_host or self._dev_state is None:
             toks = jnp.asarray(self.slot_last_tok)
@@ -486,6 +577,17 @@ class ContinuousBatchingEngine:
                 f"prompt ({len(prompt)} tokens) + max_new_tokens "
                 f"({max_new_tokens}) exceeds KV capacity {self.capacity}"
             )
+        if self.paged and (
+            self._blocks_needed(len(prompt), max_new_tokens)
+            > self.n_blocks - 1
+        ):
+            # Could NEVER be admitted (needs more blocks than exist even
+            # with an empty pool) — fail now instead of queueing forever.
+            raise ValueError(
+                f"request needs "
+                f"{self._blocks_needed(len(prompt), max_new_tokens)} KV "
+                f"blocks but the pool has {self.n_blocks - 1}"
+            )
         if self.max_queue is not None and len(self.queue) >= self.max_queue:
             raise QueueFull(
                 f"admission queue at capacity ({self.max_queue}); retry later"
@@ -561,6 +663,7 @@ class ContinuousBatchingEngine:
                 self._finish(req)
                 self.slot_req[slot] = None
                 self.slot_len[slot] = 0
+                self._release_blocks(slot)
         # Expire queued requests too.
         for req in list(self.queue):
             if req.timeout_s is not None and now - req.submitted_at > req.timeout_s:
@@ -614,11 +717,11 @@ class ContinuousBatchingEngine:
                 self.queue.appendleft(req)
                 requeued.append(req)
                 self.slot_req[slot] = None
+            self._release_blocks(slot)
         self.slot_len[:] = 0
         self.slot_last_tok[:] = 0
         self.caches = [
-            jnp.zeros((self.slots,) + tail, dtype)
-            for tail, dtype in self._cache_alloc
+            jnp.zeros(shape, dtype) for shape, dtype in self._cache_alloc
         ]
         return requeued
 
@@ -681,6 +784,8 @@ class ContinuousBatchingEngine:
             req.finished_at = now
             self._finish(req)
             failed.append(req)
+        for slot in range(self.slots):
+            self._release_blocks(slot)
         self.slot_len[:] = 0
         self.slot_last_tok[:] = 0
         self._inflight = None
@@ -691,8 +796,7 @@ class ContinuousBatchingEngine:
             self._dev_key = self.device_sampler.init_key()
             self._host_rng = np.random.default_rng(self.device_sampler.seed)
         self.caches = [
-            jnp.zeros((self.slots,) + tail, dtype)
-            for tail, dtype in self._cache_alloc
+            jnp.zeros(shape, dtype) for shape, dtype in self._cache_alloc
         ]
         return failed
 
@@ -742,6 +846,12 @@ class ContinuousBatchingEngine:
                 P + jnp.arange(T, dtype=jnp.int32)[None], (slots, T)
             )
             for i, (nid, c) in enumerate(zip(cache_ids, caches)):
+                if self.paged:
+                    # Shared pool: feed it LIVE (admitted writes land in
+                    # freshly reserved blocks; non-admitted garbage goes to
+                    # block 0 via the admission table) — no zero/merge.
+                    env[nid] = c
+                    continue
                 base = jnp.zeros_like(c)
                 if prefix_rows is not None:
                     base = base.at[:, :, :P].set(
@@ -753,10 +863,13 @@ class ContinuousBatchingEngine:
                 env[nid] = base
             self._feed_recent_dummies(env)
             outs = executor.trace(env, out_ids)
-            m = admit_mask[:, None, None, None]
-            merged = [
-                jnp.where(m, p, c) for c, p in zip(caches, outs[1:])
-            ]
+            if self.paged:
+                merged = list(outs[1:])
+            else:
+                m = admit_mask[:, None, None, None]
+                merged = [
+                    jnp.where(m, p, c) for c, p in zip(caches, outs[1:])
+                ]
             # Only the prompt-final position matters; gather it on device
             # ([slots] tokens or [slots, V] logits instead of [slots, T, V]).
             sel = outs[0][jnp.arange(slots), last_idx]
@@ -780,6 +893,13 @@ class ContinuousBatchingEngine:
         executable serves the whole engine)."""
         if self.has_work():
             raise ValueError("set_shared_prefix requires an idle engine")
+        if self.paged:
+            # Prefix rows would need their own shared blocks referenced by
+            # every slot's table — a block-sharing extension the v1
+            # allocator (exclusive per-slot blocks) doesn't model.
+            raise ValueError(
+                "shared-prefix caching is not supported on paged-KV graphs"
+            )
         # The admission executables bake in the prefix length — changing
         # the prefix must drop them or a stale P would be reused.
         self._prefix_prefill = {}
@@ -946,6 +1066,21 @@ class ContinuousBatchingEngine:
         # Admission changes slot state: host bookkeeping becomes
         # authoritative, so the device-side token/length chain resets.
         self._dev_state = None
+        if self.paged:
+            # Reserve each admission's full block budget up front; a short
+            # pool re-queues the request (FIFO-fair: once one admission
+            # can't be served, everything behind it waits too).
+            kept = []
+            for idx, (slot, req) in enumerate(admissions):
+                need = self._blocks_needed(len(req.prompt), req.max_new_tokens)
+                if not self._reserve_blocks(slot, need):
+                    for _, r2 in reversed(admissions[idx:]):
+                        self.queue.appendleft(r2)
+                    break
+                kept.append((slot, req))
+            admissions = kept
+            if not admissions:
+                return
         if self._adapter_nid is not None:
             # Per-slot adapter selection must be current BEFORE the prefill
             # executes (the admitted prompt runs under its adapter).
@@ -968,7 +1103,19 @@ class ContinuousBatchingEngine:
             packed[slot, : len(req.prompt)] = req.prompt
             packed[slot, T] = 1
             packed[slot, T + 1] = len(req.prompt) - 1
+        self._bt_sync()
         w = {**self.executor._weight_args(), **(self.params or {})}
+        if self.paged:
+            # The admission forward runs EVERY slot row (non-admitted rows
+            # carry dummy prompts at past_lens=0). In slot-major caches a
+            # post-hoc merge discards their garbage writes; with a shared
+            # pool the garbage must be steered away up front — the
+            # admission executes with a table whose non-admitted rows all
+            # point at the reserved garbage block 0.
+            abt = np.zeros_like(self.block_table)
+            for slot, _ in admissions:
+                abt[slot] = self.block_table[slot]
+            w[self._bt_nid] = jnp.asarray(abt)
         sel, self.caches = fn(w, self.caches, packed)
         self.caches = list(self.caches)
         sel = np.asarray(sel)
@@ -1000,6 +1147,7 @@ class ContinuousBatchingEngine:
             self._finish(req)
             self.slot_req[slot] = None
             self.slot_len[slot] = 0
+            self._release_blocks(slot)
 
     def has_pending_results(self) -> bool:
         return self._inflight is not None
@@ -1096,6 +1244,7 @@ class ContinuousBatchingEngine:
         }
         for nid, cache in zip(self.cache_ids, self.caches):
             feed[nid] = cache
+        self._bt_sync()
         if self.params:
             feed.update(self.params)
         if self.deferred_kv:

@@ -65,6 +65,10 @@ class SpeculativeEngine(ContinuousBatchingEngine):
         super().__init__(model, steps_per_dispatch=1, **kw)
         if self.deferred_kv:
             raise ValueError("speculative decoding needs deferred_kv=False")
+        if self.paged:
+            raise ValueError(
+                "speculative decoding does not support paged-KV graphs"
+            )
         if not self.greedy_on_device:
             raise ValueError("speculative decoding is greedy-only (needs "
                              "the graph's next_token output)")

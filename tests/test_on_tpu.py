@@ -242,3 +242,27 @@ def test_skinny_m_int8_matmul_on_tpu():
         want = np.asarray(int8_matmul_dequant_xla(
             a, b, np.float32(0.01), np.float32(0.02), np.uint8(120), None))
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-3)
+
+
+def test_paged_decode_mha_on_tpu():
+    """Paged (block-table) decode attention compiled on the chip == the
+    gather + XLA reference, shuffled non-contiguous table."""
+    from rten_tpu.kernels.flash_attention import (
+        decode_mha_xla,
+        paged_decode_mha,
+        paged_gather_kv,
+    )
+
+    B, H, D, BS, MB, NB = 4, 12, 64, 64, 4, 20
+    pool_k = RNG.standard_normal((NB, H, BS, D)).astype(np.float32)
+    pool_v = RNG.standard_normal((NB, H, BS, D)).astype(np.float32)
+    bt = RNG.permutation(np.arange(1, NB))[: B * MB].reshape(B, MB)
+    bt = bt.astype(np.int32)
+    lens = np.array([5, 255, 64, 130], np.int32)
+    q = RNG.standard_normal((B, H, 1, D)).astype(np.float32)
+
+    got = np.asarray(paged_decode_mha(q, pool_k, pool_v, lens, bt))
+    kf = paged_gather_kv(pool_k, bt)
+    vf = paged_gather_kv(pool_v, bt)
+    want = np.asarray(decode_mha_xla(q, kf, vf, lens))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)

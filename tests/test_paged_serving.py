@@ -1,0 +1,181 @@
+"""Paged KV cache: block-pool serving vs the slot-major cache goldens.
+
+vLLM-style block tables, TPU-native (kernels/flash_attention.py paged_*;
+no reference analog — rten is single-sequence inference, SURVEY §2.6).
+Token streams must be EXACTLY the non-paged engine's: paging changes
+storage layout, not math.
+"""
+
+import numpy as np
+import pytest
+
+from rten_tpu.model import Model, ModelOptions
+from rten_tpu.models import gpt2
+from rten_tpu.serving import ContinuousBatchingEngine
+
+CAP = 64
+BS = 16
+
+
+@pytest.fixture(scope="module")
+def models():
+    cfg = gpt2.GPT2Config(
+        vocab_size=128, n_positions=128, n_embd=32, n_layer=2, n_head=4
+    )
+    weights = gpt2.random_weights(cfg, seed=11)
+    flat = gpt2.build_graph_static_cache(cfg, weights, capacity=CAP)
+    paged = gpt2.build_graph_static_cache(
+        cfg, weights, capacity=CAP, paged_blocks=40, block_size=BS
+    )
+    return (
+        cfg,
+        Model(flat, ModelOptions(optimize=True)),
+        Model(paged, ModelOptions(optimize=True)),
+    )
+
+
+def make_engine(cfg, model, slots=3, **kw):
+    kw.setdefault("greedy_on_device", True)
+    return ContinuousBatchingEngine(
+        model, n_layer=cfg.n_layer, n_head=cfg.n_head,
+        head_dim=cfg.head_dim, slots=slots, capacity=CAP,
+        prefill_bucket=8, **kw,
+    )
+
+
+PROMPTS = [
+    [5, 9, 23, 40, 7],
+    [3, 8, 11],
+    [77, 2, 19, 50, 4, 33, 6, 101, 12, 64],
+    [120, 14],
+    [9, 9, 9, 9, 1, 2, 3],
+]
+
+
+@pytest.mark.parametrize("steps_per_dispatch", [1, 4])
+def test_paged_tokens_match_unpaged(models, steps_per_dispatch):
+    cfg, flat_model, paged_model = models
+    n_new = 11  # not a multiple of steps_per_dispatch
+    want = []
+    eng = make_engine(cfg, flat_model, slots=3,
+                      steps_per_dispatch=steps_per_dispatch)
+    reqs = [eng.submit(p, max_new_tokens=n_new) for p in PROMPTS]
+    eng.run()
+    want = [r.generated for r in reqs]
+
+    peng = make_engine(cfg, paged_model, slots=3,
+                       steps_per_dispatch=steps_per_dispatch)
+    assert peng.paged and peng.block_size == BS
+    preqs = [peng.submit(p, max_new_tokens=n_new) for p in PROMPTS]
+    peng.run()
+    for i, (pr, exp) in enumerate(zip(preqs, want)):
+        assert pr.generated == exp, f"request {i}"
+    # Every block returned to the pool after completion.
+    assert len(peng._free_blocks) == peng.n_blocks - 1
+    assert all(not b for b in peng._slot_blocks)
+
+
+def test_paged_block_reuse_across_waves(models):
+    """Second wave reuses freed (dirty) blocks — stale rows must never leak
+    into attention (the mask bounds reads to freshly written positions)."""
+    cfg, flat_model, paged_model = models
+    n_new = 8
+    wave2 = [[44, 3, 99, 1], [7, 7, 120, 55, 2, 31]]
+
+    eng = make_engine(cfg, flat_model, slots=2, steps_per_dispatch=4)
+    for p in PROMPTS[:2]:
+        eng.submit(p, max_new_tokens=n_new)
+    eng.run()
+    r2 = [eng.submit(p, max_new_tokens=n_new) for p in wave2]
+    eng.run()
+    want = [r.generated for r in r2]
+
+    peng = make_engine(cfg, paged_model, slots=2, steps_per_dispatch=4)
+    for p in PROMPTS[:2]:
+        peng.submit(p, max_new_tokens=n_new)
+    peng.run()
+    used_before = peng.n_blocks - 1 - len(peng._free_blocks)
+    assert used_before == 0
+    p2 = [peng.submit(p, max_new_tokens=n_new) for p in wave2]
+    peng.run()
+    for pr, exp in zip(p2, want):
+        assert pr.generated == exp
+
+
+def test_pool_exhaustion_backpressure(models):
+    """A pool too small for every slot at once admits in waves: requests
+    wait in the queue until blocks free up, and all of them finish."""
+    cfg, _, _ = models
+    weights = gpt2.random_weights(cfg, seed=11)
+    # 4 slots but only enough blocks for ~2 concurrent requests.
+    tight = gpt2.build_graph_static_cache(
+        cfg, weights, capacity=CAP, paged_blocks=5, block_size=BS
+    )
+    model = Model(tight, ModelOptions(optimize=True))
+    eng = make_engine(cfg, model, slots=4, steps_per_dispatch=2)
+    # Each request needs 2 blocks (prompt+new+2k=21 -> ceil(21/16)=2);
+    # the pool has 4 usable -> at most 2 admitted at a time.
+    reqs = [eng.submit([10 + i, 3, 9], max_new_tokens=6) for i in range(5)]
+    finished = eng.run()
+    assert len(finished) == 5
+    assert all(r.done and not r.error for r in reqs)
+    assert len(eng._free_blocks) == eng.n_blocks - 1
+
+
+def test_submit_impossible_reservation_rejected(models):
+    cfg, _, _ = models
+    weights = gpt2.random_weights(cfg, seed=11)
+    tiny = gpt2.build_graph_static_cache(
+        cfg, weights, capacity=CAP, paged_blocks=3, block_size=BS
+    )
+    model = Model(tiny, ModelOptions(optimize=True))
+    eng = make_engine(cfg, model, slots=2)
+    with pytest.raises(ValueError, match="blocks"):
+        eng.submit(list(range(1, 40)), max_new_tokens=20)
+
+
+def test_paged_guards(models):
+    cfg, _, paged_model = models
+    weights = gpt2.random_weights(cfg, seed=11)
+    with pytest.raises(ValueError, match="paged_blocks"):
+        gpt2.build_graph_static_cache(
+            cfg, weights, capacity=CAP, paged_blocks=8, block_size=BS,
+            kv_quant=True,
+        )
+    with pytest.raises(ValueError, match="block_size"):
+        gpt2.build_graph_static_cache(
+            cfg, weights, capacity=60, paged_blocks=8, block_size=BS
+        )
+    eng = make_engine(cfg, paged_model, slots=2)
+    with pytest.raises(ValueError, match="paged"):
+        eng.set_shared_prefix([1, 2, 3])
+    with pytest.raises(ValueError, match="chunked"):
+        make_engine(cfg, paged_model, slots=2, chunked_prefill=True)
+
+
+def test_paged_kernel_interpret_matches_gather():
+    """The Pallas block-table kernel (interpret mode) == gather + the XLA
+    decode-attention reference, with a shuffled non-contiguous table."""
+    from rten_tpu.kernels.flash_attention import (
+        decode_mha_xla,
+        paged_decode_mha,
+        paged_gather_kv,
+    )
+
+    rng = np.random.default_rng(0)
+    B, H, D, BSk, MB, NB = 3, 4, 64, 16, 4, 14
+    pool_k = rng.standard_normal((NB, H, BSk, D), np.float32)
+    pool_v = rng.standard_normal((NB, H, BSk, D), np.float32)
+    # Distinct non-zero blocks per slot, deliberately out of order.
+    ids = rng.permutation(np.arange(1, NB))[: B * MB].reshape(B, MB)
+    bt = ids.astype(np.int32)
+    lens = np.array([5, 63, 17], np.int32)
+    q = rng.standard_normal((B, H, 1, D), np.float32)
+
+    got = np.asarray(
+        paged_decode_mha(q, pool_k, pool_v, lens, bt, interpret=True)
+    )
+    kf = paged_gather_kv(pool_k, bt)
+    vf = paged_gather_kv(pool_v, bt)
+    want = np.asarray(decode_mha_xla(q, kf, vf, lens))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
