@@ -67,6 +67,7 @@ def build_graph_static_cache(
     cfg: LlamaConfig, weights: Dict[str, np.ndarray], capacity: int,
     deferred_kv: bool = False, recent_dtype: DataType = None,
     kv_dtype: DataType = None, kv_quant: bool = False, kv_bits: int = 8,
+    paged_blocks: int = 0, block_size: int = 64,
 ) -> Graph:
     """Serving graph: inputs input_ids [slots,seq], past_lens [slots],
     position_ids [slots,seq]; outputs logits, present.N.{key,value},
@@ -94,6 +95,19 @@ def build_graph_static_cache(
     def w(name):
         return b.constant(name, np.ascontiguousarray(weights[name], np.float32))
 
+    if paged_blocks:
+        # Paged KV cache (see gpt2.build_graph_static_cache): caches become
+        # a shared block pool + block_table input; v1 is f32/bf16 KV only.
+        if kv_quant or deferred_kv:
+            raise ValueError(
+                "paged_blocks is incompatible with kv_quant/deferred_kv"
+            )
+        if capacity % block_size or block_size % 8:
+            raise ValueError(
+                "capacity must be a multiple of block_size, and block_size "
+                f"a multiple of 8 (got {capacity=}, {block_size=})"
+            )
+
     ids = b.input("input_ids", DataType.Int32, ("slots", "seq"))
     past_lens = b.input("past_lens", DataType.Int32, ("slots",))
     step_t = (
@@ -101,6 +115,13 @@ def build_graph_static_cache(
     )
     b.input("position_ids", DataType.Int32, ("slots", "seq"))  # unused: GQA
     # derives rotary positions from past_lens (kept for engine IO parity).
+    block_table = (
+        b.input(
+            "block_table", DataType.Int32,
+            ("slots", capacity // block_size),
+        )
+        if paged_blocks else None
+    )
 
     cos_np, sin_np = rope_tables(cfg)
     cos_c = b.constant("rope.cos", np.cos(cos_np))
@@ -209,6 +230,33 @@ def build_graph_static_cache(
             x = block_tail(x, attn, p)
             continue
         kdt = kv_dtype or DataType.Float
+        if paged_blocks:
+            past_k = b.input(
+                f"past_key_values.{i}.key", kdt,
+                (paged_blocks, Hkv, block_size, D),
+            )
+            past_v = b.input(
+                f"past_key_values.{i}.value", kdt,
+                (paged_blocks, Hkv, block_size, D),
+            )
+            attn, pk, pv = b.op(
+                "GroupQueryAttention",
+                [q, k, v, past_k, past_v, past_lens, None, cos_c, sin_c,
+                 block_table],
+                {
+                    "num_heads": Hq, "kv_num_heads": Hkv,
+                    "rten_past_lens": 1, "do_rotary": 1, "rten_paged": 1,
+                    **({"local_window_size": cfg.sliding_window}
+                       if cfg.sliding_window else {}),
+                },
+                n_outputs=3,
+                output_names=[
+                    f"attn_out_{i}", f"present.{i}.key", f"present.{i}.value",
+                ],
+            )
+            presents.extend([pk, pv])
+            x = block_tail(x, attn, p)
+            continue
         past_k = b.input(
             f"past_key_values.{i}.key", kdt, ("slots", Hkv, capacity, D)
         )

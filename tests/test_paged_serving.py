@@ -179,3 +179,35 @@ def test_paged_kernel_interpret_matches_gather():
     vf = paged_gather_kv(pool_v, bt)
     want = np.asarray(decode_mha_xla(q, kf, vf, lens))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+
+
+def test_paged_llama_gqa_matches_unpaged():
+    """Paged KV on the GQA+rotary llama family (grouped heads exercise the
+    NT kernel's group>1 lane masking through the block table)."""
+    from rten_tpu.models import llama
+
+    lcfg = llama.LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=128,
+    )
+    w = llama.random_weights(lcfg, seed=5)
+    prompts = [[5, 9, 23, 40, 7], [3, 8, 11], [77, 2, 19, 50, 4, 33]]
+
+    def run(graph):
+        eng = ContinuousBatchingEngine(
+            Model(graph, ModelOptions(optimize=True)),
+            n_layer=lcfg.num_hidden_layers,
+            n_head=lcfg.num_attention_heads, head_dim=lcfg.head_dim,
+            slots=2, capacity=CAP, prefill_bucket=8,
+            greedy_on_device=True, steps_per_dispatch=4,
+        )
+        reqs = [eng.submit(p, max_new_tokens=9) for p in prompts]
+        eng.run()
+        return [r.generated for r in reqs]
+
+    want = run(llama.build_graph_static_cache(lcfg, w, capacity=CAP))
+    got = run(llama.build_graph_static_cache(
+        lcfg, w, capacity=CAP, paged_blocks=20, block_size=BS
+    ))
+    assert got == want
