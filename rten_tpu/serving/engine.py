@@ -69,6 +69,9 @@ class ContinuousBatchingEngine:
     lora_input_ids: Dict[str, int] = {}
     paged = False
     _bt_dirty = False
+    _prefix_shared: List[int] = []   # full prefix blocks, shared read-only
+    _prefix_tmpl: Optional[int] = None  # partial-boundary template block
+    _prefix_nblocks = 0
 
     def __init__(
         self,
@@ -340,26 +343,32 @@ class ContinuousBatchingEngine:
     # -- paged-KV block allocator ----------------------------------------
 
     def _blocks_needed(self, prompt_len: int, max_new: int) -> int:
-        """Blocks covering every position this request can ever write:
-        prefill rows 0..P-1, decode rows up to P+max_new-2, plus the fused
-        dispatch's overrun (discarded tokens past eos/budget still write
-        KV; bounded by k per drain group, 2k when pipelining)."""
+        """Blocks this request must OWN, covering every position it can
+        write: prefill rows 0..P-1, decode rows up to P+max_new-2, plus the
+        fused dispatch's overrun (discarded tokens past eos/budget still
+        write KV; bounded by k per drain group, 2k when pipelining). With a
+        shared prefix set, the leading full prefix blocks are shared
+        read-only and not owned (the partial boundary block IS owned —
+        the slot keeps writing into it)."""
         span = min(
             prompt_len + max_new + 2 * max(self.steps_per_dispatch, 1),
             self.capacity,
         )
-        return -(-span // self.block_size)
+        return -(-span // self.block_size) - len(self._prefix_shared)
 
     def _reserve_blocks(self, slot: int, n: int) -> bool:
         """Assign n pool blocks to ``slot``; False if the pool is short
-        (caller re-queues the request — natural admission backpressure)."""
+        (caller re-queues the request — natural admission backpressure).
+        The slot's table row = [shared prefix blocks..., own blocks...]."""
         if len(self._free_blocks) < n:
             return False
         blocks = [self._free_blocks.pop() for _ in range(n)]
         self._slot_blocks[slot] = blocks
         row = self.block_table[slot]
         row[:] = 0
-        row[: len(blocks)] = blocks
+        ns = len(self._prefix_shared)
+        row[:ns] = self._prefix_shared
+        row[ns : ns + len(blocks)] = blocks
         self._bt_dirty = True
         return True
 
@@ -579,14 +588,15 @@ class ContinuousBatchingEngine:
             )
         if self.paged and (
             self._blocks_needed(len(prompt), max_new_tokens)
-            > self.n_blocks - 1
+            > self.n_blocks - 1 - self._prefix_nblocks
         ):
             # Could NEVER be admitted (needs more blocks than exist even
             # with an empty pool) — fail now instead of queueing forever.
             raise ValueError(
                 f"request needs "
                 f"{self._blocks_needed(len(prompt), max_new_tokens)} KV "
-                f"blocks but the pool has {self.n_blocks - 1}"
+                f"blocks but the pool has "
+                f"{self.n_blocks - 1 - self._prefix_nblocks}"
             )
         if self.max_queue is not None and len(self.queue) >= self.max_queue:
             raise QueueFull(
@@ -723,6 +733,7 @@ class ContinuousBatchingEngine:
         self.caches = [
             jnp.zeros(shape, dtype) for shape, dtype in self._cache_alloc
         ]
+        self._recompute_prefix_pool()
         return requeued
 
     def has_work(self) -> bool:
@@ -798,6 +809,7 @@ class ContinuousBatchingEngine:
         self.caches = [
             jnp.zeros(shape, dtype) for shape, dtype in self._cache_alloc
         ]
+        self._recompute_prefix_pool()
         return failed
 
     # -- internals -----------------------------------------------------------
@@ -831,6 +843,11 @@ class ContinuousBatchingEngine:
         out_ids = self.out_ids
         slots = self.slots
         P = self.prefix_len if prefixed else 0
+        # Paged + prefixed: the partial-boundary template block id is baked
+        # into the executable (executables are dropped when the prefix
+        # changes). ``prefix_rows`` then carries first_own [slots] instead
+        # of stamped rows.
+        tmpl = self._prefix_tmpl if (self.paged and prefixed) else None
 
         def body(weights: Dict, caches, packed, prefix_rows):
             # packed [slots, T+2] int32: prompt ids | admit flag | last idx.
@@ -850,6 +867,13 @@ class ContinuousBatchingEngine:
                     # Shared pool: feed it LIVE (admitted writes land in
                     # freshly reserved blocks; non-admitted garbage goes to
                     # block 0 via the admission table) — no zero/merge.
+                    if tmpl is not None:
+                        # Copy the prefix's partial boundary block into
+                        # each admitted slot's first own block (prefix_rows
+                        # = first_own; non-admitted entries are 0, the
+                        # garbage sink). The suffix prefill then writes on
+                        # top from offset P % block_size.
+                        c = c.at[prefix_rows].set(c[tmpl])
                     env[nid] = c
                     continue
                 base = jnp.zeros_like(c)
@@ -893,17 +917,18 @@ class ContinuousBatchingEngine:
         executable serves the whole engine)."""
         if self.has_work():
             raise ValueError("set_shared_prefix requires an idle engine")
-        if self.paged:
-            # Prefix rows would need their own shared blocks referenced by
-            # every slot's table — a block-sharing extension the v1
-            # allocator (exclusive per-slot blocks) doesn't model.
-            raise ValueError(
-                "shared-prefix caching is not supported on paged-KV graphs"
-            )
         # The admission executables bake in the prefix length — changing
         # the prefix must drop them or a stale P would be reused.
         self._prefix_prefill = {}
         tokens = list(tokens)
+        if self.paged:
+            # Return any previous prefix's permanently reserved blocks.
+            self._free_blocks.extend(self._prefix_shared)
+            if self._prefix_tmpl is not None:
+                self._free_blocks.append(self._prefix_tmpl)
+            self._prefix_shared, self._prefix_tmpl = [], None
+            self._prefix_nblocks = 0
+            self._bt_dirty = True
         if not tokens:
             self.prefix_tokens, self._prefix_rows, self.prefix_len = None, None, 0
             return
@@ -925,6 +950,31 @@ class ContinuousBatchingEngine:
                 "(prefix KV is adapter-dependent)"
             )
         P = len(tokens)
+        if self.paged:
+            # TRUE prefix sharing (the paged design's payoff): the prefix's
+            # full blocks are reserved once and referenced read-only by
+            # every slot's table row — no per-slot HBM copies of P rows
+            # like the slot-major path below. Only the partial boundary
+            # block (positions nfull*BS..P-1, which slots keep writing
+            # into) is copied per admission from a template block.
+            nfull, rem = divmod(P, self.block_size)
+            need = nfull + (1 if rem else 0)
+            if len(self._free_blocks) < need + 1:
+                raise ValueError(
+                    f"prefix needs {need} KV blocks; pool has only "
+                    f"{len(self._free_blocks)} free (>= 1 must remain "
+                    "for requests)"
+                )
+            blocks = [self._free_blocks.pop() for _ in range(need)]
+            self._prefix_shared = blocks[:nfull]
+            self._prefix_tmpl = blocks[nfull] if rem else None
+            self._prefix_nblocks = need
+            self._bt_dirty = True
+            self.prefix_tokens = tokens
+            self.prefix_len = P
+            self._prefix_rows = None
+            self._recompute_prefix_pool()
+            return
         w = {**self.executor._weight_args(), **(self.params or {})}
         ids = np.zeros((self.slots, P), np.int32)
         ids[0] = tokens
@@ -946,6 +996,35 @@ class ContinuousBatchingEngine:
         self._prefix_rows = jax.jit(prefill)(env)
         self.prefix_tokens = tokens
         self.prefix_len = P
+
+    def _recompute_prefix_pool(self):
+        """Write the prefix KV rows into the reserved prefix blocks: at
+        set_shared_prefix time, and again after restart()/fail_inflight()
+        zero the pool (the flat path keeps prefix rows in a separate
+        device buffer; the paged prefix LIVES in the pool)."""
+        if not (self.paged and self.prefix_tokens):
+            return
+        tokens = self.prefix_tokens
+        P = len(tokens)
+        blocks = list(self._prefix_shared)
+        if self._prefix_tmpl is not None:
+            blocks.append(self._prefix_tmpl)
+        bt = np.zeros_like(self.block_table)
+        bt[0, : len(blocks)] = blocks
+        ids = np.zeros((self.slots, P), np.int32)
+        ids[0] = tokens
+        w = {**self.executor._weight_args(), **(self.params or {})}
+        env = dict(w)
+        env[self._bt_nid] = jnp.asarray(bt)
+        env[self.in_ids["input_ids"]] = jnp.asarray(ids)
+        env[self.in_ids["past_lens"]] = jnp.zeros((self.slots,), jnp.int32)
+        env[self.in_ids["position_ids"]] = jnp.broadcast_to(
+            jnp.arange(P, dtype=jnp.int32)[None], (self.slots, P)
+        )
+        for nid, c in zip(self.cache_ids, self.caches):
+            env[nid] = c
+        outs = self.executor.run(env, self.out_ids, donate=self.cache_ids)
+        self.caches = list(outs[1:])
 
     def _admit_with_prefix(self, admissions):
         P = self.prefix_len
@@ -970,8 +1049,24 @@ class ContinuousBatchingEngine:
             packed[slot, : len(suf)] = suf
             packed[slot, T] = 1
             packed[slot, T + 1] = len(suf) - 1
+        self._bt_sync()
         w = {**self.executor._weight_args(), **(self.params or {})}
-        sel, self.caches = fn(w, self.caches, packed, self._prefix_rows)
+        if self.paged:
+            # Admission table (non-admitted rows -> garbage block 0) plus
+            # each admitted slot's first OWN block — the target of the
+            # partial-boundary template copy inside the prefill body.
+            abt = np.zeros_like(self.block_table)
+            first_own = np.zeros(self.slots, np.int32)
+            ns = len(self._prefix_shared)
+            for slot, _req in admissions:
+                abt[slot] = self.block_table[slot]
+                first_own[slot] = self.block_table[slot, ns]
+            w[self._bt_nid] = jnp.asarray(abt)
+            sel, self.caches = fn(
+                w, self.caches, packed, jnp.asarray(first_own)
+            )
+        else:
+            sel, self.caches = fn(w, self.caches, packed, self._prefix_rows)
         self.caches = list(self.caches)
         sel = np.asarray(sel)
         now = time.perf_counter()
@@ -1087,7 +1182,7 @@ class ContinuousBatchingEngine:
             for slot, req in admissions:
                 self.slot_adapter[slot] = req.adapter_id
             self.params[self._adapter_nid] = jnp.asarray(self.slot_adapter)
-        if self._prefix_rows is not None:
+        if self.prefix_tokens is not None:
             self._admit_with_prefix(admissions)
             return
         if self.chunked_prefill:

@@ -146,9 +146,6 @@ def test_paged_guards(models):
         gpt2.build_graph_static_cache(
             cfg, weights, capacity=60, paged_blocks=8, block_size=BS
         )
-    eng = make_engine(cfg, paged_model, slots=2)
-    with pytest.raises(ValueError, match="paged"):
-        eng.set_shared_prefix([1, 2, 3])
     with pytest.raises(ValueError, match="chunked"):
         make_engine(cfg, paged_model, slots=2, chunked_prefill=True)
 
@@ -211,3 +208,80 @@ def test_paged_llama_gqa_matches_unpaged():
         lcfg, w, capacity=CAP, paged_blocks=20, block_size=BS
     ))
     assert got == want
+
+
+PREFIX = [2, 71, 33, 9, 15, 44, 101, 8, 90, 12, 5, 27, 60, 3, 77, 120,
+          14, 6, 9, 2, 55, 31]  # 22 tokens: 1 full 16-block + 6 partial
+
+
+def test_paged_prefix_sharing_matches_flat(models):
+    """Shared-prefix caching on paged KV: slots REFERENCE the same prefix
+    blocks (true dedup) instead of copying rows per slot; tokens must match
+    the flat-cache prefix engine AND the no-prefix engine."""
+    cfg, flat_model, paged_model = models
+    prompts = [PREFIX + [40, 7, 3], PREFIX + [8], PREFIX + [99, 1, 2, 66]]
+    n_new = 8
+
+    base = make_engine(cfg, flat_model, slots=2, steps_per_dispatch=4)
+    reqs = [base.submit(p, max_new_tokens=n_new) for p in prompts]
+    base.run()
+    want = [r.generated for r in reqs]
+
+    flatp = make_engine(cfg, flat_model, slots=2, steps_per_dispatch=4)
+    flatp.set_shared_prefix(PREFIX)
+    freqs = [flatp.submit(p, max_new_tokens=n_new) for p in prompts]
+    flatp.run()
+    assert [r.generated for r in freqs] == want
+
+    peng = make_engine(cfg, paged_model, slots=2, steps_per_dispatch=4)
+    peng.set_shared_prefix(PREFIX)
+    assert len(peng._prefix_shared) == len(PREFIX) // BS
+    assert peng._prefix_tmpl is not None  # 22 % 16 = 6 partial rows
+    preqs = [peng.submit(p, max_new_tokens=n_new) for p in prompts]
+    peng.run()
+    assert [r.generated for r in preqs] == want
+    # Prefix blocks stay permanently reserved; request blocks all returned.
+    assert len(peng._free_blocks) == peng.n_blocks - 1 - peng._prefix_nblocks
+
+
+def test_paged_prefix_actually_shares_blocks(models):
+    """While two requests run concurrently, the pool holds ONE copy of the
+    full prefix blocks — per-slot ownership covers only suffix/decode."""
+    cfg, _, paged_model = models
+    peng = make_engine(cfg, paged_model, slots=2, steps_per_dispatch=2)
+    peng.set_shared_prefix(PREFIX)
+    prompts = [PREFIX + [40, 7, 3], PREFIX + [8]]
+    reqs = [peng.submit(p, max_new_tokens=6) for p in prompts]
+    # Admit both (first step does admission), then inspect mid-flight.
+    peng.step()
+    ns = len(peng._prefix_shared)
+    assert ns == 1
+    for slot, req in enumerate(reqs):
+        row = peng.block_table[slot]
+        assert list(row[:ns]) == peng._prefix_shared  # shared entries
+        own = peng._slot_blocks[slot]
+        assert own and peng._prefix_tmpl not in own
+        # Own blocks cover suffix + decode only, far less than a full copy.
+        assert len(own) < -(-CAP // BS)
+    # The two slots own DISJOINT blocks but share the prefix entry.
+    assert not set(peng._slot_blocks[0]) & set(peng._slot_blocks[1])
+    peng.run()
+    assert [r.done for r in reqs] == [True, True]
+
+
+def test_paged_prefix_survives_restart(models):
+    cfg, flat_model, paged_model = models
+    prompts = [PREFIX + [40, 7, 3], PREFIX + [8]]
+    base = make_engine(cfg, flat_model, slots=2, steps_per_dispatch=2)
+    reqs = [base.submit(p, max_new_tokens=6) for p in prompts]
+    base.run()
+    want = [r.generated for r in reqs]
+
+    peng = make_engine(cfg, paged_model, slots=2, steps_per_dispatch=2)
+    peng.set_shared_prefix(PREFIX)
+    r1 = [peng.submit(p, max_new_tokens=6) for p in prompts]
+    peng.step()          # admit + some decode
+    requeued = peng.restart()   # wipes the pool, re-queues, rewrites prefix
+    assert len(requeued) == len(prompts)
+    peng.run()
+    assert [r.generated for r in r1] == want
