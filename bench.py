@@ -93,6 +93,12 @@ def build_engine(capacity=None, kv_quant=False, device_sampler=None,
     # Paged is f32/bf16 KV only; forces kv_quant/deferred off.
     paged = os.environ.get("RTEN_BENCH_PAGED", "0") != "0"
     if paged:
+        if kv_quant:
+            print(
+                f"[bench] RTEN_BENCH_PAGED: paged KV is f32/bf16-only; "
+                f"RTEN_BENCH_KV={kv_env} runs as bf16",
+                file=sys.stderr,
+            )
         kv_quant, deferred_kv = False, False
         block_size = int(os.environ.get("RTEN_BENCH_BLOCK_SIZE", "64"))
         n_slots = slots or SLOTS

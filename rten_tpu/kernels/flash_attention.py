@@ -1282,7 +1282,15 @@ def paged_attention(q, pool_k, pool_v, lens, block_table, *, scale=None,
     (S==1) on TPU; gather-to-contiguous + the standard per-slot attention
     elsewhere (prefill, CPU)."""
     S = q.shape[2]
-    if use_flash and (on_tpu() or interpret) and S == 1:
+    B, H, _, D = q.shape
+    # Same head-fold VMEM gate as decode_mha: the NT body holds every
+    # head's q/acc in VMEM per grid step; past the budget fall through to
+    # the gather path instead of failing Mosaic compilation.
+    fold_ok = (
+        os.environ.get("RTEN_DECODE_FOLD_HEADS", "1") != "0"
+        and H * round_up(S, 8) * max(D, 64) <= 64 * 1024
+    )
+    if use_flash and (on_tpu() or interpret) and S == 1 and fold_ok:
         return paged_decode_mha(q, pool_k, pool_v, lens, block_table,
                                 scale=scale, window=window,
                                 interpret=interpret)

@@ -73,15 +73,26 @@ def _paged_kv_update(pool, new, starts, bt):
     new = new.astype(pool.dtype)
     if S == 1:
         for i in range(B):
-            blk = jax.lax.dynamic_index_in_dim(
-                bt[i], jnp.minimum(starts[i] // BS, MB - 1), keepdims=False
+            jb = starts[i] // BS
+            blk = jnp.where(
+                jb < MB,
+                jax.lax.dynamic_index_in_dim(
+                    bt[i], jnp.minimum(jb, MB - 1), keepdims=False
+                ),
+                0,
             )
             pool = jax.lax.dynamic_update_slice(
                 pool, new[i : i + 1], (blk, 0, starts[i] % BS, 0)
             )
         return pool
     pos = starts[:, None] + jnp.arange(S, dtype=jnp.int32)[None]  # [B, S]
-    blk = jnp.take_along_axis(bt, jnp.minimum(pos // BS, MB - 1), axis=1)
+    # Positions past the table (bucket-padded prompt tails) go to the
+    # garbage sink, NOT a clamped live entry: for a full-budget slot the
+    # last table entry holds real KV that a clamp would overwrite.
+    jb = pos // BS
+    blk = jnp.where(
+        jb < MB, jnp.take_along_axis(bt, jnp.minimum(jb, MB - 1), axis=1), 0
+    )
     off = pos % BS
     rows = new.transpose(0, 2, 1, 3).reshape(B * S, H, D)
     return pool.at[blk.reshape(-1), :, off.reshape(-1), :].set(rows)

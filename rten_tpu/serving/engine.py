@@ -69,7 +69,9 @@ class ContinuousBatchingEngine:
     lora_input_ids: Dict[str, int] = {}
     paged = False
     _bt_dirty = False
-    _prefix_shared: List[int] = []   # full prefix blocks, shared read-only
+    # Immutable class-level fallback (a list default would be shared and
+    # mutable across instances); instances rebind to fresh lists.
+    _prefix_shared: tuple = ()       # full prefix blocks, shared read-only
     _prefix_tmpl: Optional[int] = None  # partial-boundary template block
     _prefix_nblocks = 0
 
@@ -921,15 +923,23 @@ class ContinuousBatchingEngine:
         # the prefix must drop them or a stale P would be reused.
         self._prefix_prefill = {}
         tokens = list(tokens)
-        if self.paged:
-            # Return any previous prefix's permanently reserved blocks.
+
+        def _drop_paged_prefix():
+            # Return the previous prefix's permanently reserved blocks.
+            # Deferred until the NEW prefix has passed every validation: a
+            # failed set_shared_prefix must leave the old prefix usable,
+            # not point prefix_tokens at KV whose blocks were freed.
+            if not self.paged:
+                return
             self._free_blocks.extend(self._prefix_shared)
             if self._prefix_tmpl is not None:
                 self._free_blocks.append(self._prefix_tmpl)
             self._prefix_shared, self._prefix_tmpl = [], None
             self._prefix_nblocks = 0
             self._bt_dirty = True
+
         if not tokens:
+            _drop_paged_prefix()
             self.prefix_tokens, self._prefix_rows, self.prefix_len = None, None, 0
             return
         if len(tokens) >= self.capacity:
@@ -959,12 +969,15 @@ class ContinuousBatchingEngine:
             # into) is copied per admission from a template block.
             nfull, rem = divmod(P, self.block_size)
             need = nfull + (1 if rem else 0)
-            if len(self._free_blocks) < need + 1:
+            # The old prefix's blocks count as available (they're about to
+            # be dropped), but only free them once the new one fits.
+            if len(self._free_blocks) + self._prefix_nblocks < need + 1:
                 raise ValueError(
                     f"prefix needs {need} KV blocks; pool has only "
-                    f"{len(self._free_blocks)} free (>= 1 must remain "
-                    "for requests)"
+                    f"{len(self._free_blocks) + self._prefix_nblocks} "
+                    "reclaimable (>= 1 must remain for requests)"
                 )
+            _drop_paged_prefix()
             blocks = [self._free_blocks.pop() for _ in range(need)]
             self._prefix_shared = blocks[:nfull]
             self._prefix_tmpl = blocks[nfull] if rem else None

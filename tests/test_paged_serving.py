@@ -113,11 +113,18 @@ def test_pool_exhaustion_backpressure(models):
     )
     model = Model(tight, ModelOptions(optimize=True))
     eng = make_engine(cfg, model, slots=4, steps_per_dispatch=2)
-    # Each request needs 2 blocks (prompt+new+2k=21 -> ceil(21/16)=2);
-    # the pool has 4 usable -> at most 2 admitted at a time.
-    reqs = [eng.submit([10 + i, 3, 9], max_new_tokens=6) for i in range(5)]
-    finished = eng.run()
-    assert len(finished) == 5
+    # Each request needs 2 blocks (span = 3+20+2*2 = 27 -> ceil(27/16));
+    # the pool has 4 usable -> at most 2 of the 4 slots hold requests at
+    # once, so _reserve_blocks MUST fail and re-queue during the run.
+    assert eng._blocks_needed(3, 20) == 2
+    reqs = [eng.submit([10 + i, 3, 9], max_new_tokens=20) for i in range(5)]
+    max_active = 0
+    while eng.has_work():
+        eng.step()
+        max_active = max(
+            max_active, sum(r is not None for r in eng.slot_req)
+        )
+    assert max_active == 2  # block pool, not slot count, was the limiter
     assert all(r.done and not r.error for r in reqs)
     assert len(eng._free_blocks) == eng.n_blocks - 1
 
@@ -285,3 +292,27 @@ def test_paged_prefix_survives_restart(models):
     assert len(requeued) == len(prompts)
     peng.run()
     assert [r.generated for r in r1] == want
+
+
+def test_paged_prefix_full_budget_pad_overflow(models):
+    """Regression: a full-budget prompt whose bucket-padded suffix scatter
+    reaches past capacity must steer the pad rows to the garbage sink, not
+    clamp them onto the slot's LAST LIVE block (which silently overwrote
+    real prompt KV)."""
+    cfg, flat_model, paged_model = models
+    # 63-token prompt = 22-token prefix + 41 suffix; bucket 8 pads the
+    # suffix to 48 -> scatter positions 22..69, of which 64..69 are past
+    # capacity and must not land on the slot's 4th (live) block.
+    prompt = PREFIX + [(7 * i + 3) % 128 for i in range(41)]
+    assert len(prompt) == 63
+
+    flatp = make_engine(cfg, flat_model, slots=2, steps_per_dispatch=1)
+    flatp.set_shared_prefix(PREFIX)
+    fr = flatp.submit(prompt, max_new_tokens=1)
+    flatp.run()
+
+    peng = make_engine(cfg, paged_model, slots=2, steps_per_dispatch=1)
+    peng.set_shared_prefix(PREFIX)
+    pr = peng.submit(prompt, max_new_tokens=1)
+    peng.run()
+    assert pr.generated == fr.generated
