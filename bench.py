@@ -93,25 +93,24 @@ def build_engine(capacity=None, kv_quant=False, device_sampler=None,
     # Paged is f32/bf16 KV only; forces kv_quant/deferred off.
     paged = os.environ.get("RTEN_BENCH_PAGED", "0") != "0"
     if paged:
-        if kv_quant:
+        if kv_bits == 4:
             print(
-                f"[bench] RTEN_BENCH_PAGED: paged KV is f32/bf16-only; "
-                f"RTEN_BENCH_KV={kv_env} runs as bf16",
+                "[bench] RTEN_BENCH_PAGED: int4 paged KV is unsupported; "
+                "running int8 pools",
                 file=sys.stderr,
             )
-        kv_quant, deferred_kv = False, False
+            kv_bits = 8
+        deferred_kv = False
         block_size = int(os.environ.get("RTEN_BENCH_BLOCK_SIZE", "64"))
         n_slots = slots or SLOTS
         paged_blocks = int(os.environ.get(
             "RTEN_BENCH_BLOCKS",
             str(1 + n_slots * (capacity // block_size)),
         ))
-        kdt = (
-            DataType.BFloat16
-            if kv_env in ("bf16", "int8", "int4") else None
-        )
+        kdt = DataType.BFloat16 if (kv_env == "bf16" and not kv_quant) else None
         graph = gpt2.build_graph_static_cache(
             cfg, weights, capacity=capacity, kv_dtype=kdt,
+            kv_quant=kv_quant, kv_bits=kv_bits,
             paged_blocks=paged_blocks, block_size=block_size,
         )
     else:

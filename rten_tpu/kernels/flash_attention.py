@@ -1187,14 +1187,19 @@ def _paged_nt_entry(lens_ref, t_ref, bt_ref, q_ref, k_ref, v_ref, ks_ref,
     )
 
 
-def paged_decode_mha(q, pool_k, pool_v, lens, block_table, *,
+def paged_decode_mha(q, pool_k, pool_v, lens, block_table,
+                     pool_ks=None, pool_vs=None, *,
                      scale: Optional[float] = None, window: int = 0,
                      interpret: bool = False):
     """Paged decode attention (S == 1): q [B,H,1,D] against pool K/V
     [NB,Hkv,BS,D] indexed by block_table [B,MB] with per-slot live lengths
     ``lens`` [B] (query of slot b sits at position lens[b], already written
     into its block). Logical position p of slot b lives at
-    pool[bt[b, p // BS], :, p % BS, :]."""
+    pool[bt[b, p // BS], :, p % BS, :].
+
+    int8 KV: pool_ks/pool_vs are per-position scale POOLS [NB, Hkv, 1, BS]
+    (positions lane-major, the NT body's native scale layout) addressed
+    through the same block table."""
     B, H, S, D = q.shape
     assert S == 1, "paged decode kernel is S==1 (prefill gathers)"
     NB, Hkv, BS, _ = pool_k.shape
@@ -1202,6 +1207,7 @@ def paged_decode_mha(q, pool_k, pool_v, lens, block_table, *,
     MB = block_table.shape[1]
     cap = MB * BS
     group = H // Hkv
+    quant = pool_ks is not None
     if scale is None:
         scale = 1.0 / float(np.sqrt(D))
     bq = round_up(S, 8)
@@ -1217,13 +1223,18 @@ def paged_decode_mha(q, pool_k, pool_v, lens, block_table, *,
         jc = jnp.minimum(j, lens[b] // BS)
         return (bt[b, jc], 0, 0, 0)
 
-    ks_dummy = jnp.ones((1, Hkv, 1, BS), jnp.float32)
+    zero4 = lambda b, j, *_: (0, 0, 0, 0)
+    if quant:
+        ksp, vsp = pool_ks, pool_vs
+        sc_index = kv_index
+    else:
+        ksp = vsp = jnp.ones((1, Hkv, 1, BS), jnp.float32)
+        sc_index = zero4
     rk_dummy = jnp.zeros((1, Hkv, 8, Dp), jnp.float32)
     kn_dummy = jnp.zeros((1, Hkv, 1, Dp), jnp.float32)
-    zero4 = lambda b, j, *_: (0, 0, 0, 0)
     kernel = functools.partial(
         _paged_nt_entry,
-        scale=float(scale), S=S, cap=cap, block_k=BS, quant=False,
+        scale=float(scale), S=S, cap=cap, block_k=BS, quant=quant,
         group=group, recent=0, append=False, bits=8, window=int(window),
     )
     out = pl.pallas_call(
@@ -1235,8 +1246,8 @@ def paged_decode_mha(q, pool_k, pool_v, lens, block_table, *,
                 pl.BlockSpec((1, H, bq, Dp), lambda b, j, *_: (b, 0, 0, 0)),
                 pl.BlockSpec((1, Hkv, BS, Dp), kv_index),
                 pl.BlockSpec((1, Hkv, BS, Dp), kv_index),
-                pl.BlockSpec((1, Hkv, 1, BS), zero4),
-                pl.BlockSpec((1, Hkv, 1, BS), zero4),
+                pl.BlockSpec((1, Hkv, 1, BS), sc_index),
+                pl.BlockSpec((1, Hkv, 1, BS), sc_index),
                 pl.BlockSpec((1, Hkv, 8, Dp), zero4),
                 pl.BlockSpec((1, Hkv, 8, Dp), zero4),
                 pl.BlockSpec((1, Hkv, 1, Dp), zero4),
@@ -1269,18 +1280,26 @@ def paged_decode_mha(q, pool_k, pool_v, lens, block_table, *,
         jnp.asarray(lens, jnp.int32),
         jnp.zeros(1, jnp.int32),
         jnp.asarray(block_table, jnp.int32),
-        qp, kp, vp, ks_dummy, ks_dummy, rk_dummy, rk_dummy,
+        qp, kp, vp, ksp, vsp, rk_dummy, rk_dummy,
         kn_dummy, kn_dummy,
     )[0]
     return out[:, :, :S, :D]
 
 
-def paged_attention(q, pool_k, pool_v, lens, block_table, *, scale=None,
+def paged_gather_scales(spool, bt):
+    """Scale pool [NB, Hkv, 1, BS] -> contiguous [B, Hkv, MB*BS]."""
+    g = spool[bt]  # [B, MB, Hkv, 1, BS]
+    B, MB, Hkv, _, BS = g.shape
+    return g.transpose(0, 2, 1, 3, 4).reshape(B, Hkv, MB * BS)
+
+
+def paged_attention(q, pool_k, pool_v, lens, block_table,
+                    pool_ks=None, pool_vs=None, *, scale=None,
                     window: int = 0, use_flash: bool = True,
                     interpret: bool = False):
     """Route paged attention: the Pallas block-table kernel for decode
     (S==1) on TPU; gather-to-contiguous + the standard per-slot attention
-    elsewhere (prefill, CPU)."""
+    elsewhere (prefill, CPU). pool_ks/pool_vs: int8-KV scale pools."""
     S = q.shape[2]
     B, H, _, D = q.shape
     # Same head-fold VMEM gate as decode_mha: the NT body holds every
@@ -1292,13 +1311,20 @@ def paged_attention(q, pool_k, pool_v, lens, block_table, *, scale=None,
     )
     if use_flash and (on_tpu() or interpret) and S == 1 and fold_ok:
         return paged_decode_mha(q, pool_k, pool_v, lens, block_table,
+                                pool_ks, pool_vs,
                                 scale=scale, window=window,
                                 interpret=interpret)
     kf = paged_gather_kv(pool_k, block_table)
     vf = paged_gather_kv(pool_v, block_table)
+    ks = vs = None
+    if pool_ks is not None:
+        ks = paged_gather_scales(pool_ks, block_table)
+        vs = paged_gather_scales(pool_vs, block_table)
     if use_flash and on_tpu():
-        return decode_attention(q, kf, vf, lens, scale=scale, window=window)
-    return decode_mha_xla(q, kf, vf, lens, scale=scale, window=window)
+        return decode_attention(q, kf, vf, lens, ks, vs, scale=scale,
+                                window=window)
+    return decode_mha_xla(q, kf, vf, lens, ks, vs, scale=scale,
+                          window=window)
 
 
 def mha_xla(q, k, v, mask=None, *, scale=None, causal=False, softcap=0.0):

@@ -183,9 +183,10 @@ def build_graph_static_cache(
         # block_size-row blocks; the engine assigns blocks per slot via
         # the block_table input. Block 0 is the reserved garbage sink for
         # unallocated entries.
-        if kv_quant or deferred_kv:
+        if deferred_kv or (kv_quant and kv_bits != 8):
             raise ValueError(
-                "paged_blocks is incompatible with kv_quant/deferred_kv"
+                "paged_blocks is incompatible with deferred_kv and with "
+                "int4 (kv_bits=4) caches"
             )
         if capacity % block_size or block_size % 8:
             raise ValueError(
@@ -262,7 +263,39 @@ def build_graph_static_cache(
             recent_v = b.input(
                 f"recent.{i}.value", rdt, ("slots", H, "recent", D)
             )
-        if kv_quant:
+        if kv_quant and paged_blocks:
+            # int8 paged KV: s8 pools + lane-major scale pools addressed by
+            # the block table (the headline KV dtype, paged).
+            past_k = b.input(
+                f"past_key_values.{i}.key", DataType.Int8,
+                (paged_blocks, H, block_size, D),
+            )
+            k_sc = b.input(
+                f"past_key_values.{i}.key_scale", DataType.Float,
+                (paged_blocks, H, 1, block_size),
+            )
+            past_v = b.input(
+                f"past_key_values.{i}.value", DataType.Int8,
+                (paged_blocks, H, block_size, D),
+            )
+            v_sc = b.input(
+                f"past_key_values.{i}.value_scale", DataType.Float,
+                (paged_blocks, H, 1, block_size),
+            )
+            attn, pk, pks, pv, pvs = b.op(
+                "QuantizedKVAttention",
+                [q, k, v, past_k, k_sc, past_v, v_sc, past_lens,
+                 block_table],
+                {"num_heads": H, "bits": kv_bits, "rten_paged": 1},
+                n_outputs=5,
+                output_names=[
+                    f"attn_out_{i}", f"present.{i}.key",
+                    f"present.{i}.key_scale", f"present.{i}.value",
+                    f"present.{i}.value_scale",
+                ],
+            )
+            presents.extend([pk, pks, pv, pvs])
+        elif kv_quant:
             # kv_bits=4: nibble-packed u8 cache at HALF the head-dim lanes
             # (kernels/flash_attention.pack_int4) — 8x f32's context
             # capacity per HBM byte, scales unchanged.

@@ -98,9 +98,10 @@ def build_graph_static_cache(
     if paged_blocks:
         # Paged KV cache (see gpt2.build_graph_static_cache): caches become
         # a shared block pool + block_table input; v1 is f32/bf16 KV only.
-        if kv_quant or deferred_kv:
+        if deferred_kv or (kv_quant and kv_bits != 8):
             raise ValueError(
-                "paged_blocks is incompatible with kv_quant/deferred_kv"
+                "paged_blocks is incompatible with deferred_kv and with "
+                "int4 (kv_bits=4) caches"
             )
         if capacity % block_size or block_size % 8:
             raise ValueError(
@@ -163,6 +164,45 @@ def build_graph_static_cache(
         q = proj(h, f"{p}.self_attn.q_proj")
         k = proj(h, f"{p}.self_attn.k_proj")
         v = proj(h, f"{p}.self_attn.v_proj")
+        if kv_quant and paged_blocks:
+            # int8 paged KV with in-op rotary (positions from past_lens).
+            past_k = b.input(
+                f"past_key_values.{i}.key", DataType.Int8,
+                (paged_blocks, Hkv, block_size, D),
+            )
+            k_sc = b.input(
+                f"past_key_values.{i}.key_scale", DataType.Float,
+                (paged_blocks, Hkv, 1, block_size),
+            )
+            past_v = b.input(
+                f"past_key_values.{i}.value", DataType.Int8,
+                (paged_blocks, Hkv, block_size, D),
+            )
+            v_sc = b.input(
+                f"past_key_values.{i}.value_scale", DataType.Float,
+                (paged_blocks, Hkv, 1, block_size),
+            )
+            qattrs = {
+                "num_heads": Hq, "kv_num_heads": Hkv, "bits": kv_bits,
+                "do_rotary": 1, "rten_paged": 1,
+            }
+            if cfg.sliding_window:
+                qattrs["local_window_size"] = cfg.sliding_window
+            outs = b.op(
+                "QuantizedKVAttention",
+                [q, k, v, past_k, k_sc, past_v, v_sc, past_lens,
+                 block_table, cos_c, sin_c],
+                qattrs,
+                n_outputs=5,
+                output_names=[
+                    f"attn_out_{i}", f"present.{i}.key",
+                    f"present.{i}.key_scale", f"present.{i}.value",
+                    f"present.{i}.value_scale",
+                ],
+            )
+            x = block_tail(x, outs[0], p)
+            presents.extend(outs[1:])
+            continue
         if kv_quant:
             kv_elem = DataType.UInt8 if kv_bits == 4 else DataType.Int8
             kv_d = D // 2 if kv_bits == 4 else D

@@ -98,6 +98,41 @@ def _paged_kv_update(pool, new, starts, bt):
     return pool.at[blk.reshape(-1), :, off.reshape(-1), :].set(rows)
 
 
+def _paged_scale_update(spool, s_new, starts, bt):
+    """Scale-pool companion of _paged_kv_update: spool [NB, Hkv, 1, BS]
+    (positions lane-major, the paged kernel's scale layout), s_new
+    [B, Hkv, S, 1] per-row scales for positions starts[b]..starts[b]+S-1."""
+    B, Hkv, S, _ = s_new.shape
+    BS = spool.shape[3]
+    MB = bt.shape[1]
+    starts = jnp.asarray(starts, jnp.int32)
+    bt = jnp.asarray(bt, jnp.int32)
+    s_new = s_new.astype(spool.dtype)
+    if S == 1:
+        for i in range(B):
+            jb = starts[i] // BS
+            blk = jnp.where(
+                jb < MB,
+                jax.lax.dynamic_index_in_dim(
+                    bt[i], jnp.minimum(jb, MB - 1), keepdims=False
+                ),
+                0,
+            )
+            pool_row = s_new[i : i + 1].reshape(1, Hkv, 1, 1)
+            spool = jax.lax.dynamic_update_slice(
+                spool, pool_row, (blk, 0, 0, starts[i] % BS)
+            )
+        return spool
+    pos = starts[:, None] + jnp.arange(S, dtype=jnp.int32)[None]  # [B, S]
+    jb = pos // BS
+    blk = jnp.where(
+        jb < MB, jnp.take_along_axis(bt, jnp.minimum(jb, MB - 1), axis=1), 0
+    )
+    off = pos % BS
+    rows = s_new[..., 0].transpose(0, 2, 1).reshape(B * S, Hkv)
+    return spool.at[blk.reshape(-1), :, 0, off.reshape(-1)].set(rows)
+
+
 def _split_heads(x, n_heads):
     # [B, S, H*D] -> [B, H, S, D]
     B, S, HD = x.shape
@@ -623,6 +658,26 @@ def _quantized_kv_attention(ctx, inputs, attrs):
                 new_v_s.reshape(B, kv_heads, cap), scale=scale)
         return (_merge_heads(out), new_k_q8, new_k_s, new_v_q8, new_v_s,
                 recent_k, recent_v)
+
+    if bool(attrs.get("rten_paged", 0)):
+        # Paged int8 KV: pools [NB, Hkv, BS, D] + scale pools
+        # [NB, Hkv, 1, BS] addressed by the block table (input 8).
+        if bits != 8:
+            raise OpError("rten_paged quantized KV supports bits=8 only")
+        bt = get_input(inputs, 8, "block_table")
+        from ..kernels.flash_attention import paged_attention
+
+        k_q8, k_s = quantize(k4)
+        v_q8, v_s = quantize(v4)
+        new_pk = _paged_kv_update(past_k_q8, k_q8, lens, bt)
+        new_ks = _paged_scale_update(k_scales, k_s, lens, bt)
+        new_pv = _paged_kv_update(past_v_q8, v_q8, lens, bt)
+        new_vs = _paged_scale_update(v_scales, v_s, lens, bt)
+        out = paged_attention(
+            q4, new_pk, new_pv, lens, bt, new_ks, new_vs, scale=scale,
+            window=window, use_flash=_use_flash(ctx),
+        )
+        return (_merge_heads(out), new_pk, new_ks, new_pv, new_vs)
 
     k_q8, k_s = quantize(k4)
     v_q8, v_s = quantize(v4)

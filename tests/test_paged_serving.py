@@ -144,10 +144,15 @@ def test_submit_impossible_reservation_rejected(models):
 def test_paged_guards(models):
     cfg, _, paged_model = models
     weights = gpt2.random_weights(cfg, seed=11)
-    with pytest.raises(ValueError, match="paged_blocks"):
+    with pytest.raises(ValueError, match="int4"):
         gpt2.build_graph_static_cache(
             cfg, weights, capacity=CAP, paged_blocks=8, block_size=BS,
-            kv_quant=True,
+            kv_quant=True, kv_bits=4,
+        )
+    with pytest.raises(ValueError, match="deferred"):
+        gpt2.build_graph_static_cache(
+            cfg, weights, capacity=CAP, paged_blocks=8, block_size=BS,
+            deferred_kv=True,
         )
     with pytest.raises(ValueError, match="block_size"):
         gpt2.build_graph_static_cache(
@@ -316,3 +321,79 @@ def test_paged_prefix_full_budget_pad_overflow(models):
     pr = peng.submit(prompt, max_new_tokens=1)
     peng.run()
     assert pr.generated == fr.generated
+
+
+@pytest.mark.parametrize("family", ["gpt2", "llama"])
+def test_paged_int8_kv_matches_flat_int8(models, family):
+    """int8 paged pools (the headline KV dtype) == flat int8 caches: the
+    per-row absmax quantize happens at write time in both layouts, so the
+    stored values — and therefore the tokens — are identical."""
+    if family == "gpt2":
+        cfg, _, _ = models
+        weights = gpt2.random_weights(cfg, seed=11)
+        flat = gpt2.build_graph_static_cache(
+            cfg, weights, capacity=CAP, kv_quant=True
+        )
+        paged = gpt2.build_graph_static_cache(
+            cfg, weights, capacity=CAP, kv_quant=True,
+            paged_blocks=40, block_size=BS,
+        )
+        n_layer, n_head, head_dim = cfg.n_layer, cfg.n_head, cfg.head_dim
+    else:
+        from rten_tpu.models import llama
+
+        lcfg = llama.LlamaConfig(
+            vocab_size=128, hidden_size=32, intermediate_size=64,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=128,
+        )
+        w = llama.random_weights(lcfg, seed=5)
+        flat = llama.build_graph_static_cache(lcfg, w, capacity=CAP,
+                                              kv_quant=True)
+        paged = llama.build_graph_static_cache(
+            lcfg, w, capacity=CAP, kv_quant=True,
+            paged_blocks=40, block_size=BS,
+        )
+        n_layer, n_head, head_dim = 2, 4, lcfg.head_dim
+
+    def run(graph):
+        eng = ContinuousBatchingEngine(
+            Model(graph, ModelOptions(optimize=True)),
+            n_layer=n_layer, n_head=n_head, head_dim=head_dim,
+            slots=2, capacity=CAP, prefill_bucket=8,
+            greedy_on_device=True, steps_per_dispatch=4,
+        )
+        reqs = [eng.submit(p, max_new_tokens=9) for p in PROMPTS[:3]]
+        eng.run()
+        return [r.generated for r in reqs]
+
+    assert run(paged) == run(flat)
+
+
+def test_paged_int8_kernel_interpret_matches_gather():
+    from rten_tpu.kernels.flash_attention import (
+        decode_mha_xla,
+        paged_decode_mha,
+        paged_gather_kv,
+        paged_gather_scales,
+    )
+
+    rng = np.random.default_rng(1)
+    B, H, D, BSk, MB, NB = 2, 4, 64, 16, 4, 12
+    pool_k = rng.integers(-127, 128, (NB, H, BSk, D)).astype(np.int8)
+    pool_v = rng.integers(-127, 128, (NB, H, BSk, D)).astype(np.int8)
+    pool_ks = rng.uniform(0.001, 0.02, (NB, H, 1, BSk)).astype(np.float32)
+    pool_vs = rng.uniform(0.001, 0.02, (NB, H, 1, BSk)).astype(np.float32)
+    bt = rng.permutation(np.arange(1, NB))[: B * MB].reshape(B, MB)
+    bt = bt.astype(np.int32)
+    lens = np.array([7, 60], np.int32)
+    q = rng.standard_normal((B, H, 1, D)).astype(np.float32)
+
+    got = np.asarray(paged_decode_mha(
+        q, pool_k, pool_v, lens, bt, pool_ks, pool_vs, interpret=True
+    ))
+    want = np.asarray(decode_mha_xla(
+        q, paged_gather_kv(pool_k, bt), paged_gather_kv(pool_v, bt), lens,
+        paged_gather_scales(pool_ks, bt), paged_gather_scales(pool_vs, bt),
+    ))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
