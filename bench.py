@@ -80,8 +80,23 @@ def build_engine(capacity=None, kv_quant=False, device_sampler=None,
         kv_bits = 4
     cfg = gpt2.GPT2Config(n_layer=N_LAYER, n_embd=N_EMBD, n_head=N_HEAD)
     weights = gpt2.random_weights(cfg, seed=0)
+    # In-kernel cache append (round 4, default): the decode-attention
+    # kernel quantizes + merges the new KV row into its aliased write-back
+    # block — no recent-window stream, no window dus, no commit chains
+    # (together ~1ms/step at slots=96 in the round-4 trace). On-chip A/B
+    # at slots=96: 19,399 tok/s vs 17,353 deferred (+12%), hard config
+    # 4,096 vs 3,882. RTEN_BENCH_APPEND=deferred selects the old design.
+    kernel_append = (
+        os.environ.get("RTEN_BENCH_APPEND", "kernel") == "kernel"
+        and kv_bits == 8
+    )
     if deferred_kv is None:
-        deferred_kv = os.environ.get("RTEN_BENCH_DEFERRED_KV", "1") != "0"
+        deferred_kv = (
+            not kernel_append
+            and os.environ.get("RTEN_BENCH_DEFERRED_KV", "1") != "0"
+        )
+    if kernel_append:
+        deferred_kv = False
     from rten_tpu.dtypes import DataType
 
     rdt = {
@@ -117,7 +132,7 @@ def build_engine(capacity=None, kv_quant=False, device_sampler=None,
         graph = gpt2.build_graph_static_cache(
             cfg, weights, capacity=capacity, kv_quant=kv_quant,
             deferred_kv=deferred_kv, recent_dtype=rdt, kv_dtype=kdt,
-            kv_bits=kv_bits,
+            kv_bits=kv_bits, kernel_append=kernel_append,
         )
     if os.environ.get("RTEN_BENCH_QUANT", "int8") == "int4":
         from rten_tpu.quantize_pass import quantize_weight_only_int4

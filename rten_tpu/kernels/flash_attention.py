@@ -1154,6 +1154,453 @@ def decode_attention_deferred(q, k, v, lens0, k_scale=None, v_scale=None, *,
     return out, rk, rv
 
 
+# --- in-kernel cache append (serving decode hot path) ------------------------
+#
+# The deferred-KV design (recent windows + once-per-dispatch commit) paid
+# three taxes the round-4 trace measured at slots=96: the bf16 window
+# streamed 196KB/slot/layer into every decode-attention call (~33% of the
+# kernel's bytes), the per-step window dus cost ~180us/step, and the
+# per-slot commit chains cost ~550us/step. Mosaic cannot DMA a single s8
+# or bf16 cache row (sublane tiling / 128-lane alignment), so instead the
+# new row is merged in VMEM and written back through ALIASED OUTPUT
+# BLOCKS whose index maps are constant over the key-block grid axis: one
+# small block write per slot replaces windows, window-appends and commits
+# entirely.
+#
+# Layout notes (what the first, transposed attempt got wrong): ALL VPU
+# work must stay lane-major — scores [Hp, Hkv*bk] with cache positions on
+# LANES, exactly like _decode_kernel_folded_nt (the [W, Hp] transposed
+# variant used 16 of 128 lanes for every exp/mask/reduce and measured
+# 892us/call vs 136us on the chip). The write-back K/V block is 32 rows
+# (the s8 sublane tile), NOT the full 128-row read block: appending one
+# row must not cost a 131KB block write per slot per layer. Scales keep
+# the decode path's lane-major [B,Hkv,1,cap] layout and write back at
+# full lane-block granularity (the block is only Hkv*bk*4 bytes).
+
+
+def _append_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
+                   kn_ref, vn_ref, out_ref, kw_ref, vw_ref, ksw_ref,
+                   vsw_ref, m_ref, l_ref, acc_ref, *, scale: float,
+                   cap: int, block_k: int, block_w: int, quant: bool,
+                   group: int, window: int = 0):
+    """Lane-major NT decode attention (S==1) with integrated cache append.
+
+    Grid (slot, key-block). Blocks strictly BELOW the one holding the
+    write position run _decode_kernel_folded_nt's score path verbatim
+    (one [Hp,D]x[D,Hkv*bk] score dot + one value dot, GQA via lane
+    masking, int8 scales lane-merged). The LAST grid step — whose
+    resident block the read index map clamps to the write block — does
+    everything else in a single merge:
+
+      * quantizes the incoming K/V row (absmax/127, identical math to
+        ops/attention.quantize) and scores the current token from the
+        QUANTIZED row times its scale — bit-identical to what any later
+        step computes when it re-reads the row from the cache;
+      * lane-CONCATENATES the new-row scores/values onto the resident
+        block's, so the whole tail costs ONE online-softmax merge (a
+        separate new-row merge measured +46us/call at slots=96);
+      * merges the row into a block_w-row slice of the resident block
+        and writes it back through an aliased output targeting the
+        32-row block containing row lens[b].
+
+    Cache rows are valid strictly below lens[b]; the new row lands AT
+    lens[b] (clamped to cap-1; the engine never decodes a full slot).
+    """
+    b = pl.program_id(0)
+    kb = pl.program_id(1)
+    nkb = pl.num_programs(1)
+    Hkv = k_ref.shape[1]
+    D = k_ref.shape[3]
+    H = q_ref.shape[1]
+    Hp = m_ref.shape[0]
+    bk = block_k
+    bw = block_w
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    lens_b = lens_ref[b]
+    wpos = jnp.minimum(lens_b, cap - 1)
+    wblk = wpos // bk
+
+    q_sm = q_ref[0, :, 0, :]                       # [H, D] (S == 1)
+    if Hp > H:
+        q_t = jnp.concatenate(
+            [q_sm, jnp.zeros((Hp - H, D), q_sm.dtype)], axis=0
+        )
+    else:
+        q_t = q_sm
+
+    def merge(s, vmat, vs_row=None):
+        """Online-softmax merge of one lane-major score block (identical
+        to _decode_kernel_folded_nt.merge)."""
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        p = jnp.where(
+            jnp.broadcast_to(m_new, s.shape) <= NEG_INF / 2, 0.0, p
+        )
+        alpha = jnp.where(
+            m_prev <= NEG_INF / 2, 0.0, jnp.exp(m_prev - m_new)
+        )
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        if vs_row is not None:
+            p = p * vs_row
+        acc_ref[:] = acc_ref[:] * alpha + _dot_f32(
+            p, vmat, (((1,), (0,)), ((), ()))
+        )
+        m_ref[:] = m_new
+
+    def lane_merge(sc_ref, width):
+        return jnp.concatenate(
+            [sc_ref[0, kvh, 0, :].reshape(1, width) for kvh in range(Hkv)],
+            axis=1,
+        )
+
+    def block_scores(blk, width):
+        """Masked scores for the resident K block ([Hp, Hkv*width])."""
+        km = k_ref[0].reshape(Hkv * width, D)
+        s = _dot_f32(
+            q_t, km, (((1,), (1,)), ((), ()))
+        ) * scale
+        if quant:
+            s = s * lane_merge(ks_ref, width)
+        sub = jax.lax.broadcasted_iota(jnp.int32, (Hp, Hkv * width), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (Hp, Hkv * width), 1)
+        col = blk * width + lane % width
+        valid = ((lane // width) == (sub // group)) & (sub < H)
+        valid &= (col < lens_b) & (col < cap)
+        if window:
+            # The query sits at position lens; it attends (lens-window,
+            # lens]: cached rows need col > lens - window.
+            valid &= col > lens_b - window
+        return jnp.where(valid, s, NEG_INF)
+
+    # Blocks strictly below the write block (the write block itself is
+    # the LAST step's resident block and merges there, new row included).
+    @pl.when(kb < wblk)
+    def _():
+        s = block_scores(kb, bk)
+        vm = v_ref[0].reshape(Hkv * bk, D)
+        merge(s, vm, lane_merge(vs_ref, bk) if quant else None)
+
+    @pl.when(kb == nkb - 1)
+    def _():
+        knm = kn_ref[0, :, 0, :].astype(jnp.float32)   # [Hkv, D]
+        vnm = vn_ref[0, :, 0, :].astype(jnp.float32)
+        if quant:
+            eye = (
+                jax.lax.broadcasted_iota(jnp.int32, (Hkv, Hkv), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (Hkv, Hkv), 1)
+            ).astype(jnp.float32)
+
+            def sub_to_lane(x):                        # [Hkv, 1] -> [1, Hkv]
+                return jax.lax.dot_general(
+                    x, eye, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+            ks_new = jnp.maximum(
+                jnp.max(jnp.abs(knm), axis=-1, keepdims=True) / 127.0, 1e-8
+            )                                          # [Hkv, 1]
+            vs_new = jnp.maximum(
+                jnp.max(jnp.abs(vnm), axis=-1, keepdims=True) / 127.0, 1e-8
+            )
+            k_q = jnp.clip(jnp.round(knm / ks_new), -127, 127)
+            v_q = jnp.clip(jnp.round(vnm / vs_new), -127, 127)
+            # Score/value the row from its CACHE representation (s8):
+            # _dot_f32 converts s8 the same way a later cache read does.
+            k_row = k_q.astype(k_ref.dtype)
+            v_row = v_q.astype(v_ref.dtype)
+            ks_row = sub_to_lane(ks_new)               # [1, Hkv]
+            vs_row = sub_to_lane(vs_new)
+        else:
+            # Score from the value the cache will hold (cast roundtrip).
+            k_row = knm.astype(k_ref.dtype)
+            v_row = vnm.astype(v_ref.dtype)
+            ks_row = vs_row = None
+
+        # Resident-block scores + new-row scores, one merge for both.
+        sr = block_scores(wblk, bk)                    # [Hp, Hkv*bk]
+        sn = _dot_f32(
+            q_t, k_row, (((1,), (1,)), ((), ()))
+        ) * scale                                      # [Hp, Hkv]
+        if quant:
+            sn = sn * ks_row
+        subn = jax.lax.broadcasted_iota(jnp.int32, (Hp, Hkv), 0)
+        lanen = jax.lax.broadcasted_iota(jnp.int32, (Hp, Hkv), 1)
+        validn = (lanen == (subn // group)) & (subn < H)
+        sn = jnp.where(validn, sn, NEG_INF)
+
+        s_all = jnp.concatenate([sr, sn], axis=1)      # [Hp, Hkv*(bk+1)]
+        vm_all = jnp.concatenate(
+            [v_ref[0].reshape(Hkv * bk, D), v_row], axis=0
+        )
+        if quant:
+            vs_all = jnp.concatenate(
+                [lane_merge(vs_ref, bk), vs_row], axis=1
+            )
+        else:
+            vs_all = None
+        merge(s_all, vm_all, vs_all)
+
+        l = l_ref[:]
+        l = jnp.where(l == 0.0, 1.0, l)
+        out = (acc_ref[:] / l)[:H]                     # [H, D]
+        bq = out_ref.shape[2]
+        out_ref[0] = jnp.broadcast_to(
+            out[:, None, :], (H, bq, D)
+        ).astype(out_ref.dtype)
+
+        # --- write-back ------------------------------------------------
+        # The read index map clamps to wpos//bk, so at THIS (final) grid
+        # step the resident K/V/scale input blocks are exactly the blocks
+        # containing the write position — the bw-row write block is
+        # always a live slice of the resident block (off in [0, bk-bw]).
+        off = pl.multiple_of((wpos // bw) * bw - wblk * bk, bw)
+        wrow = wpos % bw
+        rowsel = (
+            jax.lax.broadcasted_iota(jnp.int32, (Hkv, bw, D), 1) == wrow
+        )
+
+        def write_kv(w_ref, src_ref, row):
+            base = src_ref[0, :, pl.ds(off, bw), :]
+            w_ref[0] = jnp.where(rowsel, row[:, None, :], base)
+
+        write_kv(kw_ref, k_ref, k_row)
+        write_kv(vw_ref, v_ref, v_row)
+        if quant:
+            # Scales: full lane-block granularity ([Hkv, 1, bk] is tiny).
+            lsel = (
+                jax.lax.broadcasted_iota(jnp.int32, (Hkv, 1, bk), 2)
+                == wpos % bk
+            )
+            ksw_ref[0] = jnp.where(lsel, ks_new[:, :, None], ks_ref[0])
+            vsw_ref[0] = jnp.where(lsel, vs_new[:, :, None], vs_ref[0])
+
+
+def _append_entry(*refs, quant: bool, **kw):
+    """Arity adapter: the non-quant variant has no scale operands."""
+    if quant:
+        (lens, q, k, v, ks, vs, kn, vn,
+         out, kw_, vw_, ksw, vsw, m, l, acc) = refs
+    else:
+        (lens, q, k, v, kn, vn, out, kw_, vw_, m, l, acc) = refs
+        ks = vs = ksw = vsw = None
+    return _append_kernel(
+        lens, q, k, v, ks, vs, kn, vn, out, kw_, vw_, ksw, vsw,
+        m, l, acc, quant=quant, **kw
+    )
+
+
+def decode_mha_append(q, k, v, lens, k_scale=None, v_scale=None, *,
+                      k_new, v_new, scale=None, block_k: int = 256,
+                      window: int = 0, interpret: bool = False):
+    """Decode attention with integrated cache append (S == 1 only).
+
+    q [B,H,1,D]; k/v [B,Hkv,cap,D] caches holding rows < lens[b]; k_new /
+    v_new [B,Hkv,1,D] f32 rows for position lens[b]. Quantized caches
+    (k_scale/v_scale [B,Hkv,cap] lane-major) quantize the row in-kernel.
+
+    Returns (out [B,H,1,D], new_k, new_v) or (+ new_k_scale, new_v_scale)
+    for quantized caches — the cache outputs alias their inputs, so under
+    jit-with-donation the append is in place.
+    """
+    B, H, S, D = q.shape
+    _, Hkv, cap, _ = k.shape
+    assert S == 1, "decode_mha_append is a single-token decode kernel"
+    assert D in (64, 128, 256, 512), f"unsupported head dim {D}"
+    group = H // Hkv
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(D))
+    quant = k_scale is not None
+    bk = min(block_k, round_up(cap, 128))
+    assert cap % bk == 0, f"cap {cap} must be a multiple of block_k {bk}"
+    # Write-back granularity: the s8 sublane tile (32) is the smallest
+    # block Mosaic can address for every cache dtype in play.
+    bw = min(32, bk)
+    nkb = cap // bk
+    Hp = round_up(H, 8)
+    bq = 8
+
+    qp = pad_dim(q, 2, bq)
+    lens = jnp.asarray(lens, jnp.int32)
+
+    # Read clamp: wpos//bk (not jmax) so the FINAL grid step's resident
+    # block is the one containing the write position — the write-back
+    # base is then always a live slice of the resident block, and dead
+    # rows in the cache are preserved bit-exactly. For kb <= jmax the
+    # clamp is the identity, so attention reads are unchanged.
+    kv_index = lambda b, j, lens: (
+        b, 0, jnp.minimum(j, jnp.minimum(lens[b], cap - 1) // bk), 0
+    )
+    sc_index = lambda b, j, lens: (
+        b, 0, 0, jnp.minimum(j, jnp.minimum(lens[b], cap - 1) // bk)
+    )
+    w_index = lambda b, j, lens: (
+        b, 0, jnp.minimum(lens[b], cap - 1) // bw, 0
+    )
+    sw_index = lambda b, j, lens: (
+        b, 0, 0, jnp.minimum(lens[b], cap - 1) // bk
+    )
+    fixed = lambda b, j, lens: (b, 0, 0, 0)
+
+    kernel = functools.partial(
+        _append_entry,
+        scale=float(scale), cap=cap, block_k=bk, block_w=bw, quant=quant,
+        group=group, window=int(window),
+    )
+    in_specs = [
+        pl.BlockSpec((1, H, bq, D), fixed),
+        pl.BlockSpec((1, Hkv, bk, D), kv_index),
+        pl.BlockSpec((1, Hkv, bk, D), kv_index),
+    ]
+    operands = [qp, k, v]
+    if quant:
+        ksp = k_scale.reshape(B, Hkv, 1, cap)
+        vsp = v_scale.reshape(B, Hkv, 1, cap)
+        in_specs += [
+            pl.BlockSpec((1, Hkv, 1, bk), sc_index),
+            pl.BlockSpec((1, Hkv, 1, bk), sc_index),
+        ]
+        operands += [ksp, vsp]
+    in_specs += [
+        pl.BlockSpec((1, Hkv, 1, D), fixed),
+        pl.BlockSpec((1, Hkv, 1, D), fixed),
+    ]
+    operands += [jnp.asarray(k_new, jnp.float32),
+                 jnp.asarray(v_new, jnp.float32)]
+
+    out_specs = [
+        pl.BlockSpec((1, H, bq, D), fixed),
+        pl.BlockSpec((1, Hkv, bw, D), w_index),
+        pl.BlockSpec((1, Hkv, bw, D), w_index),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, H, bq, D), q.dtype),
+        jax.ShapeDtypeStruct(k.shape, k.dtype),
+        jax.ShapeDtypeStruct(v.shape, v.dtype),
+    ]
+    # Operand indices include the scalar-prefetch lens (index 0): the k/v
+    # caches (and scale pools) alias straight through to their outputs.
+    aliases = {2: 1, 3: 2}
+    if quant:
+        out_specs += [
+            pl.BlockSpec((1, Hkv, 1, bk), sw_index),
+            pl.BlockSpec((1, Hkv, 1, bk), sw_index),
+        ]
+        out_shapes += [
+            jax.ShapeDtypeStruct(ksp.shape, ksp.dtype),
+            jax.ShapeDtypeStruct(vsp.shape, vsp.dtype),
+        ]
+        aliases = {2: 1, 3: 2, 4: 3, 5: 4}
+
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, nkb),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((Hp, 1), jnp.float32),
+                pltpu.VMEM((Hp, 1), jnp.float32),
+                pltpu.VMEM((Hp, D), jnp.float32),
+            ],
+        ),
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * cap * D,
+            bytes_accessed=(
+                B * H * bq * D * 8
+                + 2 * B * Hkv * cap * (1 if quant else k.dtype.itemsize)
+                + 2 * B * Hkv * bw * D * k.dtype.itemsize
+            ),
+            transcendentals=B * H * cap,
+        ),
+        interpret=interpret,
+    )(lens, *operands)
+    out = res[0][:, :, :S, :D]
+    if quant:
+        sshape = k_scale.shape
+        return (out, res[1], res[2],
+                res[3].reshape(sshape), res[4].reshape(sshape))
+    return out, res[1], res[2]
+
+
+def decode_attention_append(q, k, v, lens, k_scale=None, v_scale=None, *,
+                            k_new, v_new, scale=None, window: int = 0,
+                            use_flash=True, interpret=False):
+    """Route the append-mode decode step: the Pallas kernel on TPU, an
+    equivalent dus-write + attention elsewhere. Both compute identical
+    math (quantize row, write at lens, attend rows <= lens)."""
+    B, Hkv = k_new.shape[0], k_new.shape[1]
+    cap = k.shape[2]
+    quant = k_scale is not None
+    eligible = (
+        use_flash
+        and (on_tpu() or interpret)
+        and q.shape[2] == 1
+        and q.shape[3] in (64, 128, 256, 512)
+        and k.dtype != jnp.uint8  # int4 stays on the deferred path
+    )
+    if eligible:
+        return decode_mha_append(
+            q, k, v, lens, k_scale, v_scale, k_new=k_new, v_new=v_new,
+            scale=scale, window=window, interpret=interpret,
+        )
+    # Fallback: quantize + row-write + standard attention.
+    lens = jnp.asarray(lens, jnp.int32).reshape(B)
+    if quant:
+        knm = jnp.asarray(k_new, jnp.float32)
+        vnm = jnp.asarray(v_new, jnp.float32)
+        ks_new = jnp.maximum(
+            jnp.max(jnp.abs(knm), axis=-1, keepdims=True) / 127.0, 1e-8
+        )
+        vs_new = jnp.maximum(
+            jnp.max(jnp.abs(vnm), axis=-1, keepdims=True) / 127.0, 1e-8
+        )
+        k_q = jnp.clip(jnp.round(knm / ks_new), -127, 127).astype(jnp.int8)
+        v_q = jnp.clip(jnp.round(vnm / vs_new), -127, 127).astype(jnp.int8)
+
+        def row_write(buf, new, starts):
+            for i in range(B):
+                buf = jax.lax.dynamic_update_slice(
+                    buf, new[i: i + 1], (i, 0, starts[i], 0)
+                )
+            return buf
+
+        nk = row_write(k, k_q, lens)
+        nv = row_write(v, v_q, lens)
+        nks = row_write(k_scale, ks_new.astype(k_scale.dtype), lens)
+        nvs = row_write(v_scale, vs_new.astype(v_scale.dtype), lens)
+        f = decode_attention if use_flash else decode_mha_xla
+        out = f(q, nk, nv, lens,
+                nks.reshape(B, Hkv, cap), nvs.reshape(B, Hkv, cap),
+                scale=scale, window=window)
+        return out, nk, nv, nks, nvs
+    nk = k
+    nv = v
+    for i in range(B):
+        nk = jax.lax.dynamic_update_slice(
+            nk, k_new[i: i + 1].astype(k.dtype), (i, 0, lens[i], 0)
+        )
+        nv = jax.lax.dynamic_update_slice(
+            nv, v_new[i: i + 1].astype(v.dtype), (i, 0, lens[i], 0)
+        )
+    f = decode_attention if use_flash else decode_mha_xla
+    out = f(q, nk, nv, lens, scale=scale, window=window)
+    return out, nk, nv
+
+
 # --- paged KV cache (block tables) -------------------------------------------
 #
 # vLLM-style paged attention, TPU-native: the KV cache is a shared POOL of

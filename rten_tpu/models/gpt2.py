@@ -154,6 +154,7 @@ def build_graph_static_cache(
     recent_dtype: "DataType" = None, kv_dtype: "DataType" = None,
     kv_bits: int = 8, lora_rank: int = 0, n_adapters: int = 0,
     paged_blocks: int = 0, block_size: int = 64,
+    kernel_append: bool = False,
 ) -> Graph:
     """Serving-engine variant: KV caches are preallocated [slots, H, cap, D]
     buffers written in-graph at per-slot offsets (GroupQueryAttention with
@@ -193,6 +194,15 @@ def build_graph_static_cache(
                 "capacity must be a multiple of block_size, and block_size "
                 f"a multiple of 8 (got {capacity=}, {block_size=})"
             )
+    if kernel_append and (deferred_kv or paged_blocks or kv_bits != 8):
+        raise ValueError(
+            "kernel_append (in-kernel cache append) is incompatible with "
+            "deferred_kv, paged_blocks and int4 caches"
+        )
+    # Decode steps (S==1) merge the new KV row into the cache inside the
+    # attention kernel (aliased write-back block) instead of a per-slot
+    # dus chain or a deferred window+commit.
+    ka_attr = {"rten_kernel_append": 1} if kernel_append else {}
 
     ids = b.input("input_ids", DataType.Int32, ("slots", "seq"))
     past_lens = b.input("past_lens", DataType.Int32, ("slots",))
@@ -335,7 +345,7 @@ def build_graph_static_cache(
                 attn, pk, pks, pv, pvs = b.op(
                     "QuantizedKVAttention",
                     [q, k, v, past_k, k_sc, past_v, v_sc, past_lens],
-                    {"num_heads": H, "bits": kv_bits},
+                    {"num_heads": H, "bits": kv_bits, **ka_attr},
                     n_outputs=5,
                     output_names=[
                         f"attn_out_{i}", f"present.{i}.key", f"present.{i}.key_scale",
@@ -403,7 +413,8 @@ def build_graph_static_cache(
                 attn, pk, pv = b.op(
                     "GroupQueryAttention",
                     [q, k, v, past_k, past_v, past_lens],
-                    {"num_heads": H, "kv_num_heads": H, "rten_past_lens": 1},
+                    {"num_heads": H, "kv_num_heads": H, "rten_past_lens": 1,
+                     **ka_attr},
                     n_outputs=3,
                     output_names=[
                         f"attn_out_{i}", f"present.{i}.key", f"present.{i}.value",

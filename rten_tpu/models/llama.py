@@ -68,6 +68,7 @@ def build_graph_static_cache(
     deferred_kv: bool = False, recent_dtype: DataType = None,
     kv_dtype: DataType = None, kv_quant: bool = False, kv_bits: int = 8,
     paged_blocks: int = 0, block_size: int = 64,
+    kernel_append: bool = False,
 ) -> Graph:
     """Serving graph: inputs input_ids [slots,seq], past_lens [slots],
     position_ids [slots,seq]; outputs logits, present.N.{key,value},
@@ -108,6 +109,12 @@ def build_graph_static_cache(
                 "capacity must be a multiple of block_size, and block_size "
                 f"a multiple of 8 (got {capacity=}, {block_size=})"
             )
+    if kernel_append and (deferred_kv or paged_blocks or kv_bits != 8):
+        raise ValueError(
+            "kernel_append (in-kernel cache append) is incompatible with "
+            "deferred_kv, paged_blocks and int4 caches"
+        )
+    ka_attr = {"rten_kernel_append": 1} if kernel_append else {}
 
     ids = b.input("input_ids", DataType.Int32, ("slots", "seq"))
     past_lens = b.input("past_lens", DataType.Int32, ("slots",))
@@ -257,7 +264,7 @@ def build_graph_static_cache(
                     "QuantizedKVAttention",
                     [q, k, v, past_k, k_sc, past_v, v_sc, past_lens,
                      cos_c, sin_c],
-                    qattrs,
+                    {**qattrs, **ka_attr},
                     n_outputs=5,
                     output_names=[
                         f"attn_out_{i}", f"present.{i}.key",
@@ -337,7 +344,7 @@ def build_graph_static_cache(
                 [q, k, v, past_k, past_v, past_lens, None, cos_c, sin_c],
                 {
                     "num_heads": Hq, "kv_num_heads": Hkv, "rten_past_lens": 1,
-                    "do_rotary": 1,
+                    "do_rotary": 1, **ka_attr,
                     **({"local_window_size": cfg.sliding_window}
                        if cfg.sliding_window else {}),
                 },

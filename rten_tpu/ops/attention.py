@@ -476,6 +476,23 @@ def _group_query_attention(ctx, inputs, attrs):
         out = _merge_heads(out)
         return (out, k, v, recent_k, recent_v)[:n_out]
 
+    if (past_lens is not None and S == 1
+            and bool(attrs.get("rten_kernel_append", 0))
+            and not softcap and attn_bias_in is None and head_sink is None):
+        # In-kernel cache append: the decode-attention kernel merges the
+        # new row into its aliased write-back block — no per-slot dus
+        # chain, no recent window (round-4 trace: the deferred design's
+        # window stream + window dus + commit cost ~1ms/step at slots=96).
+        from ..kernels.flash_attention import decode_attention_append
+
+        out, nk, nv = decode_attention_append(
+            q, past_k, past_v, past_lens, k_new=k, v_new=v, scale=scale,
+            window=window, use_flash=_use_flash(ctx),
+        )
+        out = _merge_heads(out)
+        n_out = attrs.get("__n_outputs__", 3)
+        return (out, nk, nv)[:n_out]
+
     if past_lens is not None:
         k = _slot_kv_update(past_k, k.astype(past_k.dtype), past_lens)
         v = _slot_kv_update(past_v, v.astype(past_v.dtype), past_lens)
@@ -678,6 +695,19 @@ def _quantized_kv_attention(ctx, inputs, attrs):
             window=window, use_flash=_use_flash(ctx),
         )
         return (_merge_heads(out), new_pk, new_ks, new_pv, new_vs)
+
+    if S == 1 and bool(attrs.get("rten_kernel_append", 0)):
+        # In-kernel quantize + cache append (see GroupQueryAttention).
+        if bits != 8:
+            raise OpError("rten_kernel_append supports bits=8 only")
+        from ..kernels.flash_attention import decode_attention_append
+
+        out, nk, nv, nks, nvs = decode_attention_append(
+            q4, past_k_q8, past_v_q8, lens, k_scales, v_scales,
+            k_new=k4, v_new=v4, scale=scale, window=window,
+            use_flash=_use_flash(ctx),
+        )
+        return (_merge_heads(out), nk, nks, nv, nvs)
 
     k_q8, k_s = quantize(k4)
     v_q8, v_s = quantize(v4)

@@ -486,6 +486,32 @@ def eliminate_dead_code(g: Graph) -> bool:
     return True
 
 
+def eliminate_dead_constants(g: Graph) -> bool:
+    """Drop Constant nodes nothing consumes.
+
+    Rewrite passes (int8 prepack, quantize_dynamic, fusions) re-point
+    operator inputs at new constants and leave the originals orphaned —
+    for a quantized GPT-2 that is ~600MB of f32 weights the executor
+    would otherwise still upload to HBM (Executor._weight_args transfers
+    every weight constant in the graph)."""
+    from .ir.graph import Constant
+
+    used = set(g.output_ids)
+    for _, op in g.operators():
+        used.update(i for i in op.inputs if i is not None)
+        for dep in _capture_dep_ids(g, op):
+            used.add(dep)
+    dead = [
+        nid for nid, node in g.nodes.items()
+        if isinstance(node, Constant) and nid not in used
+    ]
+    if not dead:
+        return False
+    g.remove_nodes(dead)
+    _log(f"removed {len(dead)} dead constants")
+    return True
+
+
 def fuse_rms_norm(g: Graph) -> bool:
     """Decomposed RMSNorm -> RMSNormalization (rten RMSNormalization fusion,
     src/optimize/fusions.rs).
@@ -1170,4 +1196,5 @@ def optimize_graph(g: Graph, constant_prop: bool = True) -> Graph:
             break
     prepack_int8_weights(g)
     eliminate_dead_code(g)
+    eliminate_dead_constants(g)
     return g
