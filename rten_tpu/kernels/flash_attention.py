@@ -1182,7 +1182,8 @@ def _append_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
                    kn_ref, vn_ref, out_ref, kw_ref, vw_ref, ksw_ref,
                    vsw_ref, m_ref, l_ref, acc_ref, *, scale: float,
                    cap: int, block_k: int, block_w: int, quant: bool,
-                   group: int, window: int = 0):
+                   group: int, window: int = 0,
+                   single_block: bool = False):
     """Lane-major NT decode attention (S==1) with integrated cache append.
 
     Grid (slot, key-block). Blocks strictly BELOW the one holding the
@@ -1205,6 +1206,13 @@ def _append_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
 
     Cache rows are valid strictly below lens[b]; the new row lands AT
     lens[b] (clamped to cap-1; the engine never decodes a full slot).
+
+    single_block (nkb == 1, e.g. cap 256 at the default block_k): the
+    whole body runs straight-line — no pl.when wrappers (an always-true
+    scf.if around the body keeps Mosaic from pipelining DMA across
+    slots: +18us/call at slots=96) and no online-softmax scratch (the
+    single merge has no predecessor, so m/l/acc reads and alpha
+    rescaling are dead weight: +7us).
     """
     b = pl.program_id(0)
     kb = pl.program_id(1)
@@ -1215,12 +1223,6 @@ def _append_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
     Hp = m_ref.shape[0]
     bk = block_k
     bw = block_w
-
-    @pl.when(kb == 0)
-    def _():
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
 
     lens_b = lens_ref[b]
     wpos = jnp.minimum(lens_b, cap - 1)
@@ -1279,16 +1281,7 @@ def _append_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
             valid &= col > lens_b - window
         return jnp.where(valid, s, NEG_INF)
 
-    # Blocks strictly below the write block (the write block itself is
-    # the LAST step's resident block and merges there, new row included).
-    @pl.when(kb < wblk)
-    def _():
-        s = block_scores(kb, bk)
-        vm = v_ref[0].reshape(Hkv * bk, D)
-        merge(s, vm, lane_merge(vs_ref, bk) if quant else None)
-
-    @pl.when(kb == nkb - 1)
-    def _():
+    def final_tail():
         knm = kn_ref[0, :, 0, :].astype(jnp.float32)   # [Hkv, D]
         vnm = vn_ref[0, :, 0, :].astype(jnp.float32)
         if quant:
@@ -1346,11 +1339,27 @@ def _append_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
             )
         else:
             vs_all = None
-        merge(s_all, vm_all, vs_all)
-
-        l = l_ref[:]
+        if single_block:
+            # One key block: no prior merges, so skip the online-softmax
+            # scratch entirely (m_prev = -inf, l_prev = 0, acc_prev = 0).
+            # Straight-line code here (no always-true pl.when around the
+            # body) lets Mosaic pipeline DMA across slots: 115 -> ~90us
+            # per call at slots=96 in the round-4 bisect.
+            m_new = jnp.max(s_all, axis=1, keepdims=True)
+            p = jnp.exp(s_all - m_new)
+            p = jnp.where(
+                jnp.broadcast_to(m_new, s_all.shape) <= NEG_INF / 2, 0.0, p
+            )
+            l = jnp.sum(p, axis=1, keepdims=True)
+            if vs_all is not None:
+                p = p * vs_all
+            acc = _dot_f32(p, vm_all, (((1,), (0,)), ((), ())))
+        else:
+            merge(s_all, vm_all, vs_all)
+            l = l_ref[:]
+            acc = acc_ref[:]
         l = jnp.where(l == 0.0, 1.0, l)
-        out = (acc_ref[:] / l)[:H]                     # [H, D]
+        out = (acc / l)[:H]                            # [H, D]
         bq = out_ref.shape[2]
         out_ref[0] = jnp.broadcast_to(
             out[:, None, :], (H, bq, D)
@@ -1381,6 +1390,28 @@ def _append_kernel(lens_ref, q_ref, k_ref, v_ref, ks_ref, vs_ref,
             )
             ksw_ref[0] = jnp.where(lsel, ks_new[:, :, None], ks_ref[0])
             vsw_ref[0] = jnp.where(lsel, vs_new[:, :, None], vs_ref[0])
+
+    if single_block:
+        final_tail()
+        return
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    # Blocks strictly below the write block (the write block itself is
+    # the LAST step's resident block and merges there, new row included).
+    @pl.when(kb < wblk)
+    def _():
+        s = block_scores(kb, bk)
+        vm = v_ref[0].reshape(Hkv * bk, D)
+        merge(s, vm, lane_merge(vs_ref, bk) if quant else None)
+
+    @pl.when(kb == nkb - 1)
+    def _():
+        final_tail()
 
 
 def _append_entry(*refs, quant: bool, **kw):
@@ -1452,7 +1483,7 @@ def decode_mha_append(q, k, v, lens, k_scale=None, v_scale=None, *,
     kernel = functools.partial(
         _append_entry,
         scale=float(scale), cap=cap, block_k=bk, block_w=bw, quant=quant,
-        group=group, window=int(window),
+        group=group, window=int(window), single_block=(nkb == 1),
     )
     in_specs = [
         pl.BlockSpec((1, H, bq, D), fixed),
@@ -1599,6 +1630,465 @@ def decode_attention_append(q, k, v, lens, k_scale=None, v_scale=None, *,
     f = decode_attention if use_flash else decode_mha_xla
     out = f(q, nk, nv, lens, scale=scale, window=window)
     return out, nk, nv
+
+
+# --- cat-layout caches ([slots, cap, Hkv*D]) ---------------------------------
+#
+# The 4D cache layout [B, Hkv, cap, D] leaves the minor dimension at
+# D=64 for GPT-2-class heads: every s8 VMEM tile is half-empty (64 of
+# 128 lanes) and the HBM->VMEM streams measured ~444 GB/s. Storing each
+# cache row CONCATENATED across heads — [B, cap, Hkv*D], the natural
+# layout of the QKV projection output — packs the minor dimension (768+)
+# and the same stream measured 732 GB/s (round-4 microbench). It also
+# collapses the score path to ONE 2D NT dot per block:
+#
+#   qblk [Hp, Hkv*D] (row h carries q[h] in lane slice h//group, zeros
+#   elsewhere) x Kcat [bk, Hkv*D] -> scores [Hp, bk]
+#
+# so exp/mask/merge run on bk lanes instead of Hkv*bk (12x less VPU work
+# for MHA), and the value dot is p [Hp, bk] x Vcat [bk, Hkv*D] ->
+# out_cat [Hp, Hkv*D], extracted per head with Hkv static lane slices.
+# MXU work is unchanged (the contraction is padded with structural
+# zeros, which the systolic array streams at full rate).
+
+
+def _append_cat_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref, vs_ref,
+                       kn_ref, vn_ref, knc_ref, vnc_ref, out_ref, kcw_ref,
+                       vcw_ref, ksw_ref, vsw_ref, m_ref, l_ref, acc_ref, *,
+                       scale: float, cap: int, block_k: int, block_w: int,
+                       quant: bool, group: int, window: int = 0,
+                       single_block: bool = False):
+    """Cat-layout decode attention (S==1) with integrated cache append.
+
+    Same contract as _append_kernel with caches in [B, cap, Hkv*D] form:
+    rows < lens[b] are valid, the new row (given BOTH head-major
+    [B,Hkv,1,D] for per-head absmax and cat [B,1,Hkv*D] for scoring and
+    writing — Mosaic cannot shape-cast sublanes to lanes) lands AT
+    lens[b] through an aliased block_w-row output block.
+    """
+    b = pl.program_id(0)
+    kb = pl.program_id(1)
+    nkb = pl.num_programs(1)
+    Hkv = kn_ref.shape[1]
+    D = kn_ref.shape[3]
+    HkvD = Hkv * D
+    H = q_ref.shape[1]
+    Hp = m_ref.shape[0]
+    bk = block_k
+    bw = block_w
+
+    lens_b = lens_ref[b]
+    wpos = jnp.minimum(lens_b, cap - 1)
+    wblk = wpos // bk
+
+    q_sm = q_ref[0, :, 0, :]                       # [H, D] (S == 1)
+    if Hp > H:
+        q_t = jnp.concatenate(
+            [q_sm, jnp.zeros((Hp - H, D), q_sm.dtype)], axis=0
+        )
+    else:
+        q_t = q_sm
+    subq = jax.lax.broadcasted_iota(jnp.int32, (Hp, HkvD), 0)
+    laneq = jax.lax.broadcasted_iota(jnp.int32, (Hp, HkvD), 1)
+    qblk = jnp.where(
+        (laneq // D) == (subq // group), jnp.tile(q_t, (1, Hkv)), 0.0
+    )
+    # One-hot head->row expander: row h selects kv head h//group.
+    oneh = (
+        jax.lax.broadcasted_iota(jnp.int32, (Hp, Hkv), 1)
+        == jax.lax.broadcasted_iota(jnp.int32, (Hp, Hkv), 0) // group
+    ).astype(jnp.float32)
+
+    sub_b = jax.lax.broadcasted_iota(jnp.int32, (Hp, bk), 0)
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, (Hp, bk), 1)
+
+    def expand(sc):                                # [Hkv, w] -> [Hp, w]
+        return jax.lax.dot_general(
+            oneh, sc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def block_scores(blk):
+        s = _dot_f32(qblk, kc_ref[0], (((1,), (1,)), ((), ()))) * scale
+        if quant:
+            s = s * expand(ks_ref[0, :, 0, :])
+        col = blk * bk + lane_b
+        valid = (sub_b < H) & (col < lens_b) & (col < cap)
+        if window:
+            valid &= col > lens_b - window
+        return jnp.where(valid, s, NEG_INF)
+
+    def pv_cat(p):                                 # [Hp, bk] -> [Hp, HkvD]
+        if quant:
+            p = p * expand(vs_ref[0, :, 0, :])
+        return _dot_f32(p, vc_ref[0], (((1,), (0,)), ((), ())))
+
+    def merge(s, pv_fn):
+        m_prev = m_ref[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        p = jnp.where(
+            jnp.broadcast_to(m_new, s.shape) <= NEG_INF / 2, 0.0, p
+        )
+        alpha = jnp.where(
+            m_prev <= NEG_INF / 2, 0.0, jnp.exp(m_prev - m_new)
+        )
+        l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+        acc_ref[:] = acc_ref[:] * alpha + pv_fn(p)
+        m_ref[:] = m_new
+
+    def extract(out_cat):                          # [Hp, HkvD] -> [Hp, D]
+        out = jnp.zeros((Hp, D), jnp.float32)
+        for kvh in range(Hkv):
+            out = out + out_cat[:, kvh * D:(kvh + 1) * D] \
+                * oneh[:, kvh:kvh + 1]
+        return out
+
+    def final_tail():
+        knm = kn_ref[0, :, 0, :].astype(jnp.float32)   # [Hkv, D]
+        vnm = vn_ref[0, :, 0, :].astype(jnp.float32)
+        kn_cat = knc_ref[0].astype(jnp.float32)        # [1, HkvD]
+        vn_cat = vnc_ref[0].astype(jnp.float32)
+        if quant:
+            segq = (
+                (jax.lax.broadcasted_iota(jnp.int32, (Hkv, HkvD), 1) // D)
+                == jax.lax.broadcasted_iota(jnp.int32, (Hkv, HkvD), 0)
+            ).astype(jnp.float32)
+
+            def cat_expand(x):                     # [Hkv, 1] -> [1, HkvD]
+                return jax.lax.dot_general(
+                    x, segq, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            ks_new = jnp.maximum(
+                jnp.max(jnp.abs(knm), axis=-1, keepdims=True) / 127.0, 1e-8
+            )                                          # [Hkv, 1]
+            vs_new = jnp.maximum(
+                jnp.max(jnp.abs(vnm), axis=-1, keepdims=True) / 127.0, 1e-8
+            )
+            k_row = jnp.clip(
+                jnp.round(kn_cat / cat_expand(ks_new)), -127, 127
+            ).astype(kcw_ref.dtype)
+            v_row = jnp.clip(
+                jnp.round(vn_cat / cat_expand(vs_new)), -127, 127
+            ).astype(vcw_ref.dtype)
+        else:
+            k_row = kn_cat.astype(kcw_ref.dtype)
+            v_row = vn_cat.astype(vcw_ref.dtype)
+
+        sr = block_scores(wblk)                        # [Hp, bk]
+        sn = _dot_f32(
+            qblk, k_row, (((1,), (1,)), ((), ()))
+        ) * scale                                      # [Hp, 1]
+        if quant:
+            sn = sn * expand(ks_new)
+        sub1 = jax.lax.broadcasted_iota(jnp.int32, (Hp, 1), 0)
+        sn = jnp.where(sub1 < H, sn, NEG_INF)
+        s_all = jnp.concatenate([sr, sn], axis=1)      # [Hp, bk+1]
+
+        def pv_all(p_all):
+            p_r, p_n = p_all[:, :bk], p_all[:, bk:]
+            acc = pv_cat(p_r)
+            if quant:
+                p_n = p_n * expand(vs_new)
+            return acc + _dot_f32(
+                p_n, v_row, (((1,), (0,)), ((), ()))
+            )
+
+        if single_block:
+            # One key block: no prior merges — skip the online-softmax
+            # scratch and pl.when wrappers entirely (see _append_kernel).
+            m_new = jnp.max(s_all, axis=1, keepdims=True)
+            p = jnp.exp(s_all - m_new)
+            p = jnp.where(
+                jnp.broadcast_to(m_new, s_all.shape) <= NEG_INF / 2, 0.0, p
+            )
+            l = jnp.sum(p, axis=1, keepdims=True)
+            acc = pv_all(p)
+        else:
+            merge(s_all, pv_all)
+            l = l_ref[:]
+            acc = acc_ref[:]
+        l = jnp.where(l == 0.0, 1.0, l)
+        out = extract(acc / l)[:H]                     # [H, D]
+        bq = out_ref.shape[2]
+        out_ref[0] = jnp.broadcast_to(
+            out[:, None, :], (H, bq, D)
+        ).astype(out_ref.dtype)
+
+        # Write-back: the read clamp puts the write position inside the
+        # resident block; the bw-row output block is a live slice of it.
+        off = pl.multiple_of((wpos // bw) * bw - wblk * bk, bw)
+        wrow = wpos % bw
+        rowsel = (
+            jax.lax.broadcasted_iota(jnp.int32, (bw, HkvD), 0) == wrow
+        )
+        kcw_ref[0] = jnp.where(
+            rowsel, jnp.broadcast_to(k_row, (bw, HkvD)),
+            kc_ref[0, pl.ds(off, bw), :],
+        )
+        vcw_ref[0] = jnp.where(
+            rowsel, jnp.broadcast_to(v_row, (bw, HkvD)),
+            vc_ref[0, pl.ds(off, bw), :],
+        )
+        if quant:
+            lsel = (
+                jax.lax.broadcasted_iota(jnp.int32, (Hkv, 1, bk), 2)
+                == wpos % bk
+            )
+            ksw_ref[0] = jnp.where(lsel, ks_new[:, :, None], ks_ref[0])
+            vsw_ref[0] = jnp.where(lsel, vs_new[:, :, None], vs_ref[0])
+
+    if single_block:
+        final_tail()
+        return
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    @pl.when(kb < wblk)
+    def _():
+        merge(block_scores(kb), pv_cat)
+
+    @pl.when(kb == nkb - 1)
+    def _():
+        final_tail()
+
+
+def _append_cat_entry(*refs, quant: bool, **kw):
+    """Arity adapter: the non-quant variant has no scale operands."""
+    if quant:
+        (lens, q, kc, vc, ks, vs, kn, vn, knc, vnc,
+         out, kcw, vcw, ksw, vsw, m, l, acc) = refs
+    else:
+        (lens, q, kc, vc, kn, vn, knc, vnc,
+         out, kcw, vcw, m, l, acc) = refs
+        ks = vs = ksw = vsw = None
+    return _append_cat_kernel(
+        lens, q, kc, vc, ks, vs, kn, vn, knc, vnc, out, kcw, vcw,
+        ksw, vsw, m, l, acc, quant=quant, **kw
+    )
+
+
+def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
+                          k_new, v_new, scale=None, block_k: int = 256,
+                          window: int = 0, interpret: bool = False):
+    """Decode attention + append on cat-layout caches (S == 1 only).
+
+    q [B,H,1,D]; kc/vc [B,cap,Hkv*D] caches holding rows < lens[b];
+    k_new/v_new [B,Hkv,1,D] f32 rows for position lens[b]. Quantized
+    caches (k_scale/v_scale lane-major per head) quantize the row
+    in-kernel. Returns (out, new_kc, new_vc[, new_ks, new_vs]); cache
+    outputs alias their inputs.
+    """
+    B, H, S, D = q.shape
+    Hkv = k_new.shape[1]
+    cap = kc.shape[1]
+    HkvD = Hkv * D
+    assert S == 1, "decode_mha_append_cat is a single-token decode kernel"
+    assert kc.shape[2] == HkvD
+    group = H // Hkv
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(D))
+    quant = k_scale is not None
+    bk = min(block_k, round_up(cap, 128))
+    assert cap % bk == 0, f"cap {cap} must be a multiple of block_k {bk}"
+    bw = min(32, bk)
+    nkb = cap // bk
+    Hp = round_up(H, 8)
+    bq = 8
+
+    qp = pad_dim(q, 2, bq)
+    lens = jnp.asarray(lens, jnp.int32)
+    knf = jnp.asarray(k_new, jnp.float32)
+    vnf = jnp.asarray(v_new, jnp.float32)
+    knc = jnp.transpose(knf, (0, 2, 1, 3)).reshape(B, 1, HkvD)
+    vnc = jnp.transpose(vnf, (0, 2, 1, 3)).reshape(B, 1, HkvD)
+
+    kv_index = lambda b, j, lens: (
+        b, jnp.minimum(j, jnp.minimum(lens[b], cap - 1) // bk), 0
+    )
+    sc_index = lambda b, j, lens: (
+        b, 0, 0, jnp.minimum(j, jnp.minimum(lens[b], cap - 1) // bk)
+    )
+    w_index = lambda b, j, lens: (
+        b, jnp.minimum(lens[b], cap - 1) // bw, 0
+    )
+    sw_index = lambda b, j, lens: (
+        b, 0, 0, jnp.minimum(lens[b], cap - 1) // bk
+    )
+    fixed4 = lambda b, j, lens: (b, 0, 0, 0)
+    fixed3 = lambda b, j, lens: (b, 0, 0)
+
+    kernel = functools.partial(
+        _append_cat_entry,
+        scale=float(scale), cap=cap, block_k=bk, block_w=bw, quant=quant,
+        group=group, window=int(window), single_block=(nkb == 1),
+    )
+    in_specs = [
+        pl.BlockSpec((1, H, bq, D), fixed4),
+        pl.BlockSpec((1, bk, HkvD), kv_index),
+        pl.BlockSpec((1, bk, HkvD), kv_index),
+    ]
+    operands = [qp, kc, vc]
+    if quant:
+        ksp = k_scale.reshape(B, Hkv, 1, cap)
+        vsp = v_scale.reshape(B, Hkv, 1, cap)
+        in_specs += [
+            pl.BlockSpec((1, Hkv, 1, bk), sc_index),
+            pl.BlockSpec((1, Hkv, 1, bk), sc_index),
+        ]
+        operands += [ksp, vsp]
+    in_specs += [
+        pl.BlockSpec((1, Hkv, 1, D), fixed4),
+        pl.BlockSpec((1, Hkv, 1, D), fixed4),
+        pl.BlockSpec((1, 1, HkvD), fixed3),
+        pl.BlockSpec((1, 1, HkvD), fixed3),
+    ]
+    operands += [knf, vnf, knc, vnc]
+
+    out_specs = [
+        pl.BlockSpec((1, H, bq, D), fixed4),
+        pl.BlockSpec((1, bw, HkvD), w_index),
+        pl.BlockSpec((1, bw, HkvD), w_index),
+    ]
+    out_shapes = [
+        jax.ShapeDtypeStruct((B, H, bq, D), q.dtype),
+        jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+        jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+    ]
+    # Operand indices include the scalar-prefetch lens (index 0).
+    aliases = {2: 1, 3: 2}
+    if quant:
+        out_specs += [
+            pl.BlockSpec((1, Hkv, 1, bk), sw_index),
+            pl.BlockSpec((1, Hkv, 1, bk), sw_index),
+        ]
+        out_shapes += [
+            jax.ShapeDtypeStruct(ksp.shape, ksp.dtype),
+            jax.ShapeDtypeStruct(vsp.shape, vsp.dtype),
+        ]
+        aliases = {2: 1, 3: 2, 4: 3, 5: 4}
+
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, nkb),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=[
+                pltpu.VMEM((Hp, 1), jnp.float32),
+                pltpu.VMEM((Hp, 1), jnp.float32),
+                pltpu.VMEM((Hp, HkvD), jnp.float32),
+            ],
+        ),
+        out_shape=out_shapes,
+        input_output_aliases=aliases,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * cap * D,
+            bytes_accessed=(
+                B * H * bq * D * 8
+                + 2 * B * cap * HkvD * (1 if quant else kc.dtype.itemsize)
+                + 2 * B * bw * HkvD * kc.dtype.itemsize
+            ),
+            transcendentals=B * H * cap,
+        ),
+        interpret=interpret,
+    )(lens, *operands)
+    out = res[0][:, :, :S, :D]
+    if quant:
+        sshape = k_scale.shape
+        return (out, res[1], res[2],
+                res[3].reshape(sshape), res[4].reshape(sshape))
+    return out, res[1], res[2]
+
+
+def cat_to_heads(c, Hkv):
+    """[B, cap, Hkv*D] cat cache -> [B, Hkv, cap, D] head-major view."""
+    B, cap, HkvD = c.shape
+    return jnp.transpose(
+        c.reshape(B, cap, Hkv, HkvD // Hkv), (0, 2, 1, 3)
+    )
+
+
+def heads_to_cat(x):
+    """[B, Hkv, S, D] head-major rows -> [B, S, Hkv*D] cat rows."""
+    B, Hkv, S, D = x.shape
+    return jnp.transpose(x, (0, 2, 1, 3)).reshape(B, S, Hkv * D)
+
+
+def decode_attention_append_cat(q, kc, vc, lens, k_scale=None,
+                                v_scale=None, *, k_new, v_new, scale=None,
+                                window: int = 0, use_flash=True,
+                                interpret=False):
+    """Route the cat-layout append decode step: the Pallas kernel on TPU,
+    an equivalent row-write + head-major attention elsewhere."""
+    B, Hkv = k_new.shape[0], k_new.shape[1]
+    cap = kc.shape[1]
+    quant = k_scale is not None
+    eligible = (
+        use_flash
+        and (on_tpu() or interpret)
+        and q.shape[2] == 1
+        and q.shape[3] in (64, 128, 256, 512)
+        and kc.dtype != jnp.uint8
+    )
+    if eligible:
+        return decode_mha_append_cat(
+            q, kc, vc, lens, k_scale, v_scale, k_new=k_new, v_new=v_new,
+            scale=scale, window=window, interpret=interpret,
+        )
+    # Fallback: quantize + cat row-write + head-major attention.
+    lens = jnp.asarray(lens, jnp.int32).reshape(B)
+
+    def row_write3(buf, new, starts):
+        for i in range(B):
+            buf = jax.lax.dynamic_update_slice(
+                buf, new[i: i + 1], (i, starts[i], 0)
+            )
+        return buf
+
+    def row_write4(buf, new, starts):
+        for i in range(B):
+            buf = jax.lax.dynamic_update_slice(
+                buf, new[i: i + 1], (i, 0, starts[i], 0)
+            )
+        return buf
+
+    f = decode_attention if use_flash else decode_mha_xla
+    if quant:
+        knm = jnp.asarray(k_new, jnp.float32)
+        vnm = jnp.asarray(v_new, jnp.float32)
+        ks_new = jnp.maximum(
+            jnp.max(jnp.abs(knm), axis=-1, keepdims=True) / 127.0, 1e-8
+        )
+        vs_new = jnp.maximum(
+            jnp.max(jnp.abs(vnm), axis=-1, keepdims=True) / 127.0, 1e-8
+        )
+        k_q = jnp.clip(jnp.round(knm / ks_new), -127, 127).astype(jnp.int8)
+        v_q = jnp.clip(jnp.round(vnm / vs_new), -127, 127).astype(jnp.int8)
+        nkc = row_write3(kc, heads_to_cat(k_q), lens)
+        nvc = row_write3(vc, heads_to_cat(v_q), lens)
+        nks = row_write4(k_scale, ks_new.astype(k_scale.dtype), lens)
+        nvs = row_write4(v_scale, vs_new.astype(v_scale.dtype), lens)
+        out = f(q, cat_to_heads(nkc, Hkv), cat_to_heads(nvc, Hkv), lens,
+                nks.reshape(B, Hkv, cap), nvs.reshape(B, Hkv, cap),
+                scale=scale, window=window)
+        return out, nkc, nvc, nks, nvs
+    nkc = row_write3(kc, heads_to_cat(k_new).astype(kc.dtype), lens)
+    nvc = row_write3(vc, heads_to_cat(v_new).astype(vc.dtype), lens)
+    out = f(q, cat_to_heads(nkc, Hkv).astype(jnp.float32),
+            cat_to_heads(nvc, Hkv).astype(jnp.float32), lens,
+            scale=scale, window=window)
+    return out, nkc, nvc
 
 
 # --- paged KV cache (block tables) -------------------------------------------

@@ -311,16 +311,19 @@ def build_graph_static_cache(
             # capacity per HBM byte, scales unchanged.
             kv_elem = DataType.UInt8 if kv_bits == 4 else DataType.Int8
             kv_d = D // 2 if kv_bits == 4 else D
-            past_k = b.input(
-                f"past_key_values.{i}.key", kv_elem, ("slots", H, capacity, kv_d)
+            # kernel_append caches live in cat layout [slots, cap, H*D]:
+            # full-lane s8 tiles stream at 732 GB/s vs 444 for the
+            # head-major D=64 minor dim (round-4 microbench).
+            kv_shape = (
+                ("slots", capacity, H * kv_d) if kernel_append
+                else ("slots", H, capacity, kv_d)
             )
+            past_k = b.input(f"past_key_values.{i}.key", kv_elem, kv_shape)
             k_sc = b.input(
                 f"past_key_values.{i}.key_scale", DataType.Float,
                 ("slots", H, capacity, 1),
             )
-            past_v = b.input(
-                f"past_key_values.{i}.value", kv_elem, ("slots", H, capacity, kv_d)
-            )
+            past_v = b.input(f"past_key_values.{i}.value", kv_elem, kv_shape)
             v_sc = b.input(
                 f"past_key_values.{i}.value_scale", DataType.Float,
                 ("slots", H, capacity, 1),
@@ -404,12 +407,12 @@ def build_graph_static_cache(
                 attn = outs[0]
                 presents.extend(outs[1:])
             else:
-                past_k = b.input(
-                    f"past_key_values.{i}.key", kdt, ("slots", H, capacity, D)
+                kv_shape = (
+                    ("slots", capacity, H * D) if kernel_append
+                    else ("slots", H, capacity, D)
                 )
-                past_v = b.input(
-                    f"past_key_values.{i}.value", kdt, ("slots", H, capacity, D)
-                )
+                past_k = b.input(f"past_key_values.{i}.key", kdt, kv_shape)
+                past_v = b.input(f"past_key_values.{i}.value", kdt, kv_shape)
                 attn, pk, pv = b.op(
                     "GroupQueryAttention",
                     [q, k, v, past_k, past_v, past_lens],

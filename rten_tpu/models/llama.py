@@ -213,18 +213,18 @@ def build_graph_static_cache(
         if kv_quant:
             kv_elem = DataType.UInt8 if kv_bits == 4 else DataType.Int8
             kv_d = D // 2 if kv_bits == 4 else D
-            past_k = b.input(
-                f"past_key_values.{i}.key", kv_elem,
-                ("slots", Hkv, capacity, kv_d),
+            # kernel_append caches live in cat layout [slots, cap, Hkv*D]
+            # (full-lane s8 tiles; see models/gpt2.py).
+            kv_shape = (
+                ("slots", capacity, Hkv * kv_d) if kernel_append
+                else ("slots", Hkv, capacity, kv_d)
             )
+            past_k = b.input(f"past_key_values.{i}.key", kv_elem, kv_shape)
             k_sc = b.input(
                 f"past_key_values.{i}.key_scale", DataType.Float,
                 ("slots", Hkv, capacity, 1),
             )
-            past_v = b.input(
-                f"past_key_values.{i}.value", kv_elem,
-                ("slots", Hkv, capacity, kv_d),
-            )
+            past_v = b.input(f"past_key_values.{i}.value", kv_elem, kv_shape)
             v_sc = b.input(
                 f"past_key_values.{i}.value_scale", DataType.Float,
                 ("slots", Hkv, capacity, 1),
@@ -304,12 +304,12 @@ def build_graph_static_cache(
             presents.extend([pk, pv])
             x = block_tail(x, attn, p)
             continue
-        past_k = b.input(
-            f"past_key_values.{i}.key", kdt, ("slots", Hkv, capacity, D)
+        kv_shape = (
+            ("slots", capacity, Hkv * D) if kernel_append
+            else ("slots", Hkv, capacity, D)
         )
-        past_v = b.input(
-            f"past_key_values.{i}.value", kdt, ("slots", Hkv, capacity, D)
-        )
+        past_k = b.input(f"past_key_values.{i}.key", kdt, kv_shape)
+        past_v = b.input(f"past_key_values.{i}.value", kdt, kv_shape)
         if deferred_kv:
             rdt = recent_dtype or DataType.Float
             recent_k = b.input(

@@ -52,6 +52,19 @@ def _slot_kv_update(buf, new, starts):
     return buf
 
 
+def _slot_kv_update_cat(buf, new, starts):
+    """Cat-layout variant: rows ``new`` [B, S, Hkv*D] into a
+    [B, cap, Hkv*D] cache at per-slot offsets (same unrolled scalar-index
+    dus chain as _slot_kv_update, one fewer dim)."""
+    B = new.shape[0]
+    starts = jnp.asarray(starts, jnp.int32)
+    for i in range(B):
+        buf = jax.lax.dynamic_update_slice(
+            buf, new[i : i + 1], (i, starts[i], 0)
+        )
+    return buf
+
+
 def _paged_kv_update(pool, new, starts, bt):
     """Write per-slot KV rows into a paged block POOL [NB, H, BS, D].
 
@@ -476,6 +489,11 @@ def _group_query_attention(ctx, inputs, attrs):
         out = _merge_heads(out)
         return (out, k, v, recent_k, recent_v)[:n_out]
 
+    # Cat-layout caches ([slots, cap, Hkv*D]): declared by kernel_append
+    # graphs for full-lane-width DMA (444 -> 732 GB/s on s8 D=64 caches,
+    # round-4 microbench). Detected by rank.
+    cat_kv = past_k is not None and past_k.ndim == 3
+
     if (past_lens is not None and S == 1
             and bool(attrs.get("rten_kernel_append", 0))
             and not softcap and attn_bias_in is None and head_sink is None):
@@ -483,15 +501,50 @@ def _group_query_attention(ctx, inputs, attrs):
         # new row into its aliased write-back block — no per-slot dus
         # chain, no recent window (round-4 trace: the deferred design's
         # window stream + window dus + commit cost ~1ms/step at slots=96).
-        from ..kernels.flash_attention import decode_attention_append
+        n_out = attrs.get("__n_outputs__", 3)
+        if cat_kv:
+            from ..kernels.flash_attention import decode_attention_append_cat
 
-        out, nk, nv = decode_attention_append(
-            q, past_k, past_v, past_lens, k_new=k, v_new=v, scale=scale,
-            window=window, use_flash=_use_flash(ctx),
+            out, nk, nv = decode_attention_append_cat(
+                q, past_k, past_v, past_lens, k_new=k, v_new=v,
+                scale=scale, window=window, use_flash=_use_flash(ctx),
+            )
+        else:
+            from ..kernels.flash_attention import decode_attention_append
+
+            out, nk, nv = decode_attention_append(
+                q, past_k, past_v, past_lens, k_new=k, v_new=v,
+                scale=scale, window=window, use_flash=_use_flash(ctx),
+            )
+        out = _merge_heads(out)
+        return (out, nk, nv)[:n_out]
+
+    if past_lens is not None and cat_kv:
+        # Cat-cache prefill: append the chunk's rows in cat form, attend
+        # through a head-major view (XLA transposes once per prefill
+        # chunk — off the decode hot path).
+        from ..kernels.flash_attention import (
+            cat_to_heads, decode_attention, decode_mha_xla, heads_to_cat,
         )
+
+        if softcap or attn_bias_in is not None or head_sink is not None:
+            raise OpError(
+                "cat-layout KV caches do not support softcap/bias/sink"
+            )
+        kc = _slot_kv_update_cat(
+            past_k, heads_to_cat(k).astype(past_k.dtype), past_lens
+        )
+        vc = _slot_kv_update_cat(
+            past_v, heads_to_cat(v).astype(past_v.dtype), past_lens
+        )
+        Hkv = k.shape[1]
+        f = decode_attention if _use_flash(ctx) else decode_mha_xla
+        out = f(q, cat_to_heads(kc, Hkv).astype(q.dtype),
+                cat_to_heads(vc, Hkv).astype(q.dtype), past_lens,
+                scale=scale, window=window)
         out = _merge_heads(out)
         n_out = attrs.get("__n_outputs__", 3)
-        return (out, nk, nv)[:n_out]
+        return (out, kc, vc)[:n_out]
 
     if past_lens is not None:
         k = _slot_kv_update(past_k, k.astype(past_k.dtype), past_lens)
@@ -700,6 +753,15 @@ def _quantized_kv_attention(ctx, inputs, attrs):
         # In-kernel quantize + cache append (see GroupQueryAttention).
         if bits != 8:
             raise OpError("rten_kernel_append supports bits=8 only")
+        if past_k_q8.ndim == 3:
+            from ..kernels.flash_attention import decode_attention_append_cat
+
+            out, nk, nv, nks, nvs = decode_attention_append_cat(
+                q4, past_k_q8, past_v_q8, lens, k_scales, v_scales,
+                k_new=k4, v_new=v4, scale=scale, window=window,
+                use_flash=_use_flash(ctx),
+            )
+            return (_merge_heads(out), nk, nks, nv, nvs)
         from ..kernels.flash_attention import decode_attention_append
 
         out, nk, nv, nks, nvs = decode_attention_append(
@@ -711,6 +773,27 @@ def _quantized_kv_attention(ctx, inputs, attrs):
 
     k_q8, k_s = quantize(k4)
     v_q8, v_s = quantize(v4)
+
+    if past_k_q8.ndim == 3:
+        # Cat-layout prefill (kernel_append graphs): append rows in cat
+        # form, attend through a head-major view (one XLA transpose per
+        # prefill chunk — off the decode hot path).
+        from ..kernels.flash_attention import (
+            cat_to_heads, decode_attention, decode_mha_xla, heads_to_cat,
+        )
+
+        new_kc = _slot_kv_update_cat(past_k_q8, heads_to_cat(k_q8), lens)
+        new_vc = _slot_kv_update_cat(past_v_q8, heads_to_cat(v_q8), lens)
+        new_k_s = _slot_kv_update(k_scales, k_s, lens)
+        new_v_s = _slot_kv_update(v_scales, v_s, lens)
+        cap = past_k_q8.shape[1]
+        f = decode_attention if _use_flash(ctx) else decode_mha_xla
+        out = f(q4, cat_to_heads(new_kc, kv_heads),
+                cat_to_heads(new_vc, kv_heads), lens,
+                new_k_s.reshape(B, kv_heads, cap),
+                new_v_s.reshape(B, kv_heads, cap),
+                scale=scale, window=window)
+        return (_merge_heads(out), new_kc, new_k_s, new_vc, new_v_s)
 
     new_k_q8 = _slot_kv_update(past_k_q8, k_q8, lens)
     new_k_s = _slot_kv_update(k_scales, k_s, lens)

@@ -124,6 +124,13 @@ def shard_inputs(
     for nid, val in feed.items():
         name = graph.node_name(nid)
         spec = sharding_for_name(name, rules) or P()
+        if (np.ndim(val) == 3 and name
+                and re.search(r"^past_key_values\.", name)
+                and len(spec) == 4):
+            # Cat-layout cache [slots, cap, Hkv*D] (kernel_append graphs):
+            # heads ride the LAST axis in contiguous D chunks, so the
+            # 'model' axis moves from dim 1 to dim 2.
+            spec = P(spec[0], None, spec[1])
         spec = P(*spec[: np.ndim(val)])
         out[nid] = jax.device_put(val, NamedSharding(mesh, spec))
     return out

@@ -880,7 +880,11 @@ class ContinuousBatchingEngine:
                     continue
                 base = jnp.zeros_like(c)
                 if prefix_rows is not None:
-                    base = base.at[:, :, :P].set(
+                    # Cache-position axis: ndim-2 (4D head-major and scale
+                    # buffers keep cap at dim 2; 3D cat caches at dim 1).
+                    ax = c.ndim - 2
+                    idx = (slice(None),) * ax + (slice(0, P),)
+                    base = base.at[idx].set(
                         jnp.broadcast_to(
                             prefix_rows[i],
                             (slots,) + prefix_rows[i].shape[1:],
@@ -892,9 +896,12 @@ class ContinuousBatchingEngine:
             if self.paged:
                 merged = list(outs[1:])
             else:
-                m = admit_mask[:, None, None, None]
                 merged = [
-                    jnp.where(m, p, c) for c, p in zip(caches, outs[1:])
+                    jnp.where(
+                        admit_mask.reshape((slots,) + (1,) * (c.ndim - 1)),
+                        p, c,
+                    )
+                    for c, p in zip(caches, outs[1:])
                 ]
             # Only the prompt-final position matters; gather it on device
             # ([slots] tokens or [slots, V] logits instead of [slots, T, V]).
@@ -1118,8 +1125,12 @@ class ContinuousBatchingEngine:
                 env[nid] = c
             self._feed_recent_dummies(env)
             outs = executor.trace(env, out_ids)
-            m = admit_mask[:, None, None, None]
-            merged = [jnp.where(m, p, c) for c, p in zip(caches, outs[1:])]
+            merged = [
+                jnp.where(
+                    admit_mask.reshape((slots,) + (1,) * (c.ndim - 1)), p, c
+                )
+                for c, p in zip(caches, outs[1:])
+            ]
             sel = outs[0][jnp.arange(slots), last_idx]
             return sel, merged
 

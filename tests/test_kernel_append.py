@@ -135,6 +135,85 @@ def test_append_bf16_cache():
     assert got[1].dtype == jnp.bfloat16
 
 
+# --- cat-layout caches --------------------------------------------------------
+
+from rten_tpu.kernels.flash_attention import (
+    cat_to_heads,
+    decode_attention_append_cat,
+    decode_mha_append_cat,
+    heads_to_cat,
+)
+
+
+def _run_cat(q, k, v, lens, ks, vs, kn, vn, window=0, block_k=256):
+    """Run the cat kernel (interpret) + its jnp fallback + the 4D kernel
+    on the same head-major data; return all three result tuples."""
+    lens = jnp.asarray(lens, jnp.int32)
+    kc, vc = heads_to_cat(k), heads_to_cat(v)
+    got = decode_mha_append_cat(
+        q, kc, vc, lens, ks, vs, k_new=kn, v_new=vn, window=window,
+        block_k=block_k, interpret=True,
+    )
+    fb = decode_attention_append_cat(
+        q, kc, vc, lens, ks, vs, k_new=kn, v_new=vn, window=window,
+        use_flash=False,
+    )
+    ref = decode_mha_append(
+        q, k, v, lens, ks, vs, k_new=kn, v_new=vn, window=window,
+        block_k=block_k, interpret=True,
+    )
+    return got, fb, ref
+
+
+@pytest.mark.parametrize("quant", [False, True])
+@pytest.mark.parametrize("lens", [[0, 100, 255], [31, 255, 128]])
+def test_cat_append_matches_headmajor(quant, lens):
+    """Cat kernel == 4D kernel (bit-exact caches across the layout map)
+    and == its own jnp fallback, across both key blocks."""
+    q, k, v, ks, vs, kn, vn = _mk(3, 12, 12, 64, 256, quant, seed=6)
+    if quant:
+        ks = ks.reshape(3, 12, 256, 1)
+        vs = vs.reshape(3, 12, 256, 1)
+    got, fb, ref = _run_cat(q, k, v, lens, ks, vs, kn, vn, block_k=128)
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(ref[0]), rtol=2e-2, atol=5e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got[1]), np.asarray(heads_to_cat(ref[1]))
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got[2]), np.asarray(heads_to_cat(ref[2]))
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(fb[0]), rtol=2e-2, atol=5e-3
+    )
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(fb[1]))
+    if quant:
+        np.testing.assert_allclose(
+            np.asarray(got[3]), np.asarray(ref[3].reshape(got[3].shape)),
+            rtol=5e-6, atol=0,
+        )
+
+
+def test_cat_append_gqa_window():
+    """GQA (group=4) + sliding window on the cat kernel."""
+    q, k, v, ks, vs, kn, vn = _mk(2, 8, 2, 64, 256, True, seed=7)
+    ks = ks.reshape(2, 2, 256, 1)
+    vs = vs.reshape(2, 2, 256, 1)
+    got, fb, ref = _run_cat(q, k, v, [40, 200], ks, vs, kn, vn, window=32)
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(ref[0]), rtol=2e-2, atol=5e-3
+    )
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(fb[1]))
+    np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(fb[2]))
+
+
+def test_cat_roundtrip_helpers():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.integers(-127, 128, (2, 3, 16, 8)), jnp.int8)
+    assert (cat_to_heads(heads_to_cat(x), 3) == x).all()
+
+
 # --- serving graphs -----------------------------------------------------------
 
 from rten_tpu.generate import Generator, GeneratorConfig
