@@ -71,7 +71,16 @@ def _arg_reduce(name, fn, last_fn):
         axis = attrs.get("axis", 0)
         keepdims = bool(attrs.get("keepdims", 1))
         select_last = attrs.get("select_last_index", 0)
-        if select_last:
+        if (name == "ArgMax" and not select_last and x.ndim >= 2
+                and axis in (-1, x.ndim - 1)):
+            # Serving greedy head: XLA's variadic (value, index) reduce
+            # measured 3x its DMA bound on [96, 50257] logits; the Pallas
+            # grid reduction streams the rows once (kernels/argmax.py).
+            from ..kernels.argmax import argmax_lastdim
+            from .attention import _use_flash
+
+            idx = argmax_lastdim(x, use_flash=_use_flash(ctx))
+        elif select_last:
             flipped = jnp.flip(x, axis=axis)
             idx = _fn(flipped, axis=axis)
             idx = x.shape[axis] - 1 - idx
