@@ -105,12 +105,17 @@ def _skinny_blocks(M: int, K: int, N: int):
     """
     if K % 128 != 0 or K > 8192:
         return None
-    # Target ~4MB int8 weight block: VMEM is ~16MB and pallas double-buffers.
+    # Target ~4MB int8 weight block (VMEM is ~16MB and pallas
+    # double-buffers), AND cap bn so the f32 out block + i32 accumulator
+    # (bm x bn x 8 bytes) stay within ~4MB — at small K the weight target
+    # alone would let the out block blow VMEM.
+    bm = round_up(M, 32)
     limit_n = max(128, (4 * 1024 * 1024 // K) // 128 * 128)
+    limit_n = min(limit_n, max(128, (4 * 1024 * 1024 // (8 * bm)) // 128 * 128))
     bn = _divisor_block(N, limit_n)
     if bn is None:
         bn = min(limit_n, round_up(N, 128))
-    return round_up(M, 32), K, bn
+    return bm, K, bn
 
 
 def int8_matmul_dequant(
@@ -182,7 +187,12 @@ def int8_matmul_dequant(
     # Tile-align. int8 min tile is (32, 128); f32 out is (8, 128). Prefer
     # divisor blocks for K/N: padding the weight operand would write+read a
     # full padded copy of it every call.
-    skinny = _skinny_blocks(M, K, N) if M <= 64 else None
+    # Decode shapes extend to M=128+ with continuous batching (M = live
+    # slots); the weights-stationary full-K blocks beat the generic tiling
+    # 2-3x there too (round-4 microbench at M=96: QKV 10.9 -> 5.1us,
+    # lm_head 390 -> 123us). Above that, prefill/training shapes take the
+    # generic 3-axis tiling.
+    skinny = _skinny_blocks(M, K, N) if M <= 128 else None
     if skinny is not None:
         bm, bk, bn = skinny
     else:

@@ -132,3 +132,49 @@ def test_qwen2_style_attention_bias_matches_torch():
     for p, r in zip(prompts, reqs):
         want = torch_greedy(module, p, 8)
         assert r.generated == want, (r.generated, want)
+
+
+def test_llama_engine_kernel_append_matches_torch(tiny):
+    """GQA+rotary through the round-4 cat-layout kernel-append path
+    (caches [slots, cap, Hkv*D]); tokens must still match torch exactly."""
+    module, cfg, weights = tiny
+    g = llama.build_graph_static_cache(
+        cfg, weights, capacity=64, kernel_append=True
+    )
+    model = Model(g, ModelOptions(optimize=True))
+    eng = ContinuousBatchingEngine(
+        model, n_layer=cfg.num_hidden_layers, n_head=cfg.num_key_value_heads,
+        head_dim=cfg.head_dim, slots=2, capacity=64,
+        prefill_bucket=8, greedy_on_device=True, steps_per_dispatch=4,
+    )
+    prompts = [[3, 17, 9, 101, 42], [7, 7, 200]]
+    n_new = 8
+    reqs = [eng.submit(p, max_new_tokens=n_new) for p in prompts]
+    eng.run()
+    for p, r in zip(prompts, reqs):
+        want = torch_greedy(module, p, n_new)
+        assert r.generated == want, (r.generated, want)
+
+
+def test_llama_engine_kernel_append_int8_kv(tiny):
+    """Quantized-KV (int8) cat kernel-append on the GQA family: tokens
+    match the dus-chain int8-KV engine exactly (identical quantization)."""
+    module, cfg, weights = tiny
+    toks = {}
+    for ka in (False, True):
+        g = llama.build_graph_static_cache(
+            cfg, weights, capacity=64, kv_quant=True, kernel_append=ka
+        )
+        model = Model(g, ModelOptions(optimize=True))
+        eng = ContinuousBatchingEngine(
+            model, n_layer=cfg.num_hidden_layers,
+            n_head=cfg.num_key_value_heads, head_dim=cfg.head_dim,
+            slots=2, capacity=64, prefill_bucket=8,
+            greedy_on_device=True, steps_per_dispatch=4,
+        )
+        reqs = [eng.submit(p, max_new_tokens=8)
+                for p in ([3, 17, 9, 101, 42], [7, 7, 200])]
+        eng.run()
+        toks[ka] = [r.generated for r in reqs]
+        assert all(len(t) == 8 for t in toks[ka])
+    assert toks[True] == toks[False]
