@@ -195,6 +195,18 @@ def int8_matmul_dequant(
     skinny = _skinny_blocks(M, K, N) if M <= 128 else None
     if skinny is not None:
         bm, bk, bn = skinny
+    elif (block_m, block_n, block_k) == (256, 256, 512) and M > 128:
+        # Large-batch (prefill/training) auto config: the 256/256/384
+        # default tiles a [12288,768]x[768,2304] prefill matmul into 864
+        # grid steps of ~96KB — per-step overhead dominates (466us vs the
+        # 110us MXU bound). Fewer, larger steps with full-K blocks:
+        # 167us on-chip (round-4 microbench), ~2.8x.
+        bm = next((c for c in (512, 384, 256) if M % c == 0), 512)
+        bn = _divisor_block(N, 512) or min(512, round_up(N, 128))
+        if K % 128 == 0 and K <= 4096:
+            bk = K
+        else:
+            bk = _divisor_block(K, 2048) or min(2048, round_up(K, 128))
     else:
         bm = min(block_m, round_up(M, 32))
         bn = _divisor_block(N, block_n) or min(block_n, round_up(N, 128))
