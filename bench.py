@@ -133,6 +133,10 @@ def build_engine(capacity=None, kv_quant=False, device_sampler=None,
             cfg, weights, capacity=capacity, kv_quant=kv_quant,
             deferred_kv=deferred_kv, recent_dtype=rdt, kv_dtype=kdt,
             kv_bits=kv_bits, kernel_append=kernel_append,
+            # Prefill lm_head on one row per slot (gather-before-head);
+            # the full-bucket head cost a 950-GFLOP matmul + 2.5GB logits
+            # buffer per 96x128 admission wave.
+            gather_last=os.environ.get("RTEN_BENCH_GATHER_LAST", "1") != "0",
         )
     if os.environ.get("RTEN_BENCH_QUANT", "int8") == "int4":
         from rten_tpu.quantize_pass import quantize_weight_only_int4

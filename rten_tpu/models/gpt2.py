@@ -154,7 +154,7 @@ def build_graph_static_cache(
     recent_dtype: "DataType" = None, kv_dtype: "DataType" = None,
     kv_bits: int = 8, lora_rank: int = 0, n_adapters: int = 0,
     paged_blocks: int = 0, block_size: int = 64,
-    kernel_append: bool = False,
+    kernel_append: bool = False, gather_last: bool = False,
 ) -> Graph:
     """Serving-engine variant: KV caches are preallocated [slots, H, cap, D]
     buffers written in-graph at per-slot offsets (GroupQueryAttention with
@@ -444,6 +444,22 @@ def build_graph_static_cache(
         x = x + mlp
 
     x = layer_norm(x, "transformer.ln_f")
+    if gather_last:
+        # Serving prefill computes hidden states for the whole bucket but
+        # only the prompt-final position's logits are consumed; the
+        # lm_head is an opaque int8 Pallas call once quantized, so XLA
+        # cannot push the engine's post-hoc gather through it — at a
+        # 96x128 admission that cost a 950-GFLOP lm_head + a 2.5GB logits
+        # buffer + a 7.6ms slice (round-4 trace). Gather ONE row per slot
+        # first; decode steps feed last_pos = 0.
+        last_pos = b.input("last_pos", DataType.Int32, ("slots",))
+        idx3 = b.op(
+            "Reshape",
+            [last_pos, b.constant(
+                "last_pos_shape", np.array([0, 1, 1], np.int64)
+            )],
+        )
+        x = b.op("GatherND", [x, idx3], {"batch_dims": 1})  # [slots,1,E]
     lm_w = b.constant(
         "lm_head.weight_t",
         np.ascontiguousarray(weights["transformer.wte.weight"].T, np.float32),

@@ -68,7 +68,7 @@ def build_graph_static_cache(
     deferred_kv: bool = False, recent_dtype: DataType = None,
     kv_dtype: DataType = None, kv_quant: bool = False, kv_bits: int = 8,
     paged_blocks: int = 0, block_size: int = 64,
-    kernel_append: bool = False,
+    kernel_append: bool = False, gather_last: bool = False,
 ) -> Graph:
     """Serving graph: inputs input_ids [slots,seq], past_lens [slots],
     position_ids [slots,seq]; outputs logits, present.N.{key,value},
@@ -357,6 +357,18 @@ def build_graph_static_cache(
         x = block_tail(x, attn, p)
 
     x = rms(x, "model.norm.weight")
+    if gather_last:
+        # Only the prompt-final row's logits are consumed at prefill;
+        # gather it before the (opaque once-quantized) lm_head. See
+        # models/gpt2.py.
+        last_pos = b.input("last_pos", DataType.Int32, ("slots",))
+        idx3 = b.op(
+            "Reshape",
+            [last_pos, b.constant(
+                "last_pos_shape", np.array([0, 1, 1], np.int64)
+            )],
+        )
+        x = b.op("GatherND", [x, idx3], {"batch_dims": 1})
     lm_name = (
         "model.embed_tokens.weight" if cfg.tie_word_embeddings else "lm_head.weight"
     )

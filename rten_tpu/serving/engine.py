@@ -166,6 +166,10 @@ class ContinuousBatchingEngine:
             n: self.g.find_node(n)
             for n in ("input_ids", "past_lens", "position_ids")
         }
+        # gather_last graphs take per-slot prompt-final indices and emit
+        # [slots, 1, V] logits (the lm_head runs on ONE row per slot);
+        # decode steps feed zeros (S == 1).
+        self.last_pos_id = self.g.find_node("last_pos")
         # Greedy-on-device: fetch the tiny argmax output instead of the full
         # [slots, T, V] logits (XLA prunes the logits transfer entirely).
         self.greedy_on_device = (
@@ -420,6 +424,7 @@ class ContinuousBatchingEngine:
                 env[in_ids["input_ids"]] = toks[:, None]
                 env[in_ids["past_lens"]] = lens
                 env[in_ids["position_ids"]] = lens[:, None]
+                self._feed_last_pos(env)
                 if deferred:
                     env[step_t_id] = t.reshape(1)
                     for nid, r in zip(recent_ids, recents):
@@ -830,6 +835,15 @@ class ContinuousBatchingEngine:
         for nid, (h, d, dt) in zip(self.recent_ids, self._recent_alloc):
             env[nid] = jnp.zeros((self.slots, h, 1, d), dt)
 
+    def _feed_last_pos(self, env, val=None):
+        """gather_last graphs: per-slot prompt-final index (prefill) or
+        zeros (decode, S == 1)."""
+        if self.last_pos_id is not None:
+            env[self.last_pos_id] = (
+                jnp.zeros((self.slots,), jnp.int32) if val is None
+                else jnp.asarray(val, jnp.int32)
+            )
+
     def _build_batch_prefill(self, T: int, prefixed: bool = False):
         """Fused admission executable for prompt bucket T: forward ALL slot
         rows (non-admitted rows carry dummy prompts whose results are
@@ -864,6 +878,7 @@ class ContinuousBatchingEngine:
             env[in_ids["position_ids"]] = jnp.broadcast_to(
                 P + jnp.arange(T, dtype=jnp.int32)[None], (slots, T)
             )
+            self._feed_last_pos(env, last_idx)
             for i, (nid, c) in enumerate(zip(cache_ids, caches)):
                 if self.paged:
                     # Shared pool: feed it LIVE (admitted writes land in
@@ -905,7 +920,10 @@ class ContinuousBatchingEngine:
                 ]
             # Only the prompt-final position matters; gather it on device
             # ([slots] tokens or [slots, V] logits instead of [slots, T, V]).
-            sel = outs[0][jnp.arange(slots), last_idx]
+            sel = (
+                outs[0][:, 0] if self.last_pos_id is not None
+                else outs[0][jnp.arange(slots), last_idx]
+            )
             return sel, merged
 
         if prefixed:
@@ -1007,6 +1025,7 @@ class ContinuousBatchingEngine:
         for nid, c in zip(self.cache_ids, self.caches):
             env[nid] = jnp.zeros_like(c)
         self._feed_recent_dummies(env)
+        self._feed_last_pos(env, np.full(self.slots, P - 1, np.int32))
 
         def prefill(e):
             outs = self.executor.trace(e, self.out_ids)
@@ -1043,6 +1062,7 @@ class ContinuousBatchingEngine:
         )
         for nid, c in zip(self.cache_ids, self.caches):
             env[nid] = c
+        self._feed_last_pos(env, np.full(self.slots, P - 1, np.int32))
         outs = self.executor.run(env, self.out_ids, donate=self.cache_ids)
         self.caches = list(outs[1:])
 
@@ -1121,6 +1141,7 @@ class ContinuousBatchingEngine:
             env[in_ids["position_ids"]] = (
                 lens[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
             )
+            self._feed_last_pos(env, last_idx)
             for nid, c in zip(cache_ids, caches):
                 env[nid] = c
             self._feed_recent_dummies(env)
@@ -1131,7 +1152,10 @@ class ContinuousBatchingEngine:
                 )
                 for c, p in zip(caches, outs[1:])
             ]
-            sel = outs[0][jnp.arange(slots), last_idx]
+            sel = (
+                outs[0][:, 0] if self.last_pos_id is not None
+                else outs[0][jnp.arange(slots), last_idx]
+            )
             return sel, merged
 
         return jax.jit(fn, donate_argnums=(1,))
@@ -1364,6 +1388,7 @@ class ContinuousBatchingEngine:
         for nid, cache in zip(self.cache_ids, self.caches):
             feed[nid] = cache
         self._bt_sync()
+        self._feed_last_pos(feed)
         if self.params:
             feed.update(self.params)
         if self.deferred_kv:

@@ -65,6 +65,13 @@ class SpeculativeEngine(ContinuousBatchingEngine):
         super().__init__(model, steps_per_dispatch=1, **kw)
         if self.deferred_kv:
             raise ValueError("speculative decoding needs deferred_kv=False")
+        if self.last_pos_id is not None:
+            # Verify steps need argmax at ALL gamma+1 positions; a
+            # gather_last head emits one row per slot.
+            raise ValueError(
+                "speculative decoding needs gather_last=False graphs "
+                "(the verify step consumes every position's logits)"
+            )
         if self.paged:
             raise ValueError(
                 "speculative decoding does not support paged-KV graphs"

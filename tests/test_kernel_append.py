@@ -302,3 +302,52 @@ def test_kernel_append_rejects_bad_combos(setup):
             cfg, weights, capacity=64, kv_quant=True, kv_bits=4,
             kernel_append=True,
         )
+
+
+@pytest.mark.parametrize("steps_per_dispatch", [1, 4])
+def test_gather_last_matches_full_head(setup, steps_per_dispatch):
+    """gather_last graphs (prefill lm_head on one row per slot) must
+    produce identical tokens to the full-bucket head, across batched
+    admission and fused decode."""
+    cfg, weights, seq_model = setup
+    n_new = 10
+    want = _golden(seq_model, PROMPTS, n_new)
+    g = gpt2.build_graph_static_cache(
+        cfg, weights, capacity=64, kv_quant=True, deferred_kv=False,
+        kernel_append=True, gather_last=True,
+    )
+    model = Model(g, ModelOptions(optimize=True))
+    engine = ContinuousBatchingEngine(
+        model, n_layer=cfg.n_layer, n_head=cfg.n_head,
+        head_dim=cfg.head_dim, slots=3, capacity=64, prefill_bucket=8,
+        greedy_on_device=True, steps_per_dispatch=steps_per_dispatch,
+    )
+    reqs = [engine.submit(p, max_new_tokens=n_new) for p in PROMPTS]
+    engine.run()
+    got = [r.generated for r in reqs]
+    # int8-KV tokens must equal the int8-KV full-head engine
+    eng2 = _engine(cfg, weights, kv_quant=True, kernel_append=True,
+                   greedy_on_device=True,
+                   steps_per_dispatch=steps_per_dispatch)
+    reqs2 = [eng2.submit(p, max_new_tokens=n_new) for p in PROMPTS]
+    eng2.run()
+    assert got == [r.generated for r in reqs2]
+
+
+def test_gather_last_chunked_prefill(setup):
+    """gather_last + chunked prefill: chunk-local last_pos indices."""
+    cfg, weights, seq_model = setup
+    n_new = 8
+    want = _golden(seq_model, PROMPTS, n_new)
+    g = gpt2.build_graph_static_cache(
+        cfg, weights, capacity=64, deferred_kv=False, gather_last=True,
+    )
+    model = Model(g, ModelOptions(optimize=True))
+    engine = ContinuousBatchingEngine(
+        model, n_layer=cfg.n_layer, n_head=cfg.n_head,
+        head_dim=cfg.head_dim, slots=3, capacity=64, prefill_bucket=8,
+        greedy_on_device=True, chunked_prefill=True,
+    )
+    reqs = [engine.submit(p, max_new_tokens=n_new) for p in PROMPTS]
+    engine.run()
+    assert [r.generated for r in reqs] == want
