@@ -162,6 +162,10 @@ def build_engine(capacity=None, kv_quant=False, device_sampler=None,
         device_sampler=device_sampler,
         steps_per_dispatch=steps_per_dispatch or STEPS_PER_DISPATCH,
         dispatches_per_drain=dispatches_per_drain,
+        # unroll>1 won the attention-only microbench (-17%) but LOSES
+        # end-to-end (25.2k vs 26.4k tok/s): the interleaved matmuls already
+        # hide the loop-boundary cost and the 4x program pressures VMEM.
+        scan_unroll=int(os.environ.get("RTEN_BENCH_UNROLL", "1")),
         pipeline_dispatch=os.environ.get("RTEN_BENCH_PIPELINE", "0") != "0",
     )
 
