@@ -522,7 +522,13 @@ def _group_query_attention(ctx, inputs, attrs):
     if past_lens is not None and cat_kv:
         # Cat-cache prefill: append the chunk's rows in cat form, attend
         # through a head-major view (XLA transposes once per prefill
-        # chunk — off the decode hot path).
+        # chunk — off the decode hot path). NOTE: a folded cat-layout
+        # prefill kernel (heads + q rows on sublanes, block-diagonal
+        # qblk dot) was built and measured SLOWER (1.7 vs 0.8 ms/layer
+        # at the 96x128 admission): at S>>1 the fold's Hkv-x lane
+        # redundancy turns prefill attention into 4.8 TFLOP of MXU work
+        # where only 0.4 is useful — the redundancy only pays at S==1
+        # where padding dominates anyway.
         from ..kernels.flash_attention import (
             cat_to_heads, decode_attention, decode_mha_xla, heads_to_cat,
         )
@@ -538,12 +544,12 @@ def _group_query_attention(ctx, inputs, attrs):
             past_v, heads_to_cat(v).astype(past_v.dtype), past_lens
         )
         Hkv = k.shape[1]
+        n_out = attrs.get("__n_outputs__", 3)
         f = decode_attention if _use_flash(ctx) else decode_mha_xla
         out = f(q, cat_to_heads(kc, Hkv).astype(q.dtype),
                 cat_to_heads(vc, Hkv).astype(q.dtype), past_lens,
                 scale=scale, window=window)
         out = _merge_heads(out)
-        n_out = attrs.get("__n_outputs__", 3)
         return (out, kc, vc)[:n_out]
 
     if past_lens is not None:
@@ -776,8 +782,8 @@ def _quantized_kv_attention(ctx, inputs, attrs):
 
     if past_k_q8.ndim == 3:
         # Cat-layout prefill (kernel_append graphs): append rows in cat
-        # form, attend through a head-major view (one XLA transpose per
-        # prefill chunk — off the decode hot path).
+        # form, then attend straight off the cat cache (see
+        # GroupQueryAttention).
         from ..kernels.flash_attention import (
             cat_to_heads, decode_attention, decode_mha_xla, heads_to_cat,
         )
