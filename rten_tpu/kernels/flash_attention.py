@@ -2091,6 +2091,209 @@ def decode_attention_append_cat(q, kc, vc, lens, k_scale=None,
     return out, nkc, nvc
 
 
+def _prefill_cat_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref, vs_ref,
+                        out_ref, m_ref, l_ref, acc_ref, *, scale: float,
+                        cap: int, S: int, block_q: int, block_k: int,
+                        quant: bool, group: int, window: int = 0):
+    """Prefill attention over cat-layout caches (S > 1, per-slot lens).
+
+    Grid (slot, q-block, key-block); heads run as an UNROLLED in-kernel
+    loop of per-head 2D dots on static lane slices of the cat block —
+    useful MACs only (a folded block-diagonal variant did Hkv-x redundant
+    MXU work and measured slower than the per-head GRID at S=128; the
+    per-head grid itself pays B*H*Sq step overheads, ~800us/layer at the
+    96x128 admission wave). Dots run at bf16-pass rate with f32
+    accumulate (s8 cache values are exact in bf16). Query row r of slot b
+    attends cache cols <= lens[b]+sq*bq+r (the row-write precedes
+    attention, so the chunk's own rows are in the cache).
+    """
+    b = pl.program_id(0)
+    sq = pl.program_id(1)
+    kb = pl.program_id(2)
+    D = q_ref.shape[3]
+    Hkv = (
+        ks_ref.shape[1] if quant else vc_ref.shape[2] // D
+    )
+    H = q_ref.shape[1]
+    bq = block_q
+    bk = block_k
+
+    @pl.when(kb == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    lens_b = lens_ref[b]
+    row = sq * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+    qpos = lens_b + row
+    col = kb * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+    valid = (col <= qpos) & (row < S) & (col < cap)
+    if window:
+        valid &= col > qpos - window
+
+    single_block = cap == bk  # one key block: no online merge needed
+
+    # Skip key blocks entirely above this q-block's last row.
+    @pl.when(kb * bk <= lens_b + (sq + 1) * bq - 1)
+    def _():
+        kcm = kc_ref[0].astype(jnp.bfloat16)       # [bk, Hkv*D]
+        vcm = vc_ref[0].astype(jnp.bfloat16)
+        for h in range(H):
+            kvh = h // group
+            sl = slice(kvh * D, (kvh + 1) * D)
+            rs = slice(h * bq, (h + 1) * bq)
+            qh = q_ref[0, h].astype(jnp.bfloat16)  # [bq, D]
+            s = jax.lax.dot_general(
+                qh, kcm[:, sl], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale                              # [bq, bk]
+            if quant:
+                s = s * ks_ref[0, kvh, 0, :][None, :]
+            s = jnp.where(valid, s, NEG_INF)
+            if single_block:
+                m_new = jnp.max(s, axis=1, keepdims=True)
+                p = jnp.exp(s - m_new)
+                p = jnp.where(
+                    jnp.broadcast_to(m_new, s.shape) <= NEG_INF / 2, 0.0, p
+                )
+                l_ref[rs] = jnp.sum(p, axis=1, keepdims=True)
+                if quant:
+                    p = p * vs_ref[0, kvh, 0, :][None, :]
+                acc_ref[rs] = jax.lax.dot_general(
+                    p.astype(jnp.bfloat16), vcm[:, sl],
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                continue
+            m_prev = m_ref[rs]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            p = jnp.where(
+                jnp.broadcast_to(m_new, s.shape) <= NEG_INF / 2, 0.0, p
+            )
+            alpha = jnp.where(
+                m_prev <= NEG_INF / 2, 0.0, jnp.exp(m_prev - m_new)
+            )
+            l_ref[rs] = l_ref[rs] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            if quant:
+                p = p * vs_ref[0, kvh, 0, :][None, :]
+            acc_ref[rs] = acc_ref[rs] * alpha + jax.lax.dot_general(
+                p.astype(jnp.bfloat16), vcm[:, sl],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_ref[rs] = m_new
+
+    @pl.when(kb == pl.num_programs(2) - 1)
+    def _():
+        l = jnp.where(l_ref[:] == 0.0, 1.0, l_ref[:])
+        out = (acc_ref[:] / l).reshape(H, bq, D)
+        out_ref[0] = out.astype(out_ref.dtype)
+
+
+def _prefill_cat_entry(*refs, quant: bool, **kw):
+    if quant:
+        (lens, q, kc, vc, ks, vs, out, m, l, acc) = refs
+    else:
+        (lens, q, kc, vc, out, m, l, acc) = refs
+        ks = vs = None
+    return _prefill_cat_kernel(
+        lens, q, kc, vc, ks, vs, out, m, l, acc, quant=quant, **kw
+    )
+
+
+def prefill_mha_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
+                    scale=None, block_q: int = 128, block_k: int = 256,
+                    window: int = 0, interpret: bool = False):
+    """Prefill attention on cat-layout caches: q [B,H,S,D], kc/vc
+    [B,cap,Hkv*D] holding rows < lens[b]+S (the chunk's rows included);
+    row r of slot b attends cols <= lens[b]+r. -> [B,H,S,D] f32."""
+    B, H, S, D = q.shape
+    cap = kc.shape[1]
+    quant = k_scale is not None
+    Hkv = k_scale.shape[1] if quant else kc.shape[2] // D
+    HkvD = Hkv * D
+    assert kc.shape[2] == HkvD
+    group = H // Hkv
+    if scale is None:
+        scale = 1.0 / float(np.sqrt(D))
+    bq = min(block_q, round_up(S, 8))
+    Sp = round_up(S, bq)
+    bk = min(block_k, round_up(cap, 128))
+    assert cap % bk == 0
+    nkb = cap // bk
+    nsq = Sp // bq
+
+    qp = pad_dim(q, 2, Sp).astype(jnp.float32)
+    lens = jnp.asarray(lens, jnp.int32)
+
+    # Clamp key-block reads to the last block this q-block can attend.
+    kv_index = lambda b, s, j, lens: (
+        b,
+        jnp.minimum(
+            j, jnp.minimum(lens[b] + (s + 1) * bq - 1, cap - 1) // bk
+        ),
+        0,
+    )
+    sc_index = lambda b, s, j, lens: (
+        b, 0, 0,
+        jnp.minimum(
+            j, jnp.minimum(lens[b] + (s + 1) * bq - 1, cap - 1) // bk
+        ),
+    )
+    q_index = lambda b, s, j, lens: (b, 0, s, 0)
+
+    kernel = functools.partial(
+        _prefill_cat_entry,
+        scale=float(scale), cap=cap, S=S, block_q=bq, block_k=bk,
+        quant=quant, group=group, window=int(window),
+    )
+    in_specs = [
+        pl.BlockSpec((1, H, bq, D), q_index),
+        pl.BlockSpec((1, bk, HkvD), kv_index),
+        pl.BlockSpec((1, bk, HkvD), kv_index),
+    ]
+    operands = [qp, kc, vc]
+    if quant:
+        ksp = k_scale.reshape(B, Hkv, 1, cap)
+        vsp = v_scale.reshape(B, Hkv, 1, cap)
+        in_specs += [
+            pl.BlockSpec((1, Hkv, 1, bk), sc_index),
+            pl.BlockSpec((1, Hkv, 1, bk), sc_index),
+        ]
+        operands += [ksp, vsp]
+
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, nsq, nkb),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec((1, H, bq, D), q_index),
+            scratch_shapes=[
+                pltpu.VMEM((H * bq, 1), jnp.float32),
+                pltpu.VMEM((H * bq, 1), jnp.float32),
+                pltpu.VMEM((H * bq, D), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, Sp, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * Sp * cap * D,
+            bytes_accessed=(
+                B * H * Sp * D * 8
+                + 2 * B * cap * HkvD * kc.dtype.itemsize * nsq
+            ),
+            transcendentals=B * H * Sp * cap,
+        ),
+        interpret=interpret,
+    )(lens, *operands)
+    return out[:, :, :S, :]
+
+
 # --- paged KV cache (block tables) -------------------------------------------
 #
 # vLLM-style paged attention, TPU-native: the KV cache is a shared POOL of

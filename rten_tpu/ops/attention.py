@@ -520,17 +520,17 @@ def _group_query_attention(ctx, inputs, attrs):
         return (out, nk, nv)[:n_out]
 
     if past_lens is not None and cat_kv:
-        # Cat-cache prefill: append the chunk's rows in cat form, attend
-        # through a head-major view (XLA transposes once per prefill
-        # chunk — off the decode hot path). NOTE: a folded cat-layout
-        # prefill kernel (heads + q rows on sublanes, block-diagonal
-        # qblk dot) was built and measured SLOWER (1.7 vs 0.8 ms/layer
-        # at the 96x128 admission): at S>>1 the fold's Hkv-x lane
-        # redundancy turns prefill attention into 4.8 TFLOP of MXU work
-        # where only 0.4 is useful — the redundancy only pays at S==1
-        # where padding dominates anyway.
+        # Cat-cache prefill: append the chunk's rows in cat form, then
+        # attend straight off the cat cache. prefill_mha_cat runs an
+        # UNROLLED per-head loop of lane-sliced dots inside a (slot,
+        # q-block, key-block) grid — useful MACs only; 562us vs the
+        # per-head GRID's 1223us per layer at the 96x128 admission wave.
+        # (A folded block-diagonal variant was also tried: its Hkv-x MXU
+        # redundancy made prefill 4.8 TFLOP where 0.4 is useful — the
+        # fold only pays at S == 1, where M-padding dominates anyway.)
         from ..kernels.flash_attention import (
             cat_to_heads, decode_attention, decode_mha_xla, heads_to_cat,
+            on_tpu, prefill_mha_cat,
         )
 
         if softcap or attn_bias_in is not None or head_sink is not None:
@@ -545,6 +545,11 @@ def _group_query_attention(ctx, inputs, attrs):
         )
         Hkv = k.shape[1]
         n_out = attrs.get("__n_outputs__", 3)
+        if _use_flash(ctx) and on_tpu() and q.shape[3] in (64, 128, 256):
+            out = prefill_mha_cat(
+                q, kc, vc, past_lens, scale=scale, window=window
+            )
+            return (_merge_heads(out), kc, vc)[:n_out]
         f = decode_attention if _use_flash(ctx) else decode_mha_xla
         out = f(q, cat_to_heads(kc, Hkv).astype(q.dtype),
                 cat_to_heads(vc, Hkv).astype(q.dtype), past_lens,
@@ -786,6 +791,7 @@ def _quantized_kv_attention(ctx, inputs, attrs):
         # GroupQueryAttention).
         from ..kernels.flash_attention import (
             cat_to_heads, decode_attention, decode_mha_xla, heads_to_cat,
+            on_tpu, prefill_mha_cat,
         )
 
         new_kc = _slot_kv_update_cat(past_k_q8, heads_to_cat(k_q8), lens)
@@ -793,6 +799,12 @@ def _quantized_kv_attention(ctx, inputs, attrs):
         new_k_s = _slot_kv_update(k_scales, k_s, lens)
         new_v_s = _slot_kv_update(v_scales, v_s, lens)
         cap = past_k_q8.shape[1]
+        if _use_flash(ctx) and on_tpu() and q4.shape[3] in (64, 128, 256):
+            out = prefill_mha_cat(
+                q4, new_kc, new_vc, lens, new_k_s, new_v_s,
+                scale=scale, window=window,
+            )
+            return (_merge_heads(out), new_kc, new_k_s, new_vc, new_v_s)
         f = decode_attention if _use_flash(ctx) else decode_mha_xla
         out = f(q4, cat_to_heads(new_kc, kv_heads),
                 cat_to_heads(new_vc, kv_heads), lens,
