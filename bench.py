@@ -174,10 +174,10 @@ from rten_tpu.serving.roofline import HBM_GBPS  # noqa: E402,F401
 from rten_tpu.serving.roofline import decode_roofline_tps as _roofline  # noqa: E402
 
 
-def decode_roofline_tps(engine) -> float:
+def decode_roofline_tps(engine, new_tokens: int = None) -> float:
     """Shared physics accounting (rten_tpu.serving.roofline) at this
     bench's wave shape."""
-    return _roofline(engine, PROMPT_LEN, NEW_TOKENS)
+    return _roofline(engine, PROMPT_LEN, new_tokens or NEW_TOKENS)
 
 
 def device_time_us(trace_dir: str) -> float:
@@ -338,15 +338,19 @@ def run_hard_config():
     engine.run()
     engine.finished.clear()
     engine.decode_tokens = 0
+    # Decode 2x the headline's tokens: the hard config's smaller wave
+    # (slots=32) made the number swing 3.0-5.2k tok/s run-to-run on pure
+    # dispatch/tunnel noise; a longer decode measures steady state.
+    hard_new = int(os.environ.get("RTEN_BENCH_HARD_NEW", str(2 * NEW_TOKENS)))
     reqs = [
-        engine.submit(p, max_new_tokens=NEW_TOKENS)
+        engine.submit(p, max_new_tokens=hard_new)
         for p in prompts(hard_slots)
     ]
     t0 = time.perf_counter()
     engine.run()
     elapsed = time.perf_counter() - t0
     total_tokens = sum(len(r.generated) for r in reqs)
-    roofline = decode_roofline_tps(engine)
+    roofline = decode_roofline_tps(engine, new_tokens=hard_new)
     return {
         "tps": total_tokens / elapsed,
         "roofline_tps": roofline,
