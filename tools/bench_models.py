@@ -202,17 +202,27 @@ def bench_llama_serving(iters):
     from rten_tpu.serving.roofline import decode_roofline_tps
 
     layers = int(os.environ.get("RTEN_LLAMA_LAYERS", "22"))
-    slots = int(os.environ.get("RTEN_LLAMA_SLOTS", "16"))
+    # slots=32 is the measured peak (r4 sweep: 16 -> 5.1k, 32 -> 7.6k,
+    # 64 -> 6.5k tok/s at cap 256).
+    slots = int(os.environ.get("RTEN_LLAMA_SLOTS", "32"))
     cap = int(os.environ.get("RTEN_LLAMA_CAP", "256"))
     k = int(os.environ.get("RTEN_LLAMA_K", "32"))
     prompt_len, new_tokens = 64, 64
     cfg = llama.LlamaConfig(num_hidden_layers=layers)
-    kv_env = os.environ.get("RTEN_LLAMA_KV", "f32")  # f32|int8|int4
+    # Round-4 default: int8 KV on cat-layout caches with in-kernel append
+    # (the fastest decode design; RTEN_LLAMA_KV=f32 / _APPEND=0 revert).
+    kv_env = os.environ.get("RTEN_LLAMA_KV", "int8")  # f32|int8|int4
+    kernel_append = (
+        os.environ.get("RTEN_LLAMA_APPEND", "1") != "0"
+        and kv_env != "int4"
+    )
     g = llama.build_graph_static_cache(
         cfg, llama.random_weights(cfg, seed=0), capacity=cap,
-        deferred_kv=os.environ.get("RTEN_LLAMA_DEFERRED", "1") != "0",
+        deferred_kv=(not kernel_append)
+        and os.environ.get("RTEN_LLAMA_DEFERRED", "1") != "0",
         kv_quant=kv_env in ("int8", "int4"),
         kv_bits=4 if kv_env == "int4" else 8,
+        kernel_append=kernel_append, gather_last=True,
     )
     quantize_dynamic(g)
     model = Model(g, ModelOptions(optimize=True))
@@ -241,7 +251,8 @@ def bench_llama_serving(iters):
 
     roofline = decode_roofline_tps(engine, prompt_len, new_tokens)
     yield {
-        "config": f"tinyllama_1.1b_int8_serving_{layers}L_kv-{kv_env}",
+        "config": f"tinyllama_1.1b_int8_serving_{layers}L_kv-{kv_env}"
+                  + ("_append" if kernel_append else ""),
         "value": round(tps, 1),
         "unit": "tokens/s",
         "slots": slots,
