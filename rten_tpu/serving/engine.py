@@ -1036,8 +1036,14 @@ class ContinuousBatchingEngine:
 
         def prefill(e):
             outs = self.executor.trace(e, self.out_ids)
-            # Slot 0's first P cache rows are the prefix KV (axis 2 = cap).
-            return [p[0:1, :, :P] for p in outs[1:]]
+            # Slot 0's first P cache rows are the prefix KV. The cache
+            # position axis is rank-dependent: ndim-2 (4D head-major and
+            # scale buffers keep cap at dim 2; 3D cat caches at dim 1).
+            return [
+                p[(slice(0, 1),) + (slice(None),) * (p.ndim - 3)
+                  + (slice(0, P),)]
+                for p in outs[1:]
+            ]
 
         self._prefix_rows = jax.jit(prefill)(env)
         self.prefix_tokens = tokens

@@ -92,3 +92,33 @@ def test_prefix_clear():
     r = eng.submit([1, 2, 3], max_new_tokens=4)  # no prefix constraint now
     eng.run()
     assert len(r.generated) == 4
+
+
+@pytest.mark.parametrize("kv", ["f32", "int8"])
+def test_prefix_caching_kernel_append_cat(kv):
+    """Shared prefix on round-4 cat-layout kernel-append graphs: the
+    prefix rows live at cache axis 1 (not 2) — rank-generic slicing and
+    stamping must produce the same tokens as full prefill."""
+    cfg = gpt2.GPT2Config(
+        vocab_size=96, n_positions=128, n_embd=64, n_layer=2, n_head=4
+    )
+    weights = gpt2.random_weights(cfg, seed=4)
+    g = gpt2.build_graph_static_cache(
+        cfg, weights, capacity=128, kv_quant=(kv == "int8"),
+        kernel_append=True, gather_last=True,
+    )
+    model = Model(g, ModelOptions(optimize=True))
+    n_new = 8
+    prompts = [PREFIX + s for s in SUFFIXES]
+
+    plain = _engine(cfg, model, steps_per_dispatch=4)
+    want = [plain.submit(p, max_new_tokens=n_new) for p in prompts]
+    plain.run()
+
+    cached = _engine(cfg, model, steps_per_dispatch=4)
+    cached.set_shared_prefix(PREFIX)
+    got = [cached.submit(p, max_new_tokens=n_new) for p in prompts]
+    cached.run()
+
+    for w, g in zip(want, got):
+        assert g.generated == w.generated, (g.generated, w.generated)
