@@ -304,9 +304,20 @@ def _dot_f32(a, b, dims):
     operand dtype: for a bf16 K/V block, cast the tiny q/p operand down
     instead of converting the streamed block up (the s8->f32 / bf16->f32
     VPU converts of whole KV blocks cost more than the bandwidth they
-    save -- round-3 trace: int8-KV attention 155us/layer vs f32 138)."""
+    save -- round-3 trace: int8-KV attention 155us/layer vs f32 138).
+
+    s8 blocks also go through bf16 (not f32): every s8 value is exact in
+    bf16's 8-bit mantissa and Mosaic's f32 dot truncates operands to bf16
+    passes anyway, so the results are BIT-IDENTICAL (verified on-chip at
+    the headline shape) while the s8->bf16 convert is half the VPU writes
+    of s8->f32 — 60.0 -> 49.3 us/call on the cat append kernel. Tiny
+    operands (a dim of 1) keep the f32 path: Mosaic's verifier rejects
+    the mixed-type broadcast it lowers them to."""
     if b.dtype == jnp.bfloat16:
         a = a.astype(jnp.bfloat16)
+    elif b.dtype == jnp.int8 and min(b.shape) > 1 and min(a.shape) > 1:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
     else:
         b = b.astype(a.dtype)
     return jax.lax.dot_general(
@@ -1657,7 +1668,7 @@ def _append_cat_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref, vs_ref,
                        vcw_ref, ksw_ref, vsw_ref, m_ref, l_ref, acc_ref, *,
                        scale: float, cap: int, block_k: int, block_w: int,
                        quant: bool, group: int, window: int = 0,
-                       single_block: bool = False):
+                       single_block: bool = False, cat_q: bool = False):
     """Cat-layout decode attention (S==1) with integrated cache append.
 
     Same contract as _append_kernel with caches in [B, cap, Hkv*D] form:
@@ -1665,6 +1676,13 @@ def _append_cat_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref, vs_ref,
     [B,Hkv,1,D] for per-head absmax and cat [B,1,Hkv*D] for scoring and
     writing — Mosaic cannot shape-cast sublanes to lanes) lands AT
     lens[b] through an aliased block_w-row output block.
+
+    cat_q (MHA only, group == 1): q arrives AND the attention output
+    leaves as one cat row [1, Hkv*D] instead of padded head-major
+    [H, bq, D] blocks — the row IS the QKV projection's natural output
+    and the proj matmul's natural input, so the serving graph sheds the
+    8-sublane pad on q (2.4MB -> 0.3MB read at slots=96) and the padded
+    out write plus its downstream slice/transpose glue.
     """
     b = pl.program_id(0)
     kb = pl.program_id(1)
@@ -1672,7 +1690,7 @@ def _append_cat_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref, vs_ref,
     Hkv = kn_ref.shape[1]
     D = kn_ref.shape[3]
     HkvD = Hkv * D
-    H = q_ref.shape[1]
+    H = Hkv if cat_q else q_ref.shape[1]  # cat_q implies group == 1
     Hp = m_ref.shape[0]
     bk = block_k
     bw = block_w
@@ -1681,18 +1699,26 @@ def _append_cat_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref, vs_ref,
     wpos = jnp.minimum(lens_b, cap - 1)
     wblk = wpos // bk
 
-    q_sm = q_ref[0, :, 0, :]                       # [H, D] (S == 1)
-    if Hp > H:
-        q_t = jnp.concatenate(
-            [q_sm, jnp.zeros((Hp - H, D), q_sm.dtype)], axis=0
-        )
-    else:
-        q_t = q_sm
     subq = jax.lax.broadcasted_iota(jnp.int32, (Hp, HkvD), 0)
     laneq = jax.lax.broadcasted_iota(jnp.int32, (Hp, HkvD), 1)
-    qblk = jnp.where(
-        (laneq // D) == (subq // group), jnp.tile(q_t, (1, Hkv)), 0.0
-    )
+    if cat_q:
+        # Row h keeps its own lane slice of the cat q row: with group==1
+        # head h's query already sits at lane slice h.
+        qblk = jnp.where(
+            (laneq // D) == subq,
+            jnp.broadcast_to(q_ref[0], (Hp, HkvD)), 0.0,
+        )
+    else:
+        q_sm = q_ref[0, :, 0, :]                   # [H, D] (S == 1)
+        if Hp > H:
+            q_t = jnp.concatenate(
+                [q_sm, jnp.zeros((Hp - H, D), q_sm.dtype)], axis=0
+            )
+        else:
+            q_t = q_sm
+        qblk = jnp.where(
+            (laneq // D) == (subq // group), jnp.tile(q_t, (1, Hkv)), 0.0
+        )
     # One-hot head->row expander: row h selects kv head h//group.
     oneh = (
         jax.lax.broadcasted_iota(jnp.int32, (Hp, Hkv), 1)
@@ -1811,11 +1837,23 @@ def _append_cat_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref, vs_ref,
             l = l_ref[:]
             acc = acc_ref[:]
         l = jnp.where(l == 0.0, 1.0, l)
-        out = extract(acc / l)[:H]                     # [H, D]
-        bq = out_ref.shape[2]
-        out_ref[0] = jnp.broadcast_to(
-            out[:, None, :], (H, bq, D)
-        ).astype(out_ref.dtype)
+        if cat_q:
+            # Diagonal extract straight into a cat row: head h's output
+            # is lane slice h of row h (group == 1); rows >= H are zero
+            # (their scores were masked, acc == 0). A sublane reduce of
+            # the diag-masked accumulator adds only exact zeros, so the
+            # values are bit-identical to the head-major extract.
+            x = acc / l                                # [Hp, HkvD]
+            out_ref[0] = jnp.sum(
+                jnp.where((laneq // D) == subq, x, 0.0),
+                axis=0, keepdims=True,
+            ).astype(out_ref.dtype)
+        else:
+            out = extract(acc / l)[:H]                 # [H, D]
+            bq = out_ref.shape[2]
+            out_ref[0] = jnp.broadcast_to(
+                out[:, None, :], (H, bq, D)
+            ).astype(out_ref.dtype)
 
         # Write-back: the read clamp puts the write position inside the
         # resident block; the bw-row output block is a live slice of it.
@@ -1882,8 +1920,9 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
     q [B,H,1,D]; kc/vc [B,cap,Hkv*D] caches holding rows < lens[b];
     k_new/v_new [B,Hkv,1,D] f32 rows for position lens[b]. Quantized
     caches (k_scale/v_scale lane-major per head) quantize the row
-    in-kernel. Returns (out, new_kc, new_vc[, new_ks, new_vs]); cache
-    outputs alias their inputs.
+    in-kernel. Returns (out, new_kc, new_vc[, new_ks, new_vs]) with out
+    in CAT layout [B, S, H*D] (== merged heads); cache outputs alias
+    their inputs.
     """
     B, H, S, D = q.shape
     Hkv = k_new.shape[1]
@@ -1901,8 +1940,12 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
     nkb = cap // bk
     Hp = round_up(H, 8)
     bq = 8
+    cat_q = group == 1  # MHA: q/out ride as single cat rows
 
-    qp = pad_dim(q, 2, bq)
+    if cat_q:
+        qp = heads_to_cat(q)  # [B, 1, HkvD] — cancels the upstream split
+    else:
+        qp = pad_dim(q, 2, bq)
     lens = jnp.asarray(lens, jnp.int32)
     knf = jnp.asarray(k_new, jnp.float32)
     vnf = jnp.asarray(v_new, jnp.float32)
@@ -1928,9 +1971,11 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
         _append_cat_entry,
         scale=float(scale), cap=cap, block_k=bk, block_w=bw, quant=quant,
         group=group, window=int(window), single_block=(nkb == 1),
+        cat_q=cat_q,
     )
     in_specs = [
-        pl.BlockSpec((1, H, bq, D), fixed4),
+        pl.BlockSpec((1, 1, HkvD), fixed3) if cat_q
+        else pl.BlockSpec((1, H, bq, D), fixed4),
         pl.BlockSpec((1, bk, HkvD), kv_index),
         pl.BlockSpec((1, bk, HkvD), kv_index),
     ]
@@ -1952,12 +1997,15 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
     operands += [knf, vnf, knc, vnc]
 
     out_specs = [
-        pl.BlockSpec((1, H, bq, D), fixed4),
+        pl.BlockSpec((1, 1, HkvD), fixed3) if cat_q
+        else pl.BlockSpec((1, H, bq, D), fixed4),
         pl.BlockSpec((1, bw, HkvD), w_index),
         pl.BlockSpec((1, bw, HkvD), w_index),
     ]
     out_shapes = [
-        jax.ShapeDtypeStruct((B, H, bq, D), q.dtype),
+        jax.ShapeDtypeStruct(
+            (B, 1, HkvD) if cat_q else (B, H, bq, D), q.dtype
+        ),
         jax.ShapeDtypeStruct(kc.shape, kc.dtype),
         jax.ShapeDtypeStruct(vc.shape, vc.dtype),
     ]
@@ -1995,7 +2043,7 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * cap * D,
             bytes_accessed=(
-                B * H * bq * D * 8
+                (2 * B * HkvD * 4 if cat_q else B * H * bq * D * 8)
                 + 2 * B * cap * HkvD * (1 if quant else kc.dtype.itemsize)
                 + 2 * B * bw * HkvD * kc.dtype.itemsize
             ),
@@ -2003,7 +2051,10 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
         ),
         interpret=interpret,
     )(lens, *operands)
-    out = res[0][:, :, :S, :D]
+    if cat_q:
+        out = res[0]                                   # [B, 1, HkvD]
+    else:
+        out = heads_to_cat(res[0][:, :, :S, :D])       # -> [B, S, H*D]
     if quant:
         sshape = k_scale.shape
         return (out, res[1], res[2],
@@ -2030,7 +2081,9 @@ def decode_attention_append_cat(q, kc, vc, lens, k_scale=None,
                                 window: int = 0, use_flash=True,
                                 interpret=False):
     """Route the cat-layout append decode step: the Pallas kernel on TPU,
-    an equivalent row-write + head-major attention elsewhere."""
+    an equivalent row-write + head-major attention elsewhere. The
+    attention output is returned in CAT layout [B, S, H*D] (== merged
+    heads), matching what the proj matmul consumes."""
     B, Hkv = k_new.shape[0], k_new.shape[1]
     cap = kc.shape[1]
     quant = k_scale is not None
@@ -2082,13 +2135,13 @@ def decode_attention_append_cat(q, kc, vc, lens, k_scale=None,
         out = f(q, cat_to_heads(nkc, Hkv), cat_to_heads(nvc, Hkv), lens,
                 nks.reshape(B, Hkv, cap), nvs.reshape(B, Hkv, cap),
                 scale=scale, window=window)
-        return out, nkc, nvc, nks, nvs
+        return heads_to_cat(out), nkc, nvc, nks, nvs
     nkc = row_write3(kc, heads_to_cat(k_new).astype(kc.dtype), lens)
     nvc = row_write3(vc, heads_to_cat(v_new).astype(vc.dtype), lens)
     out = f(q, cat_to_heads(nkc, Hkv).astype(jnp.float32),
             cat_to_heads(nvc, Hkv).astype(jnp.float32), lens,
             scale=scale, window=window)
-    return out, nkc, nvc
+    return heads_to_cat(out), nkc, nvc
 
 
 def _prefill_cat_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref, vs_ref,

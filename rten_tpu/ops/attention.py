@@ -505,17 +505,18 @@ def _group_query_attention(ctx, inputs, attrs):
         if cat_kv:
             from ..kernels.flash_attention import decode_attention_append_cat
 
+            # out arrives in cat layout [B, S, H*D] == merged heads.
             out, nk, nv = decode_attention_append_cat(
                 q, past_k, past_v, past_lens, k_new=k, v_new=v,
                 scale=scale, window=window, use_flash=_use_flash(ctx),
             )
-        else:
-            from ..kernels.flash_attention import decode_attention_append
+            return (out, nk, nv)[:n_out]
+        from ..kernels.flash_attention import decode_attention_append
 
-            out, nk, nv = decode_attention_append(
-                q, past_k, past_v, past_lens, k_new=k, v_new=v,
-                scale=scale, window=window, use_flash=_use_flash(ctx),
-            )
+        out, nk, nv = decode_attention_append(
+            q, past_k, past_v, past_lens, k_new=k, v_new=v,
+            scale=scale, window=window, use_flash=_use_flash(ctx),
+        )
         out = _merge_heads(out)
         return (out, nk, nv)[:n_out]
 
@@ -767,12 +768,13 @@ def _quantized_kv_attention(ctx, inputs, attrs):
         if past_k_q8.ndim == 3:
             from ..kernels.flash_attention import decode_attention_append_cat
 
+            # out arrives in cat layout [B, S, H*D] == merged heads.
             out, nk, nv, nks, nvs = decode_attention_append_cat(
                 q4, past_k_q8, past_v_q8, lens, k_scales, v_scales,
                 k_new=k4, v_new=v4, scale=scale, window=window,
                 use_flash=_use_flash(ctx),
             )
-            return (_merge_heads(out), nk, nks, nv, nvs)
+            return (out, nk, nks, nv, nvs)
         from ..kernels.flash_attention import decode_attention_append
 
         out, nk, nv, nks, nvs = decode_attention_append(

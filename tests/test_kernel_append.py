@@ -175,8 +175,9 @@ def test_cat_append_matches_headmajor(quant, lens):
         ks = ks.reshape(3, 12, 256, 1)
         vs = vs.reshape(3, 12, 256, 1)
     got, fb, ref = _run_cat(q, k, v, lens, ks, vs, kn, vn, block_k=128)
-    np.testing.assert_allclose(
-        np.asarray(got[0]), np.asarray(ref[0]), rtol=2e-2, atol=5e-3
+    np.testing.assert_allclose(  # cat kernel returns merged-head rows
+        np.asarray(got[0]), np.asarray(heads_to_cat(ref[0])),
+        rtol=2e-2, atol=5e-3,
     )
     np.testing.assert_array_equal(
         np.asarray(got[1]), np.asarray(heads_to_cat(ref[1]))
@@ -202,7 +203,8 @@ def test_cat_append_gqa_window():
     vs = vs.reshape(2, 2, 256, 1)
     got, fb, ref = _run_cat(q, k, v, [40, 200], ks, vs, kn, vn, window=32)
     np.testing.assert_allclose(
-        np.asarray(got[0]), np.asarray(ref[0]), rtol=2e-2, atol=5e-3
+        np.asarray(got[0]), np.asarray(heads_to_cat(ref[0])),
+        rtol=2e-2, atol=5e-3,
     )
     np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(fb[1]))
     np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(fb[2]))

@@ -152,7 +152,11 @@ def test_decode_mha_interpret(S, quant):
         v = jnp.asarray(rng.standard_normal((B, H, cap, D)), jnp.float32)
         got = decode_mha(q, k, v, lens, interpret=True)
         want = decode_mha_xla(q, k, v, lens)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-5)
+    # int8 KV runs the score/value dots at bf16 pass rate (exact for the
+    # s8 side, bf16-rounded q/p — what the MXU does on-chip either way);
+    # the XLA golden computes in f32, so allow bf16-level error there.
+    tol = dict(rtol=5e-3, atol=5e-3) if quant else dict(rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), **tol)
 
 
 def test_decode_mha_gqa_interpret():
