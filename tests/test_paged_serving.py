@@ -396,4 +396,7 @@ def test_paged_int8_kernel_interpret_matches_gather():
         q, paged_gather_kv(pool_k, bt), paged_gather_kv(pool_v, bt), lens,
         paged_gather_scales(pool_ks, bt), paged_gather_scales(pool_vs, bt),
     ))
-    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+    # int8 pool blocks feed the MXU as bf16 (exact for the s8 side,
+    # bf16-rounded q/p — what the on-chip f32 dot does anyway); the XLA
+    # golden computes in f32, so allow bf16-level error.
+    np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
