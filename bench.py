@@ -251,6 +251,10 @@ def measure_device_step(engine, k: int) -> float:
 
 
 def run_workload():
+    """Headline wave. Returns (results, engine, prompts_fn) so the caller
+    can emit the headline JSON line BEFORE running the optional trace stage
+    (round-4 verdict: the driver parses the output tail; the worst case must
+    be "headline only", never empty)."""
     rng = np.random.default_rng(0)
     cfg, engine = build_engine(
         dispatches_per_drain=int(os.environ.get("RTEN_BENCH_D", "1"))
@@ -281,18 +285,6 @@ def run_workload():
     # one sequence; shapes identical regardless of active count).
     steps_per_s = engine.steps / elapsed if elapsed > 0 else 0.0
     roofline = decode_roofline_tps(engine)
-    # Trace-derived device-only step time: roofline fraction of the CHIP,
-    # independent of host/tunnel dispatch overhead.
-    dev_fraction = 0.0
-    if os.environ.get("RTEN_BENCH_TRACE", "1") != "0":
-        # Re-occupy the slots so the traced dispatches run full decode.
-        for p in prompts(SLOTS):
-            engine.submit(p, max_new_tokens=STEPS_PER_DISPATCH + 2)
-        engine.step()  # admits; leaves slots active
-        dev_step_s = measure_device_step(engine, STEPS_PER_DISPATCH)
-        if dev_step_s > 0:
-            roofline_step_s = engine.slots / roofline
-            dev_fraction = roofline_step_s / dev_step_s
     return {
         "tps": tps,
         "ttft_p50_s": ttft_p50,
@@ -301,8 +293,19 @@ def run_workload():
         "elapsed_s": elapsed,
         "roofline_tps": roofline,
         "roofline_fraction": tps / roofline if roofline else 0.0,
-        "device_roofline_fraction": dev_fraction,
-    }
+    }, engine, prompts
+
+
+def run_trace_stage(engine, prompts, roofline):
+    """Trace-derived device-only roofline fraction (no new compiles: replays
+    the already-compiled decode executable under jax.profiler)."""
+    for p in prompts(engine.slots):
+        engine.submit(p, max_new_tokens=STEPS_PER_DISPATCH + 2)
+    engine.step()  # admits; leaves slots active
+    dev_step_s = measure_device_step(engine, STEPS_PER_DISPATCH)
+    if dev_step_s > 0 and roofline:
+        return (engine.slots / roofline) / dev_step_s, dev_step_s
+    return 0.0, dev_step_s
 
 
 def run_hard_config():
@@ -370,7 +373,7 @@ def cpu_baseline() -> float:
         "import os; os.environ['RTEN_BENCH_TRACE']='0';"
         "import jax; jax.config.update('jax_platforms','cpu');"
         "import bench, json;"
-        "r = bench.run_workload();"
+        "r, _, _ = bench.run_workload();"
         "print('CPU_BASELINE ' + json.dumps(r))"
     )
     try:
@@ -388,15 +391,83 @@ def cpu_baseline() -> float:
     return 0.0
 
 
+def _cached_cpu_tps() -> float:
+    """Read the committed CPU-baseline cache without any compute."""
+    try:
+        return float(json.load(open(_BASELINE_CACHE))["tps"])
+    except Exception:
+        return 0.0
+
+
+def run_selfcheck(timeout_s: float) -> str:
+    """tools/kernel_selfcheck.py in a subprocess (own timeout; a hung remote
+    compile must never take the whole bench down). pass|fail|timeout|error."""
+    script = os.path.join(_HERE, "tools", "kernel_selfcheck.py")
+    try:
+        out = subprocess.run(
+            [sys.executable, script], cwd=_HERE,
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        for line in out.stdout.splitlines():
+            print(f"[selfcheck] {line}", file=sys.stderr)
+        return "pass" if out.returncode == 0 else "fail"
+    except subprocess.TimeoutExpired:
+        return "timeout"
+    except Exception:
+        return "error"
+
+
+def run_hard_subprocess(timeout_s: float):
+    """The hard config in a subprocess under its own timeout: its big
+    (slots, cap, k) executables have hit >50min remote compiles (round-4
+    bench timed out with zero output) — a kill here costs one JSON field,
+    not the artifact."""
+    env = os.environ.copy()
+    env["RTEN_BENCH_STAGE"] = "hard"
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], cwd=_HERE, env=env,
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        for line in out.stdout.splitlines():
+            if line.startswith("HARD_RESULT "):
+                return json.loads(line[len("HARD_RESULT "):])
+        return {"error": f"no result (rc={out.returncode})"}
+    except subprocess.TimeoutExpired:
+        return {"error": "timeout"}
+    except Exception as e:  # noqa: BLE001
+        return {"error": str(e)[:120]}
+
+
 def main():
-    r = run_workload()
-    hard = None
-    if os.environ.get("RTEN_BENCH_HARD", "1") != "0":
-        try:
-            hard = run_hard_config()
-        except Exception:
-            hard = None
-    cpu_tps = cpu_baseline()
+    # Subprocess stage entry (see run_hard_subprocess).
+    if os.environ.get("RTEN_BENCH_STAGE") == "hard":
+        hard = run_hard_config()
+        print("HARD_RESULT " + json.dumps(hard), flush=True)
+        return
+
+    # Overall wall-clock budget. The driver kills the bench at an unknown
+    # window (round-4: rc=124 with zero output); every stage after the
+    # headline is optional and budget-gated, and the headline JSON line is
+    # emitted the moment it exists.
+    t_start = time.monotonic()
+    budget = float(os.environ.get("RTEN_BENCH_BUDGET_S", "1500"))
+
+    def remaining() -> float:
+        return budget - (time.monotonic() - t_start)
+
+    skipped: list = []
+
+    # Kernel self-check first (round-4 verdict #7): capped so a compile
+    # stall cannot eat the headline's time.
+    sc = "skipped"
+    if os.environ.get("RTEN_BENCH_SELFCHECK", "1") != "0" and remaining() > 1000:
+        sc = run_selfcheck(min(300.0, remaining() - 900))
+    else:
+        skipped.append("kernel_selfcheck")
+
+    r, engine, prompts = run_workload()
+    cpu_tps = _cached_cpu_tps()
     out = {
         "metric": "gpt2_int8_continuous_batching_tokens_per_sec_per_chip",
         "value": round(r["tps"], 2),
@@ -407,17 +478,53 @@ def main():
         "baseline_cpu_tokens_per_sec": round(cpu_tps, 2),
         "roofline_tokens_per_sec": round(r["roofline_tps"], 1),
         "roofline_fraction": round(r["roofline_fraction"], 4),
-        "device_roofline_fraction": round(r["device_roofline_fraction"], 4),
+        "kernel_selfcheck": sc,
         "slots": SLOTS,
         "prompt_len": PROMPT_LEN,
     }
-    if hard:
-        out["hard_config_tokens_per_sec"] = round(hard["tps"], 2)
-        out["hard_config_roofline_fraction"] = round(
-            hard["roofline_fraction"], 4
-        )
-        out["hard_config"] = "cap1024_int8kv_sampled_temp0.8_topk40"
-    print(json.dumps(out))
+    # Headline out NOW — everything below only enriches it.
+    print(json.dumps(out), flush=True)
+
+    if os.environ.get("RTEN_BENCH_TRACE", "1") != "0" and remaining() > 180:
+        try:
+            dev_fraction, dev_step_s = run_trace_stage(
+                engine, prompts, r["roofline_tps"]
+            )
+            out["device_roofline_fraction"] = round(dev_fraction, 4)
+            out["device_step_ms"] = round(dev_step_s * 1e3, 3)
+        except Exception:
+            skipped.append("device_trace")
+    else:
+        skipped.append("device_trace")
+    del engine  # free the chip before the hard-config subprocess
+
+    if os.environ.get("RTEN_BENCH_HARD", "1") != "0" and remaining() > 240:
+        hard = run_hard_subprocess(max(120.0, remaining() - 90))
+        if "tps" in hard:
+            out["hard_config_tokens_per_sec"] = round(hard["tps"], 2)
+            out["hard_config_roofline_fraction"] = round(
+                hard["roofline_fraction"], 4
+            )
+            out["hard_config"] = "cap1024_int8kv_sampled_temp0.8_topk40"
+        else:
+            out["hard_config_error"] = hard.get("error", "unknown")
+    else:
+        skipped.append("hard_config")
+
+    if not cpu_tps and remaining() > 600:
+        cpu_tps = cpu_baseline()
+        if cpu_tps:
+            out["baseline_cpu_tokens_per_sec"] = round(cpu_tps, 2)
+            out["vs_baseline"] = round(r["tps"] / cpu_tps, 3)
+    elif not cpu_tps:
+        skipped.append("cpu_baseline")
+
+    if skipped:
+        out["stages_skipped"] = skipped
+    out["bench_elapsed_s"] = round(time.monotonic() - t_start, 1)
+    # Final enriched line — the driver parses the tail, so this supersedes
+    # the early headline emission when the bench runs to completion.
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -590,17 +590,29 @@ def _load_graph(gt: FbTable, tensor_data: Optional[memoryview]) -> Graph:
 
 
 def _load_constant(ct: FbTable, tensor_data: Optional[memoryview]) -> np.ndarray:
+    import math
+
     shape_arr = ct.vec_np(0, NT.Uint32Flags)
     shape = tuple(int(x) for x in shape_arr) if shape_arr is not None else ()
-    n_elems = int(np.prod(shape)) if shape else 1
+    # Python-int product: hostile 4B-element dims must not wrap through an
+    # int64 np.prod into a small/negative byte count.
+    n_elems = math.prod(shape) if shape else 1
     if ct.has(4):  # data_offset -> external tensor data section
         if tensor_data is None:
             raise RtenFormatError("constant references tensor data in a V1 file")
         if not ct.has(3):
             raise RtenFormatError("external constant missing dtype")
-        np_dtype = FBS_CONST_DTYPES[ct.u16(3, 0)]
+        dtype_code = ct.u16(3, 0)
+        if not 0 <= dtype_code < len(FBS_CONST_DTYPES):
+            raise RtenFormatError(f"unknown constant dtype {dtype_code}")
+        np_dtype = FBS_CONST_DTYPES[dtype_code]
         offset = ct.u64(4, 0)
         nbytes = n_elems * np.dtype(np_dtype).itemsize
+        if offset + nbytes > len(tensor_data):
+            raise RtenFormatError(
+                f"constant data [{offset}, {offset + nbytes}) exceeds tensor "
+                f"data section ({len(tensor_data)} bytes)"
+            )
         raw = tensor_data[offset : offset + nbytes]
         return np.frombuffer(raw, dtype=np_dtype).reshape(shape)
     # Inline data union: slot1 = tag (1 Float,2 Int32,3 Int8,4 UInt8), slot2 = table

@@ -235,6 +235,8 @@ class Model:
             opts = dataclasses.replace(opts, optimize=False)
             return cls(graph, opts, metadata=meta)
         # mmap so giant models are paged, not copied (rten Model::load_mmap).
+        if os.path.getsize(path) == 0:
+            raise LoadError(f"empty model file: {path}")
         data = np.memmap(path, dtype=np.uint8, mode="r")
         return cls.load(
             memoryview(data),
@@ -280,19 +282,32 @@ class Model:
                 graph, meta = load_rten(data)
             except RtenFormatError as e:
                 raise LoadError(f"failed to parse .rten model: {e}") from e
-            return cls(graph, options, metadata=meta)
+            except Exception as e:
+                # The vtable walker validates offsets, but any residual
+                # IndexError/ValueError on hostile bytes must still surface
+                # as a typed load failure (docs/security.md analog).
+                raise LoadError(f"malformed .rten model: {e}") from e
+            try:
+                return cls(graph, options, metadata=meta)
+            except LoadError:
+                raise
+            except Exception as e:
+                raise LoadError(f"failed to build model: {e}") from e
         try:
             proto = parse_model(data)
         except Exception as e:
             raise LoadError(f"failed to parse ONNX model: {e}") from e
         external = ExternalDataLoader(options.external_data_dir or base_dir)
         try:
+            # Graph build AND load-time optimization (constant propagation
+            # executes real ops): a structurally-valid but semantically
+            # broken model fails here — typed, not an op-level leak.
             graph = graph_from_onnx(proto.graph, external)
+            return cls(graph, options, metadata=dict(proto.metadata_props))
         except LoadError:
             raise
         except Exception as e:
             raise LoadError(f"failed to build graph: {e}") from e
-        return cls(graph, options, metadata=dict(proto.metadata_props))
 
     # -- introspection ---------------------------------------------------
 

@@ -398,5 +398,33 @@ def test_paged_int8_kernel_interpret_matches_gather():
     ))
     # int8 pool blocks feed the MXU as bf16 (exact for the s8 side,
     # bf16-rounded q/p — what the on-chip f32 dot does anyway); the XLA
-    # golden computes in f32, so allow bf16-level error.
+    # golden computes in f32, so the semantic check allows bf16-level error.
     np.testing.assert_allclose(got, want, rtol=5e-3, atol=5e-3)
+
+    # Rounding-aware check (round-4 advisor): a golden that EMULATES the
+    # kernel's bf16 operand feeding (_dot_f32: bf16 q and p·vs, s8 exact in
+    # bf16) pins absolute errors on near-zero outputs 5x tighter; the
+    # residual is bf16 rounding variance between the kernel's online-softmax
+    # block order and the global softmax (measured max ~5.4e-4 here).
+    import jax.numpy as jnp
+
+    def _bf16(x):
+        return jnp.asarray(x, jnp.bfloat16).astype(jnp.float32)
+
+    kf = paged_gather_kv(pool_k, bt).astype(jnp.float32)
+    vf = paged_gather_kv(pool_v, bt).astype(jnp.float32)
+    ks = paged_gather_scales(pool_ks, bt).reshape(B, H, 1, -1)
+    vs = paged_gather_scales(pool_vs, bt).reshape(B, H, 1, -1)
+    S = kf.shape[2]
+    s = jnp.einsum("bhqd,bhkd->bhqk", _bf16(q), kf) / np.sqrt(D) * ks
+    s = jnp.where(
+        jnp.arange(S)[None, None, None, :]
+        <= jnp.asarray(lens).reshape(B, 1, 1, 1),
+        s, -1e30,
+    )
+    p = jnp.exp(s - jnp.max(s, axis=-1, keepdims=True))
+    want_bf16 = np.asarray(
+        jnp.einsum("bhqk,bhkd->bhqd", _bf16(p * vs), vf)
+        / jnp.sum(p, axis=-1, keepdims=True)
+    )
+    np.testing.assert_allclose(got, want_bf16, rtol=5e-3, atol=1e-3)

@@ -79,6 +79,10 @@ def main():
     carry0 = (x0, tuple(caches), lens0)
 
     def step(c):
+        # lens is intentionally FROZEN across iterations: every append lands
+        # on the same cache row so per-iteration work is constant and the
+        # A/B isolates kernel slope, not cache-growth/cap-boundary effects
+        # (round-4 advisor finding — documented, not a bug).
         x, cs, lens = c
         ncs = []
         for i in range(L):
