@@ -127,6 +127,11 @@ def build_engine(capacity=None, kv_quant=False, device_sampler=None,
             cfg, weights, capacity=capacity, kv_dtype=kdt,
             kv_quant=kv_quant, kv_bits=kv_bits,
             paged_blocks=paged_blocks, block_size=block_size,
+            # Round 5: paged pools are cat-layout and the decode kernel
+            # appends through the block table — paged serving keeps the
+            # round-4 decode design (was: scatter+gather per step).
+            kernel_append=kernel_append,
+            gather_last=os.environ.get("RTEN_BENCH_GATHER_LAST", "1") != "0",
         )
     else:
         graph = gpt2.build_graph_static_cache(

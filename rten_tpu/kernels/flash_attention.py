@@ -1665,10 +1665,13 @@ def decode_attention_append(q, k, v, lens, k_scale=None, v_scale=None, *,
 
 def _append_cat_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref, vs_ref,
                        kn_ref, vn_ref, knc_ref, vnc_ref, out_ref, kcw_ref,
-                       vcw_ref, ksw_ref, vsw_ref, m_ref, l_ref, acc_ref, *,
+                       vcw_ref, ksw_ref, vsw_ref, m_ref, l_ref, acc_ref,
+                       kr_ref=None, vr_ref=None, ksr_ref=None, vsr_ref=None,
+                       sems=None, *,
                        scale: float, cap: int, block_k: int, block_w: int,
                        quant: bool, group: int, window: int = 0,
-                       single_block: bool = False, cat_q: bool = False):
+                       single_block: bool = False, cat_q: bool = False,
+                       row_dma: bool = False):
     """Cat-layout decode attention (S==1) with integrated cache append.
 
     Same contract as _append_kernel with caches in [B, cap, Hkv*D] form:
@@ -1683,6 +1686,12 @@ def _append_cat_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref, vs_ref,
     and the proj matmul's natural input, so the serving graph sheds the
     8-sublane pad on q (2.4MB -> 0.3MB read at slots=96) and the padded
     out write plus its downstream slice/transpose glue.
+
+    row_dma (round 5): the cache/scale outputs are ANY-space aliases of
+    their inputs and the kernel DMAs ONLY the new row into HBM (1.6KB vs
+    the bw-row aliased block's 48KB/slot read-modify-write), overlapping
+    the copy with the output extract. Kills the ~17us/call write-back
+    stall the block alias cost (docs/serving.md round-4 notes).
     """
     b = pl.program_id(0)
     kb = pl.program_id(1)
@@ -1803,6 +1812,63 @@ def _append_cat_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref, vs_ref,
             k_row = kn_cat.astype(kcw_ref.dtype)
             v_row = vn_cat.astype(vcw_ref.dtype)
 
+        if row_dma:
+            # Stage tile-ALIGNED windows around the write position (int8's
+            # packed (8,128)(4,1) tiling rejects 1-row HBM slices: 4 rows
+            # share a sublane word) and fire the HBM copies NOW — they
+            # overlap with the score/value dots below. 32 rows covers the
+            # packing of every cache dtype in play; scale lanes align 128.
+            b_ = pl.program_id(0)
+            woff = (wpos // 32) * 32               # global, 32-aligned
+            woff_in = pl.multiple_of(woff - wblk * bk, 32)
+            rsel = (
+                jax.lax.broadcasted_iota(jnp.int32, (32, HkvD), 0)
+                == wpos % 32
+            )
+            kr_ref[:] = jnp.where(
+                rsel, jnp.broadcast_to(k_row, (32, HkvD)),
+                kc_ref[0, pl.ds(woff_in, 32), :],
+            )
+            vr_ref[:] = jnp.where(
+                rsel, jnp.broadcast_to(v_row, (32, HkvD)),
+                vc_ref[0, pl.ds(woff_in, 32), :],
+            )
+            dst_r = pl.ds(pl.multiple_of(woff, 32), 32)
+            cps = [
+                pltpu.make_async_copy(
+                    kr_ref, kcw_ref.at[b_, dst_r, :], sems.at[0]
+                ),
+                pltpu.make_async_copy(
+                    vr_ref, vcw_ref.at[b_, dst_r, :], sems.at[1]
+                ),
+            ]
+            if quant:
+                loff = (wpos // 128) * 128
+                loff_in = pl.multiple_of(loff - wblk * bk, 128)
+                lsel = (
+                    jax.lax.broadcasted_iota(jnp.int32, (Hkv, 1, 128), 2)
+                    == wpos % 128
+                )
+                ksr_ref[:] = jnp.where(
+                    lsel, ks_new[:, :, None],
+                    ks_ref[0, :, :, pl.ds(loff_in, 128)],
+                )
+                vsr_ref[:] = jnp.where(
+                    lsel, vs_new[:, :, None],
+                    vs_ref[0, :, :, pl.ds(loff_in, 128)],
+                )
+                dst_l = pl.ds(pl.multiple_of(loff, 128), 128)
+                cps += [
+                    pltpu.make_async_copy(
+                        ksr_ref, ksw_ref.at[b_, :, :, dst_l], sems.at[2]
+                    ),
+                    pltpu.make_async_copy(
+                        vsr_ref, vsw_ref.at[b_, :, :, dst_l], sems.at[3]
+                    ),
+                ]
+            for cp in cps:
+                cp.start()
+
         sr = block_scores(wblk)                        # [Hp, bk]
         sn = _dot_f32(
             qblk, k_row, (((1,), (1,)), ((), ()))
@@ -1855,28 +1921,32 @@ def _append_cat_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref, vs_ref,
                 out[:, None, :], (H, bq, D)
             ).astype(out_ref.dtype)
 
-        # Write-back: the read clamp puts the write position inside the
-        # resident block; the bw-row output block is a live slice of it.
-        off = pl.multiple_of((wpos // bw) * bw - wblk * bk, bw)
-        wrow = wpos % bw
-        rowsel = (
-            jax.lax.broadcasted_iota(jnp.int32, (bw, HkvD), 0) == wrow
-        )
-        kcw_ref[0] = jnp.where(
-            rowsel, jnp.broadcast_to(k_row, (bw, HkvD)),
-            kc_ref[0, pl.ds(off, bw), :],
-        )
-        vcw_ref[0] = jnp.where(
-            rowsel, jnp.broadcast_to(v_row, (bw, HkvD)),
-            vc_ref[0, pl.ds(off, bw), :],
-        )
-        if quant:
-            lsel = (
-                jax.lax.broadcasted_iota(jnp.int32, (Hkv, 1, bk), 2)
-                == wpos % bk
+        if row_dma:
+            for cp in cps:
+                cp.wait()
+        else:
+            # Write-back: the read clamp puts the write position inside the
+            # resident block; the bw-row output block is a live slice of it.
+            off = pl.multiple_of((wpos // bw) * bw - wblk * bk, bw)
+            wrow = wpos % bw
+            rowsel = (
+                jax.lax.broadcasted_iota(jnp.int32, (bw, HkvD), 0) == wrow
             )
-            ksw_ref[0] = jnp.where(lsel, ks_new[:, :, None], ks_ref[0])
-            vsw_ref[0] = jnp.where(lsel, vs_new[:, :, None], vs_ref[0])
+            kcw_ref[0] = jnp.where(
+                rowsel, jnp.broadcast_to(k_row, (bw, HkvD)),
+                kc_ref[0, pl.ds(off, bw), :],
+            )
+            vcw_ref[0] = jnp.where(
+                rowsel, jnp.broadcast_to(v_row, (bw, HkvD)),
+                vc_ref[0, pl.ds(off, bw), :],
+            )
+            if quant:
+                lsel = (
+                    jax.lax.broadcasted_iota(jnp.int32, (Hkv, 1, bk), 2)
+                    == wpos % bk
+                )
+                ksw_ref[0] = jnp.where(lsel, ks_new[:, :, None], ks_ref[0])
+                vsw_ref[0] = jnp.where(lsel, vs_new[:, :, None], vs_ref[0])
 
     if single_block:
         final_tail()
@@ -1897,24 +1967,244 @@ def _append_cat_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref, vs_ref,
         final_tail()
 
 
-def _append_cat_entry(*refs, quant: bool, **kw):
-    """Arity adapter: the non-quant variant has no scale operands."""
-    if quant:
+def _append_cat_entry(*refs, quant: bool, row_dma: bool = False,
+                      paged: bool = False, **kw):
+    """Arity adapter: the non-quant variant has no scale operands; the
+    row_dma variant appends row-staging scratch + DMA semaphores; the
+    paged variant carries a block-table scalar ref the BODY never reads
+    (indirection happens in the BlockSpec index maps)."""
+    if paged:
+        refs = refs[:1] + refs[2:]     # drop the bt scalar ref
+    kr = vr = ksr = vsr = sems = None
+    if quant and row_dma:
+        (lens, q, kc, vc, ks, vs, kn, vn, knc, vnc,
+         out, kcw, vcw, ksw, vsw, m, l, acc, kr, vr, ksr, vsr, sems) = refs
+    elif quant:
         (lens, q, kc, vc, ks, vs, kn, vn, knc, vnc,
          out, kcw, vcw, ksw, vsw, m, l, acc) = refs
+    elif row_dma:
+        (lens, q, kc, vc, kn, vn, knc, vnc,
+         out, kcw, vcw, m, l, acc, kr, vr, sems) = refs
+        ks = vs = ksw = vsw = None
     else:
         (lens, q, kc, vc, kn, vn, knc, vnc,
          out, kcw, vcw, m, l, acc) = refs
         ks = vs = ksw = vsw = None
     return _append_cat_kernel(
         lens, q, kc, vc, ks, vs, kn, vn, knc, vnc, out, kcw, vcw,
-        ksw, vsw, m, l, acc, quant=quant, **kw
+        ksw, vsw, m, l, acc, kr, vr, ksr, vsr, sems,
+        quant=quant, row_dma=row_dma, **kw
+    )
+
+
+def _append_cat_fold_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref, vs_ref,
+                            kn_ref, vn_ref, knc_ref, vnc_ref, out_ref,
+                            kcw_ref, vcw_ref, ksw_ref, vsw_ref,
+                            kr_ref, vr_ref, ksr_ref, vsr_ref, sems, *,
+                            scale: float, cap: int, quant: bool, G: int,
+                            Hp: int):
+    """G-slot-folded cat append kernel (MHA cat_q, single resident block).
+
+    The per-slot grid of _append_cat_kernel is DMA-ISSUE-bound at the
+    headline shape: ~14 block copies per grid step against a 0.48us/slot
+    stream floor (round-5 trace). Folding G slots into one grid step
+    amortizes the input-side issue G-fold; the per-slot cache/scale
+    write-backs become tile-aligned async copies (32 cache rows, 128 scale
+    lanes) fired as each slot's row is ready and awaited once per step, so
+    they overlap the remaining slots' compute instead of stalling the
+    pipeline the way the aliased bw-block outputs did.
+    """
+    b0 = pl.program_id(0) * G
+    Hkv = kn_ref.shape[1]
+    D = kn_ref.shape[3]
+    HkvD = Hkv * D
+    H = Hkv  # cat_q implies group == 1
+
+    subq = jax.lax.broadcasted_iota(jnp.int32, (Hp, HkvD), 0)
+    laneq = jax.lax.broadcasted_iota(jnp.int32, (Hp, HkvD), 1)
+    diag = (laneq // D) == subq
+    oneh = (
+        jax.lax.broadcasted_iota(jnp.int32, (Hp, Hkv), 1)
+        == jax.lax.broadcasted_iota(jnp.int32, (Hp, Hkv), 0)
+    ).astype(jnp.float32)
+    sub_b = jax.lax.broadcasted_iota(jnp.int32, (Hp, cap), 0)
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, (Hp, cap), 1)
+    segq = (
+        (jax.lax.broadcasted_iota(jnp.int32, (Hkv, HkvD), 1) // D)
+        == jax.lax.broadcasted_iota(jnp.int32, (Hkv, HkvD), 0)
+    ).astype(jnp.float32)
+
+    def expand(sc):                                # [Hkv, w] -> [Hp, w]
+        return jax.lax.dot_general(
+            oneh, sc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def cat_expand(x):                             # [Hkv, 1] -> [1, HkvD]
+        return jax.lax.dot_general(
+            x, segq, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def slot_copies(gi):
+        """The slot's write-back copies (same descriptors used to start and
+        later to wait: recomputed from lens, so both sites agree)."""
+        wpos = jnp.minimum(lens_ref[b0 + gi], cap - 1)
+        woff = pl.multiple_of((wpos // 32) * 32, 32)
+        bb = b0 + gi
+        cps = [
+            pltpu.make_async_copy(
+                kr_ref.at[gi], kcw_ref.at[bb, pl.ds(woff, 32), :],
+                sems.at[gi, 0],
+            ),
+            pltpu.make_async_copy(
+                vr_ref.at[gi], vcw_ref.at[bb, pl.ds(woff, 32), :],
+                sems.at[gi, 1],
+            ),
+        ]
+        if quant:
+            loff = pl.multiple_of((wpos // 128) * 128, 128)
+            cps += [
+                pltpu.make_async_copy(
+                    ksr_ref.at[gi], ksw_ref.at[bb, :, :, pl.ds(loff, 128)],
+                    sems.at[gi, 2],
+                ),
+                pltpu.make_async_copy(
+                    vsr_ref.at[gi], vsw_ref.at[bb, :, :, pl.ds(loff, 128)],
+                    sems.at[gi, 3],
+                ),
+            ]
+        return cps
+
+    def body(gi, carry):
+        # fori_loop (not a Python unroll): the unrolled G=8 body blew Mosaic
+        # compile time past 9 minutes; the loop compiles the slot body once.
+        lens_b = lens_ref[b0 + gi]
+        wpos = jnp.minimum(lens_b, cap - 1)
+        q_row = q_ref[pl.ds(gi, 1), :, :][0]            # [1, HkvD]
+        qblk = jnp.where(diag, jnp.broadcast_to(q_row, (Hp, HkvD)), 0.0)
+        kc_g = kc_ref[pl.ds(gi, 1), :, :][0]            # [cap, HkvD]
+        vc_g = vc_ref[pl.ds(gi, 1), :, :][0]
+        kn_cat = knc_ref[pl.ds(gi, 1), :, :][0].astype(jnp.float32)
+        vn_cat = vnc_ref[pl.ds(gi, 1), :, :][0].astype(jnp.float32)
+        if quant:
+            knm = kn_ref[pl.ds(gi, 1), :, :, :][0, :, 0, :].astype(
+                jnp.float32)                            # [Hkv, D]
+            vnm = vn_ref[pl.ds(gi, 1), :, :, :][0, :, 0, :].astype(
+                jnp.float32)
+            ks_g = ks_ref[pl.ds(gi, 1), :, :, :][0, :, 0, :]  # [Hkv, cap]
+            vs_g = vs_ref[pl.ds(gi, 1), :, :, :][0, :, 0, :]
+            ks_new = jnp.maximum(
+                jnp.max(jnp.abs(knm), axis=-1, keepdims=True) / 127.0, 1e-8
+            )
+            vs_new = jnp.maximum(
+                jnp.max(jnp.abs(vnm), axis=-1, keepdims=True) / 127.0, 1e-8
+            )
+            k_row = jnp.clip(
+                jnp.round(kn_cat / cat_expand(ks_new)), -127, 127
+            ).astype(kr_ref.dtype)
+            v_row = jnp.clip(
+                jnp.round(vn_cat / cat_expand(vs_new)), -127, 127
+            ).astype(vr_ref.dtype)
+        else:
+            k_row = kn_cat.astype(kr_ref.dtype)
+            v_row = vn_cat.astype(vr_ref.dtype)
+
+        s = _dot_f32(
+            qblk, kc_g, (((1,), (1,)), ((), ()))
+        ) * scale                                       # [Hp, cap]
+        if quant:
+            s = s * expand(ks_g)
+        valid = (sub_b < H) & (lane_b < lens_b)
+        s = jnp.where(valid, s, NEG_INF)
+        sn = _dot_f32(
+            qblk, k_row, (((1,), (1,)), ((), ()))
+        ) * scale                                       # [Hp, 1]
+        if quant:
+            sn = sn * expand(ks_new)
+        sn = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (Hp, 1), 0) < H, sn, NEG_INF
+        )
+        s_all = jnp.concatenate([s, sn], axis=1)        # [Hp, cap+1]
+        m = jnp.max(s_all, axis=1, keepdims=True)
+        p = jnp.exp(s_all - m)
+        p = jnp.where(
+            jnp.broadcast_to(m, s_all.shape) <= NEG_INF / 2, 0.0, p
+        )
+        l = jnp.sum(p, axis=1, keepdims=True)
+        p_r, p_n = p[:, :cap], p[:, cap:]
+        if quant:
+            p_r = p_r * expand(vs_g)
+            p_n = p_n * expand(vs_new)
+        acc = _dot_f32(p_r, vc_g, (((1,), (0,)), ((), ())))
+        acc = acc + _dot_f32(p_n, v_row, (((1,), (0,)), ((), ())))
+        l = jnp.where(l == 0.0, 1.0, l)
+        x = acc / l                                     # [Hp, HkvD]
+        out_ref[pl.ds(gi, 1), :, :] = jnp.sum(
+            jnp.where(diag, x, 0.0), axis=0, keepdims=True
+        ).astype(out_ref.dtype)[None]
+
+        # Stage tile-aligned write windows and fire the HBM copies; all
+        # waits are deferred to after the loop so each slot's writes
+        # overlap the remaining slots' compute.
+        woff = pl.multiple_of((wpos // 32) * 32, 32)
+        rsel = (
+            jax.lax.broadcasted_iota(jnp.int32, (32, HkvD), 0) == wpos % 32
+        )
+        kr_ref[pl.ds(gi, 1), :, :] = jnp.where(
+            rsel, jnp.broadcast_to(k_row, (32, HkvD)),
+            kc_ref[pl.ds(gi, 1), pl.ds(woff, 32), :][0],
+        )[None]
+        vr_ref[pl.ds(gi, 1), :, :] = jnp.where(
+            rsel, jnp.broadcast_to(v_row, (32, HkvD)),
+            vc_ref[pl.ds(gi, 1), pl.ds(woff, 32), :][0],
+        )[None]
+        if quant:
+            loff = pl.multiple_of((wpos // 128) * 128, 128)
+            lsel = (
+                jax.lax.broadcasted_iota(jnp.int32, (Hkv, 1, 128), 2)
+                == wpos % 128
+            )
+            ksr_ref[pl.ds(gi, 1), :, :, :] = jnp.where(
+                lsel, ks_new[:, :, None],
+                ks_ref[pl.ds(gi, 1), :, :, pl.ds(loff, 128)][0],
+            )[None]
+            vsr_ref[pl.ds(gi, 1), :, :, :] = jnp.where(
+                lsel, vs_new[:, :, None],
+                vs_ref[pl.ds(gi, 1), :, :, pl.ds(loff, 128)][0],
+            )[None]
+        for cp in slot_copies(gi):
+            cp.start()
+        return carry
+
+    jax.lax.fori_loop(0, G, body, 0)
+
+    def wait_body(gi, carry):
+        for cp in slot_copies(gi):
+            cp.wait()
+        return carry
+
+    jax.lax.fori_loop(0, G, wait_body, 0)
+
+
+def _append_cat_fold_entry(*refs, quant: bool, **kw):
+    if quant:
+        (lens, q, kc, vc, ks, vs, kn, vn, knc, vnc,
+         out, kcw, vcw, ksw, vsw, kr, vr, ksr, vsr, sems) = refs
+    else:
+        (lens, q, kc, vc, kn, vn, knc, vnc,
+         out, kcw, vcw, kr, vr, sems) = refs
+        ks = vs = ksw = vsw = ksr = vsr = None
+    return _append_cat_fold_kernel(
+        lens, q, kc, vc, ks, vs, kn, vn, knc, vnc, out, kcw, vcw,
+        ksw, vsw, kr, vr, ksr, vsr, sems, quant=quant, **kw
     )
 
 
 def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
                           k_new, v_new, scale=None, block_k: int = 256,
-                          window: int = 0, interpret: bool = False):
+                          window: int = 0, interpret: bool = False,
+                          row_dma: Optional[bool] = None, block_table=None):
     """Decode attention + append on cat-layout caches (S == 1 only).
 
     q [B,H,1,D]; kc/vc [B,cap,Hkv*D] caches holding rows < lens[b];
@@ -1923,16 +2213,39 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
     in-kernel. Returns (out, new_kc, new_vc[, new_ks, new_vs]) with out
     in CAT layout [B, S, H*D] (== merged heads); cache outputs alias
     their inputs.
+
+    block_table (round 5, paged unification): kc/vc are shared block
+    POOLS [NB, BS, Hkv*D] (scales [NB, Hkv, 1, BS]) and block_table
+    [B, max_blocks] maps slot-virtual block j to pool block bt[b, j].
+    The SAME kernel body runs — only the BlockSpec index maps change (the
+    block table rides scalar prefetch), so paged serving keeps the
+    round-4 in-kernel append instead of the round-3 scatter+gather path.
     """
     B, H, S, D = q.shape
     Hkv = k_new.shape[1]
-    cap = kc.shape[1]
     HkvD = Hkv * D
+    paged = block_table is not None
+    if paged:
+        BS = kc.shape[1]
+        MB = block_table.shape[1]
+        cap = MB * BS                  # slot-virtual capacity
+        block_k = BS                   # one pool block per grid step
+    else:
+        cap = kc.shape[1]
     assert S == 1, "decode_mha_append_cat is a single-token decode kernel"
     assert kc.shape[2] == HkvD
     group = H // Hkv
     if scale is None:
         scale = 1.0 / float(np.sqrt(D))
+    if row_dma is None:
+        # Default OFF: the round-5 on-chip A/B measured the aliased-block
+        # write-back at 67-75us/call vs 73us for the row-DMA/fold variants
+        # at the headline shape — Mosaic's own grid pipelining beats the
+        # manual staging. Kept as an env-switchable experiment
+        # (RTEN_APPEND_ROW_DMA=1 [+ RTEN_APPEND_FOLD=G]) for other shapes.
+        row_dma = (
+            os.environ.get("RTEN_APPEND_ROW_DMA", "0") == "1" and not paged
+        )
     quant = k_scale is not None
     bk = min(block_k, round_up(cap, 128))
     assert cap % bk == 0, f"cap {cap} must be a multiple of block_k {bk}"
@@ -1952,26 +2265,141 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
     knc = jnp.transpose(knf, (0, 2, 1, 3)).reshape(B, 1, HkvD)
     vnc = jnp.transpose(vnf, (0, 2, 1, 3)).reshape(B, 1, HkvD)
 
-    kv_index = lambda b, j, lens: (
-        b, jnp.minimum(j, jnp.minimum(lens[b], cap - 1) // bk), 0
-    )
-    sc_index = lambda b, j, lens: (
-        b, 0, 0, jnp.minimum(j, jnp.minimum(lens[b], cap - 1) // bk)
-    )
-    w_index = lambda b, j, lens: (
-        b, jnp.minimum(lens[b], cap - 1) // bw, 0
-    )
-    sw_index = lambda b, j, lens: (
-        b, 0, 0, jnp.minimum(lens[b], cap - 1) // bk
-    )
-    fixed4 = lambda b, j, lens: (b, 0, 0, 0)
-    fixed3 = lambda b, j, lens: (b, 0, 0)
+    # G-slot folded path (the headline decode configuration): amortizes
+    # per-grid-step DMA issue over G slots. MHA cat_q, one resident block,
+    # row-DMA write-back only.
+    G = int(os.environ.get("RTEN_APPEND_FOLD", "8"))
+    if (row_dma and cat_q and nkb == 1 and G > 1 and B % G == 0
+            and window == 0):
+        kernel = functools.partial(
+            _append_cat_fold_entry,
+            scale=float(scale), cap=cap, quant=quant, G=G, Hp=Hp,
+        )
+        f3 = lambda b, lens: (b, 0, 0)
+        f4 = lambda b, lens: (b, 0, 0, 0)
+        in_specs = [
+            pl.BlockSpec((G, 1, HkvD), f3),
+            pl.BlockSpec((G, cap, HkvD), f3),
+            pl.BlockSpec((G, cap, HkvD), f3),
+        ]
+        operands = [qp, kc, vc]
+        if quant:
+            ksp = k_scale.reshape(B, Hkv, 1, cap)
+            vsp = v_scale.reshape(B, Hkv, 1, cap)
+            in_specs += [
+                pl.BlockSpec((G, Hkv, 1, cap), f4),
+                pl.BlockSpec((G, Hkv, 1, cap), f4),
+            ]
+            operands += [ksp, vsp]
+        in_specs += [
+            pl.BlockSpec((G, Hkv, 1, D), f4),
+            pl.BlockSpec((G, Hkv, 1, D), f4),
+            pl.BlockSpec((G, 1, HkvD), f3),
+            pl.BlockSpec((G, 1, HkvD), f3),
+        ]
+        operands += [knf, vnf, knc, vnc]
+        out_specs = [
+            pl.BlockSpec((G, 1, HkvD), f3),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ]
+        out_shapes = [
+            jax.ShapeDtypeStruct((B, 1, HkvD), q.dtype),
+            jax.ShapeDtypeStruct(kc.shape, kc.dtype),
+            jax.ShapeDtypeStruct(vc.shape, vc.dtype),
+        ]
+        aliases = {2: 1, 3: 2}
+        scratch = [
+            pltpu.VMEM((G, 32, HkvD), kc.dtype),
+            pltpu.VMEM((G, 32, HkvD), vc.dtype),
+        ]
+        if quant:
+            out_specs += [
+                pl.BlockSpec(memory_space=pltpu.HBM),
+                pl.BlockSpec(memory_space=pltpu.HBM),
+            ]
+            out_shapes += [
+                jax.ShapeDtypeStruct(ksp.shape, ksp.dtype),
+                jax.ShapeDtypeStruct(vsp.shape, vsp.dtype),
+            ]
+            aliases = {2: 1, 3: 2, 4: 3, 5: 4}
+            scratch += [
+                pltpu.VMEM((G, Hkv, 1, 128), jnp.float32),
+                pltpu.VMEM((G, Hkv, 1, 128), jnp.float32),
+            ]
+        scratch.append(pltpu.SemaphoreType.DMA((G, 4 if quant else 2)))
+        res = pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B // G,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                scratch_shapes=scratch,
+            ),
+            out_shape=out_shapes,
+            input_output_aliases=aliases,
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",),
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * B * H * cap * D,
+                bytes_accessed=(
+                    2 * B * HkvD * 4
+                    + 2 * B * cap * HkvD * (1 if quant else kc.dtype.itemsize)
+                    + 2 * B * 32 * HkvD * kc.dtype.itemsize
+                ),
+                transcendentals=B * H * cap,
+            ),
+            interpret=interpret,
+        )(lens, *operands)
+        if quant:
+            sshape = k_scale.shape
+            return (res[0], res[1], res[2],
+                    res[3].reshape(sshape), res[4].reshape(sshape))
+        return res[0], res[1], res[2]
+
+    if paged:
+        # Pool-block indirection: slot-virtual block j lives at pool block
+        # bt[b, j]. Same clamps as the flat maps (never fetch past the
+        # tail block — repeated indices skip the DMA), then a table read.
+        def _pblk(b, j, lens, bt):
+            wb = jnp.minimum(lens[b], cap - 1) // bk
+            return bt[b, jnp.minimum(j, wb)]
+
+        def _ptail(b, lens, bt):
+            return bt[b, jnp.minimum(lens[b], cap - 1) // bk]
+
+        kv_index = lambda b, j, lens, bt: (_pblk(b, j, lens, bt), 0, 0)
+        sc_index = lambda b, j, lens, bt: (_pblk(b, j, lens, bt), 0, 0, 0)
+        w_index = lambda b, j, lens, bt: (
+            _ptail(b, lens, bt),
+            (jnp.minimum(lens[b], cap - 1) % bk) // bw, 0,
+        )
+        sw_index = lambda b, j, lens, bt: (_ptail(b, lens, bt), 0, 0, 0)
+        fixed4 = lambda b, j, lens, bt: (b, 0, 0, 0)
+        fixed3 = lambda b, j, lens, bt: (b, 0, 0)
+    else:
+        kv_index = lambda b, j, lens: (
+            b, jnp.minimum(j, jnp.minimum(lens[b], cap - 1) // bk), 0
+        )
+        sc_index = lambda b, j, lens: (
+            b, 0, 0, jnp.minimum(j, jnp.minimum(lens[b], cap - 1) // bk)
+        )
+        w_index = lambda b, j, lens: (
+            b, jnp.minimum(lens[b], cap - 1) // bw, 0
+        )
+        sw_index = lambda b, j, lens: (
+            b, 0, 0, jnp.minimum(lens[b], cap - 1) // bk
+        )
+        fixed4 = lambda b, j, lens: (b, 0, 0, 0)
+        fixed3 = lambda b, j, lens: (b, 0, 0)
 
     kernel = functools.partial(
         _append_cat_entry,
         scale=float(scale), cap=cap, block_k=bk, block_w=bw, quant=quant,
         group=group, window=int(window), single_block=(nkb == 1),
-        cat_q=cat_q,
+        cat_q=cat_q, row_dma=row_dma, paged=paged,
     )
     in_specs = [
         pl.BlockSpec((1, 1, HkvD), fixed3) if cat_q
@@ -1981,8 +2409,11 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
     ]
     operands = [qp, kc, vc]
     if quant:
-        ksp = k_scale.reshape(B, Hkv, 1, cap)
-        vsp = v_scale.reshape(B, Hkv, 1, cap)
+        if paged:
+            ksp, vsp = k_scale, v_scale    # already [NB, Hkv, 1, BS]
+        else:
+            ksp = k_scale.reshape(B, Hkv, 1, cap)
+            vsp = v_scale.reshape(B, Hkv, 1, cap)
         in_specs += [
             pl.BlockSpec((1, Hkv, 1, bk), sc_index),
             pl.BlockSpec((1, Hkv, 1, bk), sc_index),
@@ -1996,11 +2427,19 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
     ]
     operands += [knf, vnf, knc, vnc]
 
+    cache_out_spec = (
+        # HBM (not ANY): the row-DMA target must stay off-chip and
+        # untiled — ANY let Mosaic pick VMEM, which both overflows (the
+        # full cache is ~19MB at the headline shape) and imposes (8,128)
+        # tile alignment on the 1-row copy.
+        pl.BlockSpec(memory_space=pltpu.HBM) if row_dma
+        else pl.BlockSpec((1, bw, HkvD), w_index)
+    )
     out_specs = [
         pl.BlockSpec((1, 1, HkvD), fixed3) if cat_q
         else pl.BlockSpec((1, H, bq, D), fixed4),
-        pl.BlockSpec((1, bw, HkvD), w_index),
-        pl.BlockSpec((1, bw, HkvD), w_index),
+        cache_out_spec,
+        cache_out_spec,
     ]
     out_shapes = [
         jax.ShapeDtypeStruct(
@@ -2009,31 +2448,49 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
         jax.ShapeDtypeStruct(kc.shape, kc.dtype),
         jax.ShapeDtypeStruct(vc.shape, vc.dtype),
     ]
-    # Operand indices include the scalar-prefetch lens (index 0).
-    aliases = {2: 1, 3: 2}
+    # Operand indices include the scalar-prefetch args (lens [+ bt]).
+    nsp = 2 if paged else 1
+    aliases = {nsp + 1: 1, nsp + 2: 2}
     if quant:
-        out_specs += [
-            pl.BlockSpec((1, Hkv, 1, bk), sw_index),
-            pl.BlockSpec((1, Hkv, 1, bk), sw_index),
-        ]
+        scale_out_spec = (
+            pl.BlockSpec(memory_space=pltpu.HBM) if row_dma
+            else pl.BlockSpec((1, Hkv, 1, bk), sw_index)
+        )
+        out_specs += [scale_out_spec, scale_out_spec]
         out_shapes += [
             jax.ShapeDtypeStruct(ksp.shape, ksp.dtype),
             jax.ShapeDtypeStruct(vsp.shape, vsp.dtype),
         ]
-        aliases = {2: 1, 3: 2, 4: 3, 5: 4}
+        aliases = {nsp + 1: 1, nsp + 2: 2, nsp + 3: 3, nsp + 4: 4}
 
+    scratch_shapes = [
+        pltpu.VMEM((Hp, 1), jnp.float32),
+        pltpu.VMEM((Hp, 1), jnp.float32),
+        pltpu.VMEM((Hp, HkvD), jnp.float32),
+    ]
+    if row_dma:
+        scratch_shapes += [
+            pltpu.VMEM((32, HkvD), kc.dtype),  # staged aligned write window
+            pltpu.VMEM((32, HkvD), vc.dtype),
+        ]
+        if quant:
+            scratch_shapes += [
+                pltpu.VMEM((Hkv, 1, 128), jnp.float32),
+                pltpu.VMEM((Hkv, 1, 128), jnp.float32),
+            ]
+        scratch_shapes.append(pltpu.SemaphoreType.DMA((4 if quant else 2,)))
+
+    scalar_ops = (lens,) if not paged else (
+        lens, jnp.asarray(block_table, jnp.int32)
+    )
     res = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=nsp,
             grid=(B, nkb),
             in_specs=in_specs,
             out_specs=out_specs,
-            scratch_shapes=[
-                pltpu.VMEM((Hp, 1), jnp.float32),
-                pltpu.VMEM((Hp, 1), jnp.float32),
-                pltpu.VMEM((Hp, HkvD), jnp.float32),
-            ],
+            scratch_shapes=scratch_shapes,
         ),
         out_shape=out_shapes,
         input_output_aliases=aliases,
@@ -2050,7 +2507,7 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
             transcendentals=B * H * cap,
         ),
         interpret=interpret,
-    )(lens, *operands)
+    )(*scalar_ops, *operands)
     if cat_q:
         out = res[0]                                   # [B, 1, HkvD]
     else:
@@ -2076,16 +2533,97 @@ def heads_to_cat(x):
     return jnp.transpose(x, (0, 2, 1, 3)).reshape(B, S, Hkv * D)
 
 
+def _append_cat_paged_fallback(q, pool_kc, pool_vc, lens, k_scale_pool,
+                               v_scale_pool, *, k_new, v_new, scale,
+                               window, use_flash, block_table):
+    """CPU/golden path for the paged cat append step: quantize the new row
+    (same math as the kernel), scatter it into the pools through the block
+    table, then attend over per-slot gathered contiguous views."""
+    B, Hkv = k_new.shape[0], k_new.shape[1]
+    NB, BS, HkvD = pool_kc.shape
+    bt = jnp.asarray(block_table, jnp.int32)
+    MB = bt.shape[1]
+    cap = MB * BS
+    lens = jnp.asarray(lens, jnp.int32).reshape(B)
+    quant = k_scale_pool is not None
+    wpos = jnp.minimum(lens, cap - 1)
+    # Physical target: pool block bt[b, wpos//BS], row wpos%BS. Unallocated
+    # table entries are 0 == the engine's reserved garbage block.
+    blk = jnp.take_along_axis(bt, (wpos // BS)[:, None], axis=1)[:, 0]
+    off = wpos % BS
+
+    knm = jnp.asarray(k_new, jnp.float32)
+    vnm = jnp.asarray(v_new, jnp.float32)
+    if quant:
+        ks_new = jnp.maximum(
+            jnp.max(jnp.abs(knm), axis=-1, keepdims=True) / 127.0, 1e-8
+        )
+        vs_new = jnp.maximum(
+            jnp.max(jnp.abs(vnm), axis=-1, keepdims=True) / 127.0, 1e-8
+        )
+        k_rows = heads_to_cat(
+            jnp.clip(jnp.round(knm / ks_new), -127, 127).astype(jnp.int8)
+        )                                              # [B, 1, HkvD]
+        v_rows = heads_to_cat(
+            jnp.clip(jnp.round(vnm / vs_new), -127, 127).astype(jnp.int8)
+        )
+    else:
+        k_rows = heads_to_cat(knm).astype(pool_kc.dtype)
+        v_rows = heads_to_cat(vnm).astype(pool_vc.dtype)
+    for i in range(B):
+        pool_kc = jax.lax.dynamic_update_slice(
+            pool_kc, k_rows[i][None], (blk[i], off[i], 0)
+        )
+        pool_vc = jax.lax.dynamic_update_slice(
+            pool_vc, v_rows[i][None], (blk[i], off[i], 0)
+        )
+        if quant:
+            k_scale_pool = jax.lax.dynamic_update_slice(
+                k_scale_pool,
+                ks_new[i].reshape(1, Hkv, 1, 1).astype(k_scale_pool.dtype),
+                (blk[i], 0, 0, off[i]),
+            )
+            v_scale_pool = jax.lax.dynamic_update_slice(
+                v_scale_pool,
+                vs_new[i].reshape(1, Hkv, 1, 1).astype(v_scale_pool.dtype),
+                (blk[i], 0, 0, off[i]),
+            )
+
+    # Gather contiguous per-slot views and attend head-major.
+    kc_flat = pool_kc[bt].reshape(B, cap, HkvD)
+    vc_flat = pool_vc[bt].reshape(B, cap, HkvD)
+    f = decode_attention if use_flash else decode_mha_xla
+    if quant:
+        ks_flat = jnp.transpose(
+            k_scale_pool[bt][:, :, :, 0, :], (0, 2, 1, 3)
+        ).reshape(B, Hkv, cap)
+        vs_flat = jnp.transpose(
+            v_scale_pool[bt][:, :, :, 0, :], (0, 2, 1, 3)
+        ).reshape(B, Hkv, cap)
+        out = f(q, cat_to_heads(kc_flat, Hkv), cat_to_heads(vc_flat, Hkv),
+                lens, ks_flat, vs_flat, scale=scale, window=window)
+        return (heads_to_cat(out), pool_kc, pool_vc,
+                k_scale_pool, v_scale_pool)
+    out = f(q, cat_to_heads(kc_flat, Hkv).astype(jnp.float32),
+            cat_to_heads(vc_flat, Hkv).astype(jnp.float32), lens,
+            scale=scale, window=window)
+    return heads_to_cat(out), pool_kc, pool_vc
+
+
 def decode_attention_append_cat(q, kc, vc, lens, k_scale=None,
                                 v_scale=None, *, k_new, v_new, scale=None,
                                 window: int = 0, use_flash=True,
-                                interpret=False):
+                                interpret=False, block_table=None):
     """Route the cat-layout append decode step: the Pallas kernel on TPU,
     an equivalent row-write + head-major attention elsewhere. The
     attention output is returned in CAT layout [B, S, H*D] (== merged
-    heads), matching what the proj matmul consumes."""
+    heads), matching what the proj matmul consumes.
+
+    With ``block_table``, kc/vc are paged block pools [NB, BS, Hkv*D]
+    (scales [NB, Hkv, 1, BS]) — the Pallas kernel reads/writes through the
+    table; the fallback scatters the row into the pool and attends over a
+    gathered contiguous view."""
     B, Hkv = k_new.shape[0], k_new.shape[1]
-    cap = kc.shape[1]
     quant = k_scale is not None
     eligible = (
         use_flash
@@ -2098,7 +2636,15 @@ def decode_attention_append_cat(q, kc, vc, lens, k_scale=None,
         return decode_mha_append_cat(
             q, kc, vc, lens, k_scale, v_scale, k_new=k_new, v_new=v_new,
             scale=scale, window=window, interpret=interpret,
+            block_table=block_table,
         )
+    if block_table is not None:
+        return _append_cat_paged_fallback(
+            q, kc, vc, lens, k_scale, v_scale, k_new=k_new, v_new=v_new,
+            scale=scale, window=window, use_flash=use_flash,
+            block_table=block_table,
+        )
+    cap = kc.shape[1]
     # Fallback: quantize + cat row-write + head-major attention.
     lens = jnp.asarray(lens, jnp.int32).reshape(B)
 

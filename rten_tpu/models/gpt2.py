@@ -194,11 +194,14 @@ def build_graph_static_cache(
                 "capacity must be a multiple of block_size, and block_size "
                 f"a multiple of 8 (got {capacity=}, {block_size=})"
             )
-    if kernel_append and (deferred_kv or paged_blocks or kv_bits != 8):
+    if kernel_append and (deferred_kv or kv_bits != 8):
         raise ValueError(
             "kernel_append (in-kernel cache append) is incompatible with "
-            "deferred_kv, paged_blocks and int4 caches"
+            "deferred_kv and int4 caches"
         )
+    # paged_blocks + kernel_append (round 5): cat-layout block POOLS
+    # [n_blocks, block_size, H*D]; the decode kernel appends through the
+    # block table (no more scatter+gather per step on the paged path).
     # Decode steps (S==1) merge the new KV row into the cache inside the
     # attention kernel (aliased write-back block) instead of a per-slot
     # dus chain or a deferred window+commit.
@@ -275,18 +278,22 @@ def build_graph_static_cache(
             )
         if kv_quant and paged_blocks:
             # int8 paged KV: s8 pools + lane-major scale pools addressed by
-            # the block table (the headline KV dtype, paged).
+            # the block table (the headline KV dtype, paged). With
+            # kernel_append the pools are cat-layout [NB, BS, H*D] and the
+            # decode kernel appends through the table in-kernel.
+            pool_shape = (
+                (paged_blocks, block_size, H * D) if kernel_append
+                else (paged_blocks, H, block_size, D)
+            )
             past_k = b.input(
-                f"past_key_values.{i}.key", DataType.Int8,
-                (paged_blocks, H, block_size, D),
+                f"past_key_values.{i}.key", DataType.Int8, pool_shape
             )
             k_sc = b.input(
                 f"past_key_values.{i}.key_scale", DataType.Float,
                 (paged_blocks, H, 1, block_size),
             )
             past_v = b.input(
-                f"past_key_values.{i}.value", DataType.Int8,
-                (paged_blocks, H, block_size, D),
+                f"past_key_values.{i}.value", DataType.Int8, pool_shape
             )
             v_sc = b.input(
                 f"past_key_values.{i}.value_scale", DataType.Float,
@@ -296,7 +303,8 @@ def build_graph_static_cache(
                 "QuantizedKVAttention",
                 [q, k, v, past_k, k_sc, past_v, v_sc, past_lens,
                  block_table],
-                {"num_heads": H, "bits": kv_bits, "rten_paged": 1},
+                {"num_heads": H, "bits": kv_bits, "rten_paged": 1,
+                 **ka_attr},
                 n_outputs=5,
                 output_names=[
                     f"attn_out_{i}", f"present.{i}.key",
@@ -363,20 +371,22 @@ def build_graph_static_cache(
             # buffers. 2x context capacity per HBM byte.
             kdt = kv_dtype or DataType.Float
             if paged_blocks:
+                pool_shape = (
+                    (paged_blocks, block_size, H * D) if kernel_append
+                    else (paged_blocks, H, block_size, D)
+                )
                 past_k = b.input(
-                    f"past_key_values.{i}.key", kdt,
-                    (paged_blocks, H, block_size, D),
+                    f"past_key_values.{i}.key", kdt, pool_shape
                 )
                 past_v = b.input(
-                    f"past_key_values.{i}.value", kdt,
-                    (paged_blocks, H, block_size, D),
+                    f"past_key_values.{i}.value", kdt, pool_shape
                 )
                 attn, pk, pv = b.op(
                     "GroupQueryAttention",
                     [q, k, v, past_k, past_v, past_lens, None, None, None,
                      block_table],
                     {"num_heads": H, "kv_num_heads": H, "rten_past_lens": 1,
-                     "rten_paged": 1},
+                     "rten_paged": 1, **ka_attr},
                     n_outputs=3,
                     output_names=[
                         f"attn_out_{i}", f"present.{i}.key",

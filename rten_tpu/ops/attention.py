@@ -111,6 +111,56 @@ def _paged_kv_update(pool, new, starts, bt):
     return pool.at[blk.reshape(-1), :, off.reshape(-1), :].set(rows)
 
 
+def _paged_kv_update_cat(pool, new_cat, starts, bt):
+    """Cat-layout sibling of _paged_kv_update: pool [NB, BS, Hkv*D],
+    new_cat [B, S, Hkv*D] rows for logical positions starts[b]..+S-1."""
+    B, S, HkvD = new_cat.shape
+    BS = pool.shape[1]
+    MB = bt.shape[1]
+    starts = jnp.asarray(starts, jnp.int32)
+    bt = jnp.asarray(bt, jnp.int32)
+    new_cat = new_cat.astype(pool.dtype)
+    if S == 1:
+        for i in range(B):
+            jb = starts[i] // BS
+            blk = jnp.where(
+                jb < MB,
+                jax.lax.dynamic_index_in_dim(
+                    bt[i], jnp.minimum(jb, MB - 1), keepdims=False
+                ),
+                0,
+            )
+            pool = jax.lax.dynamic_update_slice(
+                pool, new_cat[i : i + 1], (blk, starts[i] % BS, 0)
+            )
+        return pool
+    pos = starts[:, None] + jnp.arange(S, dtype=jnp.int32)[None]
+    jb = pos // BS
+    blk = jnp.where(
+        jb < MB, jnp.take_along_axis(bt, jnp.minimum(jb, MB - 1), axis=1), 0
+    )
+    return pool.at[blk.reshape(-1), (pos % BS).reshape(-1), :].set(
+        new_cat.reshape(B * S, HkvD)
+    )
+
+
+def _paged_gather_cat(pool, bt):
+    """[NB, BS, Hkv*D] pool -> per-slot contiguous [B, MB*BS, Hkv*D]."""
+    bt = jnp.asarray(bt, jnp.int32)
+    B, MB = bt.shape
+    return pool[bt].reshape(B, MB * pool.shape[1], pool.shape[2])
+
+
+def _paged_gather_scales_flat(spool, bt):
+    """[NB, Hkv, 1, BS] scale pool -> [B, Hkv, MB*BS] contiguous."""
+    bt = jnp.asarray(bt, jnp.int32)
+    B, MB = bt.shape
+    g = spool[bt][:, :, :, 0, :]               # [B, MB, Hkv, BS]
+    return jnp.transpose(g, (0, 2, 1, 3)).reshape(
+        B, spool.shape[1], MB * spool.shape[3]
+    )
+
+
 def _paged_scale_update(spool, s_new, starts, bt):
     """Scale-pool companion of _paged_kv_update: spool [NB, Hkv, 1, BS]
     (positions lane-major, the paged kernel's scale layout), s_new
@@ -427,6 +477,37 @@ def _group_query_attention(ctx, inputs, attrs):
         bt = get_input(inputs, 9, "block_table")
         if softcap:
             raise OpError("rten_paged does not support softcap")
+        n_out = attrs.get("__n_outputs__", 3)
+        if past_k.ndim == 3:
+            # Cat-layout pools [NB, BS, Hkv*D] (paged kernel-append
+            # graphs, round 5): decode runs the in-kernel append through
+            # the block table; admission scatters rows then attends over
+            # a gathered contiguous view.
+            from ..kernels.flash_attention import (
+                cat_to_heads, decode_attention, decode_attention_append_cat,
+                decode_mha_xla, heads_to_cat,
+            )
+
+            if S == 1 and bool(attrs.get("rten_kernel_append", 0)):
+                out, pool_k, pool_v = decode_attention_append_cat(
+                    q, past_k, past_v, past_lens, k_new=k, v_new=v,
+                    scale=scale, window=window, use_flash=_use_flash(ctx),
+                    block_table=bt,
+                )
+                return (out, pool_k, pool_v)[:n_out]
+            pool_k = _paged_kv_update_cat(
+                past_k, heads_to_cat(k).astype(past_k.dtype), past_lens, bt
+            )
+            pool_v = _paged_kv_update_cat(
+                past_v, heads_to_cat(v).astype(past_v.dtype), past_lens, bt
+            )
+            Hkv = k.shape[1]
+            kf = cat_to_heads(_paged_gather_cat(pool_k, bt), Hkv)
+            vf = cat_to_heads(_paged_gather_cat(pool_v, bt), Hkv)
+            f = decode_attention if _use_flash(ctx) else decode_mha_xla
+            out = f(q, kf.astype(jnp.float32), vf.astype(jnp.float32),
+                    past_lens, scale=scale, window=window)
+            return (_merge_heads(out), pool_k, pool_v)[:n_out]
         from ..kernels.flash_attention import paged_attention
 
         pool_k = _paged_kv_update(past_k, k.astype(past_k.dtype), past_lens, bt)
@@ -436,7 +517,6 @@ def _group_query_attention(ctx, inputs, attrs):
             use_flash=_use_flash(ctx),
         )
         out = _merge_heads(out)
-        n_out = attrs.get("__n_outputs__", 3)
         return (out, pool_k, pool_v)[:n_out]
 
     if past_lens is not None and bool(attrs.get("rten_recent_kv", 0)):
@@ -742,11 +822,47 @@ def _quantized_kv_attention(ctx, inputs, attrs):
                 recent_k, recent_v)
 
     if bool(attrs.get("rten_paged", 0)):
-        # Paged int8 KV: pools [NB, Hkv, BS, D] + scale pools
-        # [NB, Hkv, 1, BS] addressed by the block table (input 8).
+        # Paged int8 KV: pools [NB, Hkv, BS, D] (or cat [NB, BS, Hkv*D]
+        # for kernel-append graphs) + scale pools [NB, Hkv, 1, BS]
+        # addressed by the block table (input 8).
         if bits != 8:
             raise OpError("rten_paged quantized KV supports bits=8 only")
         bt = get_input(inputs, 8, "block_table")
+        if past_k_q8.ndim == 3:
+            from ..kernels.flash_attention import (
+                cat_to_heads, decode_attention, decode_attention_append_cat,
+                decode_mha_xla, heads_to_cat,
+            )
+
+            if S == 1 and bool(attrs.get("rten_kernel_append", 0)):
+                # In-kernel quantize + append through the block table —
+                # paged serving keeps the round-4 decode design (the
+                # round-3 path paid a scatter + gather per step).
+                out, nk, nv, nks, nvs = decode_attention_append_cat(
+                    q4, past_k_q8, past_v_q8, lens, k_scales, v_scales,
+                    k_new=k4, v_new=v4, scale=scale, window=window,
+                    use_flash=_use_flash(ctx), block_table=bt,
+                )
+                return (out, nk, nks, nv, nvs)
+            k_q8, k_s = quantize(k4)
+            v_q8, v_s = quantize(v4)
+            new_pk = _paged_kv_update_cat(
+                past_k_q8, heads_to_cat(k_q8), lens, bt
+            )
+            new_pv = _paged_kv_update_cat(
+                past_v_q8, heads_to_cat(v_q8), lens, bt
+            )
+            new_ks = _paged_scale_update(k_scales, k_s, lens, bt)
+            new_vs = _paged_scale_update(v_scales, v_s, lens, bt)
+            cap = bt.shape[1] * past_k_q8.shape[1]
+            kf = cat_to_heads(_paged_gather_cat(new_pk, bt), kv_heads)
+            vf = cat_to_heads(_paged_gather_cat(new_pv, bt), kv_heads)
+            f = decode_attention if _use_flash(ctx) else decode_mha_xla
+            out = f(q4, kf, vf, lens,
+                    _paged_gather_scales_flat(new_ks, bt),
+                    _paged_gather_scales_flat(new_vs, bt),
+                    scale=scale, window=window)
+            return (_merge_heads(out), new_pk, new_ks, new_pv, new_vs)
         from ..kernels.flash_attention import paged_attention
 
         k_q8, k_s = quantize(k4)

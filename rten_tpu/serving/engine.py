@@ -252,8 +252,11 @@ class ContinuousBatchingEngine:
         if self.paged:
             bt_node = self.g.nodes[self._bt_nid]
             self.max_blocks = int(bt_node.shape[1])
-            self.n_blocks = int(self._cache_alloc[0][0][0])
-            self.block_size = int(self._cache_alloc[0][0][2])
+            shape0 = self._cache_alloc[0][0]
+            self.n_blocks = int(shape0[0])
+            # Head-major pools are [NB, H, BS, D]; cat-layout pools
+            # (paged kernel-append graphs) are [NB, BS, H*D].
+            self.block_size = int(shape0[1] if len(shape0) == 3 else shape0[2])
             if capacity != self.max_blocks * self.block_size:
                 raise ValueError(
                     f"capacity {capacity} != block_table width "

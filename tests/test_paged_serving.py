@@ -428,3 +428,109 @@ def test_paged_int8_kernel_interpret_matches_gather():
         / jnp.sum(p, axis=-1, keepdims=True)
     )
     np.testing.assert_allclose(got, want_bf16, rtol=5e-3, atol=1e-3)
+
+
+# --- round 5: paged + kernel-append unification -------------------------------
+
+
+@pytest.mark.parametrize("quant", [True, False])
+def test_paged_kernel_append_tokens_match_flat_append(models, quant):
+    """paged_blocks + kernel_append (cat pools, in-kernel append through
+    the block table) must produce exactly the flat kernel_append engine's
+    tokens — the round-4 decode design no longer excludes paged memory
+    management (round-4 verdict #4)."""
+    cfg, _, _ = models
+    weights = gpt2.random_weights(cfg, seed=11)
+    flat = gpt2.build_graph_static_cache(
+        cfg, weights, capacity=CAP, kv_quant=quant, kernel_append=True
+    )
+    paged = gpt2.build_graph_static_cache(
+        cfg, weights, capacity=CAP, kv_quant=quant, kernel_append=True,
+        paged_blocks=40, block_size=BS,
+    )
+
+    def run(graph):
+        eng = make_engine(cfg, Model(graph, ModelOptions(optimize=True)),
+                          slots=3, steps_per_dispatch=4)
+        reqs = [eng.submit(p, max_new_tokens=11) for p in PROMPTS]
+        eng.run()
+        return [r.generated for r in reqs], eng
+
+    got, peng = run(paged)
+    want, _ = run(flat)
+    assert got == want
+    assert peng.paged and peng.block_size == BS
+    # Blocks fully returned after the wave.
+    assert len(peng._free_blocks) == peng.n_blocks - 1
+
+
+def test_paged_append_kernel_interpret_matches_fallback():
+    """The Pallas block-table append kernel (interpret) == the jnp
+    fallback: output at bf16-dot tolerance, pools and scale pools exact."""
+    from rten_tpu.kernels.flash_attention import (
+        _append_cat_paged_fallback,
+        decode_mha_append_cat,
+    )
+
+    rng = np.random.default_rng(7)
+    B, H, D, BSk, MB, NB = 2, 4, 64, 64, 2, 6
+    HkvD = H * D
+    import jax.numpy as jnp
+
+    q = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    pool_k = jnp.asarray(rng.integers(-127, 128, (NB, BSk, HkvD)), jnp.int8)
+    pool_v = jnp.asarray(rng.integers(-127, 128, (NB, BSk, HkvD)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.005, 0.02, (NB, H, 1, BSk)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.005, 0.02, (NB, H, 1, BSk)), jnp.float32)
+    bt = jnp.asarray(np.array([[1, 2], [3, 4]], np.int32))
+    for lens_l in ([0, 100], [63, 64], [30, 127]):
+        lens = jnp.asarray(lens_l, jnp.int32)
+        want = _append_cat_paged_fallback(
+            q, pool_k, pool_v, lens, ks, vs, k_new=kn, v_new=vn,
+            scale=1 / np.sqrt(D), window=0, use_flash=False, block_table=bt,
+        )
+        got = decode_mha_append_cat(
+            q, pool_k, pool_v, lens, ks, vs, k_new=kn, v_new=vn,
+            interpret=True, block_table=bt,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got[0]), np.asarray(want[0]), rtol=5e-3, atol=5e-3
+        )
+        # s8 pools: the absmax/127 divide may compile as a reciprocal
+        # multiply on one side (1-ULP scale difference) — tolerate exactly
+        # the knife-edge LSB flips that causes (same bound as the on-TPU
+        # append-kernel tests); scales agree to f32 roundoff.
+        for g, w in zip(got[1:], want[1:]):
+            g, w = np.asarray(g), np.asarray(w)
+            if g.dtype == np.int8:
+                assert np.abs(
+                    g.astype(np.int16) - w.astype(np.int16)
+                ).max() <= 1
+            else:
+                np.testing.assert_allclose(g, w, rtol=1e-6, atol=1e-8)
+
+
+def test_paged_append_second_wave_reuses_blocks(models):
+    """Freed (dirty) blocks reused by a second wave through the APPEND
+    kernel must not leak stale rows."""
+    cfg, _, _ = models
+    weights = gpt2.random_weights(cfg, seed=11)
+    paged = gpt2.build_graph_static_cache(
+        cfg, weights, capacity=CAP, kv_quant=True, kernel_append=True,
+        paged_blocks=5, block_size=BS,
+    )
+    flat = gpt2.build_graph_static_cache(
+        cfg, weights, capacity=CAP, kv_quant=True, kernel_append=True
+    )
+    peng = make_engine(cfg, Model(paged, ModelOptions(optimize=True)),
+                       slots=1, steps_per_dispatch=2)
+    feng = make_engine(cfg, Model(flat, ModelOptions(optimize=True)),
+                       slots=1, steps_per_dispatch=2)
+    for prompt in (PROMPTS[0], PROMPTS[2]):
+        pr = peng.submit(prompt, max_new_tokens=7)
+        peng.run()
+        fr = feng.submit(prompt, max_new_tokens=7)
+        feng.run()
+        assert pr.generated == fr.generated
