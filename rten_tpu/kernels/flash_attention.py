@@ -2238,11 +2238,10 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
     if scale is None:
         scale = 1.0 / float(np.sqrt(D))
     if row_dma is None:
-        # Default OFF: the round-5 on-chip A/B measured the aliased-block
-        # write-back at 67-75us/call vs 73us for the row-DMA/fold variants
-        # at the headline shape — Mosaic's own grid pipelining beats the
-        # manual staging. Kept as an env-switchable experiment
-        # (RTEN_APPEND_ROW_DMA=1 [+ RTEN_APPEND_FOLD=G]) for other shapes.
+        # The manual row-DMA write-back WITHOUT slot folding loses to the
+        # aliased-block path isolated (92.7 vs 75.5us on-chip) — it only
+        # pays combined with the G-slot fold below, which enables it when
+        # eligible. RTEN_APPEND_ROW_DMA=1 forces it alone (experiments).
         row_dma = (
             os.environ.get("RTEN_APPEND_ROW_DMA", "0") == "1" and not paged
         )
@@ -2265,11 +2264,23 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
     knc = jnp.transpose(knf, (0, 2, 1, 3)).reshape(B, 1, HkvD)
     vnc = jnp.transpose(vnf, (0, 2, 1, 3)).reshape(B, 1, HkvD)
 
-    # G-slot folded path (the headline decode configuration): amortizes
-    # per-grid-step DMA issue over G slots. MHA cat_q, one resident block,
-    # row-DMA write-back only.
-    G = int(os.environ.get("RTEN_APPEND_FOLD", "8"))
-    if (row_dma and cat_q and nkb == 1 and G > 1 and B % G == 0
+    # G-slot folded path — DEFAULT for the headline decode configuration
+    # (round-5 bench A/B: 32,520 vs 28,363 tok/s, device step 1.588 ->
+    # 1.326ms): one grid step covers G slots via a fori_loop body, which
+    # amortizes the per-step DMA issue the per-slot grid pays 14x per
+    # slot; write-back is tile-aligned row DMAs. Requires MHA cat_q, one
+    # resident block (cap <= block_k) and G | B. RTEN_APPEND_FOLD=G
+    # overrides; 0/1 disables.
+    fold_env = os.environ.get("RTEN_APPEND_FOLD")
+    if fold_env is not None:
+        G = int(fold_env)
+        if G > 1 and B % G != 0:
+            G = 1
+    else:
+        G = next(
+            (g for g in (12, 8, 6, 4, 3, 2) if B % g == 0), 1
+        ) if (cat_q and nkb == 1 and not paged and window == 0) else 1
+    if (cat_q and nkb == 1 and G > 1 and B % G == 0 and not paged
             and window == 0):
         kernel = functools.partial(
             _append_cat_fold_entry,

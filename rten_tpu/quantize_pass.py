@@ -16,6 +16,7 @@ rten src/ops/matmul.rs:582 matmul_integer).
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import numpy as np
@@ -217,14 +218,29 @@ def _maybe_quantize_conv(g: Graph, nid, op: Operator, min_elements, skip_names):
     w = w_node.array
     if w.dtype != np.float32 or w.size < min_elements:
         return
-    # MXU routing heuristic (round-1: MNIST int8 conv LOST to f32): the
-    # int8 path is im2col + int8 matmul with contraction K = C*kh*kw and
-    # output dim O. When K or O is far below the 128-wide MXU tile the
-    # padded int8 matmul wastes more than dequant saves, while XLA's f32
-    # conv has specialized small-channel paths — keep those convs f32.
+    # MXU routing policy (round-5 on-chip A/B, ResNet-50 b64): int8 convs
+    # LOSE on TPU — all-convs 1,115 img/s, 1x1-only 1,850, plain f32
+    # 1,912, f32 with bf16 MXU passes 4,904 (MFU 2.3% -> 20.4%). The
+    # spatial im2col path burns 18ms/iter on patch copies + 7ms reshapes
+    # (the GEMM doesn't crack the trace's top-10), and even for 1x1 convs
+    # (im2col-free) the activation-quantize machinery costs more than the
+    # weight bytes it saves — conv weights are small; activations are
+    # not. Unlike the reference's CPU (docs/quantization.md: "1.5-3x is
+    # typical"), the TPU-native answer is XLA's conv at bf16 MXU
+    # precision (RunConfig.prefer_bf16), so conv quantization defaults
+    # OFF. RTEN_QUANT_CONV=1x1|all opts back in for A/B.
+    mode = os.environ.get("RTEN_QUANT_CONV", "none")
+    if mode not in ("1x1", "all"):
+        return
     O = w.shape[0]
     K = int(np.prod(w.shape[1:]))
     if K < 128 or O < 64:
+        return
+    spatial = int(np.prod(w.shape[2:])) > 1
+    if mode != "all" and (
+        spatial
+        or any(int(s) != 1 for s in op.attrs.get("strides", [1]))
+    ):
         return
     q, scales = quantize_conv_weight(w)
     wq_id = g.add_constant((w_node.name or "w") + ".q8", q)

@@ -39,16 +39,37 @@ def _mfu(flops_per_pass: float, seconds: float, int8: bool) -> float:
     return flops_per_pass / seconds / peak
 
 
-def _timed(fn, iters):
+def _force(out):
+    """Force completion with a REAL host read: on the axon remote backend
+    jax.block_until_ready can return before execution finishes (round-5
+    finding — a 200-kernel chain 'completed' in 0.06ms), so only a value
+    transfer is a trustworthy sync point."""
+    arr = out[0] if isinstance(out, (list, tuple)) else out
+    return float(np.asarray(arr).reshape(-1)[0])
+
+
+def _device(x):
+    """Pre-stage an input on the device once: a numpy feed re-uploads per
+    call through the tunnel (154MB/iter for resnet b256), which is neither
+    the reference's steady-state nor ours."""
     import jax
 
-    jax.block_until_ready(fn())  # compile
-    times = []
+    d = jax.device_put(np.asarray(x))
+    _force(d)
+    return d
+
+
+def _timed(fn, iters):
+    _force(fn())  # compile + warm
+    # Queue iters dispatches back-to-back and sync ONCE: amortizes the
+    # per-read tunnel round trip instead of paying it per iteration.
+    t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
+        out = fn()
+    _force(out)
+    elapsed = time.perf_counter() - t0
+    return elapsed / iters
 
 
 def bench_mnist(iters):
@@ -58,6 +79,7 @@ def bench_mnist(iters):
         model = mnist.load("cnn", quantize=quant)
         B = 256
         x = np.random.default_rng(0).normal(0, 0.3, (B, 1, 28, 28)).astype(np.float32)
+        x = _device(x)
         t = _timed(lambda: model.run({"image": x})[0], iters)
         yield {
             "config": f"mnist_cnn_{quant or 'f32'}",
@@ -67,7 +89,7 @@ def bench_mnist(iters):
         }
 
 
-def bench_resnet50(iters):
+def bench_resnet50(iters, B=16, tag="resnet50_int8", bf16=False):
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "tests"))
     import torch
@@ -84,24 +106,31 @@ def bench_resnet50(iters):
 
     path = os.path.join(tempfile.mkdtemp(), "resnet50.onnx")
     export_onnx(m, torch.randn(1, 3, 224, 224), path, ["image"], ["logits"])
-    model = Model.load_file(path, ModelOptions(optimize=True))
-    quantize_dynamic(model.graph)
-    model.executor._weights = None
-    B = 16
-    x = np.random.default_rng(0).normal(0, 1, (B, 3, 224, 224)).astype(np.float32)
+    from rten_tpu.runtime.executor import RunConfig
+
+    opts = ModelOptions(
+        optimize=True,
+        run_config=RunConfig(prefer_bf16=True) if bf16 else RunConfig(),
+    )
+    model = Model.load_file(path, opts)
+    if not bf16:
+        quantize_dynamic(model.graph)
+        model.executor._weights = None
+    x = _device(np.random.default_rng(0).normal(0, 1, (B, 3, 224, 224)).astype(np.float32))
     t = _timed(lambda: model.run({"image": x})[0], iters)
     # ResNet-50 forward ~4.09 GMACs/image (He et al. 2015) = 8.2 GFLOPs.
     flops = 2 * 4.09e9 * B
     yield {
-        "config": "resnet50_int8",
+        "config": tag,
         "value": round(B / t, 1),
         "unit": "images/s",
         "batch": B,
-        "mfu_int8": round(_mfu(flops, t, int8=True), 4),
+        ("mfu_bf16" if bf16 else "mfu_int8"):
+            round(_mfu(flops, t, int8=not bf16), 4),
     }
 
 
-def bench_distilbert(iters):
+def bench_distilbert(iters, B=32, tag="distilbert_base_int8"):
     import torch
 
     from transformers import DistilBertConfig, DistilBertForSequenceClassification
@@ -119,20 +148,21 @@ def bench_distilbert(iters):
     import tempfile
 
     path = os.path.join(tempfile.mkdtemp(), "distilbert.onnx")
-    B, T = 32, 128
+    T = 128
     ids = torch.randint(0, cfg.vocab_size, (B, T))
     mask = torch.ones_like(ids)
     export_onnx(m, (ids, mask), path, ["input_ids", "attention_mask"], ["logits"])
     model = Model.load_file(path, ModelOptions(optimize=True))
     quantize_dynamic(model.graph)
     model.executor._weights = None
-    feed = {"input_ids": ids.numpy(), "attention_mask": mask.numpy()}
+    feed = {"input_ids": _device(ids.numpy()),
+            "attention_mask": _device(mask.numpy())}
     t = _timed(lambda: model.run(feed)[0], iters)
     # Transformer forward ~2 * non-embedding-params * tokens
     # (DistilBERT-base: ~42.5M non-embedding params).
     flops = 2 * 42.5e6 * B * T
     yield {
-        "config": "distilbert_base_int8",
+        "config": tag,
         "value": round(B / t, 1),
         "unit": "seqs/s",
         "batch": B,
@@ -260,10 +290,34 @@ def bench_llama_serving(iters):
     }
 
 
+def bench_resnet50_big(iters):
+    # Saturating-batch MXU demonstration (round-4 verdict #6): the
+    # reference-parity batch (16) is latency/tunnel-bound; batch 256 keeps
+    # the MXU fed and reports honest MFU against the 394.7 TOPS int8 peak.
+    yield from bench_resnet50(max(3, iters // 3), B=256,
+                              tag="resnet50_int8_b256")
+
+
+def bench_resnet50_bf16(iters):
+    # The TPU-production conv config (round-5 A/B): XLA conv at bf16 MXU
+    # precision, no quantization — 4,904 img/s vs 1,136 for the int8
+    # im2col path at b64 (see quantize_pass conv policy note).
+    yield from bench_resnet50(max(3, iters // 2), B=64,
+                              tag="resnet50_bf16_b64", bf16=True)
+
+
+def bench_distilbert_big(iters):
+    yield from bench_distilbert(max(3, iters // 3), B=256,
+                                tag="distilbert_base_int8_b256")
+
+
 BENCHES = {
     "mnist": bench_mnist,
     "resnet50": bench_resnet50,
+    "resnet50_big": bench_resnet50_big,
+    "resnet50_bf16": bench_resnet50_bf16,
     "distilbert": bench_distilbert,
+    "distilbert_big": bench_distilbert_big,
     "whisper_encoder": bench_whisper_encoder,
     "llama_serving": bench_llama_serving,
 }
