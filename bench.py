@@ -320,12 +320,14 @@ def run_hard_config():
     from rten_tpu.generate.sampler import DeviceSampler
 
     rng = np.random.default_rng(0)
-    k = int(os.environ.get("RTEN_BENCH_HARD_K", "32"))
+    k = int(os.environ.get("RTEN_BENCH_HARD_K", "64"))
     d = int(os.environ.get("RTEN_BENCH_HARD_D", "2"))
-    # Pinned to slots=32: the cap-1024 x k=32 executable is compile-proven
-    # at 32 slots; big (slots, cap, k) combos have hit >50min remote
-    # compiles, so the hard config does not follow the headline SLOTS.
-    hard_slots = int(os.environ.get("RTEN_BENCH_HARD_SLOTS", "32"))
+    # UNPINNED (round 5): the round-4 ">50min compile / crash" at
+    # (slots 96, cap 1024, k 64) no longer reproduces — the full shape
+    # compiled and ran in 80s on the round-5 kernels (tools note in
+    # BASELINE.md). The hard config now follows the headline slot count;
+    # its compile is additionally bounded by the subprocess timeout.
+    hard_slots = int(os.environ.get("RTEN_BENCH_HARD_SLOTS", str(SLOTS)))
     cfg, engine = build_engine(
         capacity=1024,
         kv_quant=True,
