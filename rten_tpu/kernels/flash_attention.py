@@ -2002,8 +2002,9 @@ def _append_cat_fold_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref, vs_ref,
                             kcw_ref, vcw_ref, ksw_ref, vsw_ref,
                             kr_ref, vr_ref, ksr_ref, vsr_ref, sems, *,
                             scale: float, cap: int, quant: bool, G: int,
-                            Hp: int):
-    """G-slot-folded cat append kernel (MHA cat_q, single resident block).
+                            Hp: int, group: int = 1):
+    """G-slot-folded cat append kernel (single resident block; MHA rides
+    cat q/out rows, GQA (group > 1) head-major q with a masked extract).
 
     The per-slot grid of _append_cat_kernel is DMA-ISSUE-bound at the
     headline shape: ~14 block copies per grid step against a 0.48us/slot
@@ -2018,14 +2019,15 @@ def _append_cat_fold_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref, vs_ref,
     Hkv = kn_ref.shape[1]
     D = kn_ref.shape[3]
     HkvD = Hkv * D
-    H = Hkv  # cat_q implies group == 1
+    H = Hkv * group
+    cat_q = group == 1
 
     subq = jax.lax.broadcasted_iota(jnp.int32, (Hp, HkvD), 0)
     laneq = jax.lax.broadcasted_iota(jnp.int32, (Hp, HkvD), 1)
-    diag = (laneq // D) == subq
+    diag = (laneq // D) == (subq // group)
     oneh = (
         jax.lax.broadcasted_iota(jnp.int32, (Hp, Hkv), 1)
-        == jax.lax.broadcasted_iota(jnp.int32, (Hp, Hkv), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (Hp, Hkv), 0) // group
     ).astype(jnp.float32)
     sub_b = jax.lax.broadcasted_iota(jnp.int32, (Hp, cap), 0)
     lane_b = jax.lax.broadcasted_iota(jnp.int32, (Hp, cap), 1)
@@ -2081,8 +2083,18 @@ def _append_cat_fold_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref, vs_ref,
         # compile time past 9 minutes; the loop compiles the slot body once.
         lens_b = lens_ref[b0 + gi]
         wpos = jnp.minimum(lens_b, cap - 1)
-        q_row = q_ref[pl.ds(gi, 1), :, :][0]            # [1, HkvD]
-        qblk = jnp.where(diag, jnp.broadcast_to(q_row, (Hp, HkvD)), 0.0)
+        if cat_q:
+            q_row = q_ref[pl.ds(gi, 1), :, :][0]        # [1, HkvD]
+            qblk = jnp.where(
+                diag, jnp.broadcast_to(q_row, (Hp, HkvD)), 0.0
+            )
+        else:
+            q_sm = q_ref[pl.ds(gi, 1), :, :][0]         # [H, D]
+            if Hp > H:
+                q_sm = jnp.concatenate(
+                    [q_sm, jnp.zeros((Hp - H, D), q_sm.dtype)], axis=0
+                )
+            qblk = jnp.where(diag, jnp.tile(q_sm, (1, Hkv)), 0.0)
         kc_g = kc_ref[pl.ds(gi, 1), :, :][0]            # [cap, HkvD]
         vc_g = vc_ref[pl.ds(gi, 1), :, :][0]
         kn_cat = knc_ref[pl.ds(gi, 1), :, :][0].astype(jnp.float32)
@@ -2140,9 +2152,15 @@ def _append_cat_fold_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref, vs_ref,
         acc = acc + _dot_f32(p_n, v_row, (((1,), (0,)), ((), ())))
         l = jnp.where(l == 0.0, 1.0, l)
         x = acc / l                                     # [Hp, HkvD]
-        out_ref[pl.ds(gi, 1), :, :] = jnp.sum(
-            jnp.where(diag, x, 0.0), axis=0, keepdims=True
-        ).astype(out_ref.dtype)[None]
+        if cat_q:
+            out_ref[pl.ds(gi, 1), :, :] = jnp.sum(
+                jnp.where(diag, x, 0.0), axis=0, keepdims=True
+            ).astype(out_ref.dtype)[None]
+        else:
+            o = jnp.zeros((Hp, D), jnp.float32)
+            for kvh in range(Hkv):
+                o = o + x[:, kvh * D:(kvh + 1) * D] * oneh[:, kvh:kvh + 1]
+            out_ref[pl.ds(gi, 1), :, :] = o[:H].astype(out_ref.dtype)[None]
 
         # Stage tile-aligned write windows and fire the HBM copies; all
         # waits are deferred to after the loop so each slot's writes
@@ -2279,21 +2297,26 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
     else:
         G = next(
             (g for g in (12, 8, 6, 4, 3, 2) if B % g == 0), 1
-        ) if (cat_q and nkb == 1 and not paged and window == 0) else 1
-    if (cat_q and nkb == 1 and G > 1 and B % G == 0 and not paged
+        ) if (nkb == 1 and not paged and window == 0) else 1
+    if (nkb == 1 and G > 1 and B % G == 0 and not paged
             and window == 0):
         kernel = functools.partial(
             _append_cat_fold_entry,
             scale=float(scale), cap=cap, quant=quant, G=G, Hp=Hp,
+            group=group,
         )
         f3 = lambda b, lens: (b, 0, 0)
         f4 = lambda b, lens: (b, 0, 0, 0)
+        # MHA: q/out ride cat rows [B, 1, Hkv*D]; GQA: head-major
+        # squeezed [B, H, D] with the masked extract in-kernel.
+        q_fold = qp if cat_q else q[:, :, 0, :]
         in_specs = [
-            pl.BlockSpec((G, 1, HkvD), f3),
+            pl.BlockSpec((G, 1, HkvD), f3) if cat_q
+            else pl.BlockSpec((G, H, D), f3),
             pl.BlockSpec((G, cap, HkvD), f3),
             pl.BlockSpec((G, cap, HkvD), f3),
         ]
-        operands = [qp, kc, vc]
+        operands = [q_fold, kc, vc]
         if quant:
             ksp = k_scale.reshape(B, Hkv, 1, cap)
             vsp = v_scale.reshape(B, Hkv, 1, cap)
@@ -2310,12 +2333,15 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
         ]
         operands += [knf, vnf, knc, vnc]
         out_specs = [
-            pl.BlockSpec((G, 1, HkvD), f3),
+            pl.BlockSpec((G, 1, HkvD), f3) if cat_q
+            else pl.BlockSpec((G, H, D), f3),
             pl.BlockSpec(memory_space=pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ]
         out_shapes = [
-            jax.ShapeDtypeStruct((B, 1, HkvD), q.dtype),
+            jax.ShapeDtypeStruct(
+                (B, 1, HkvD) if cat_q else (B, H, D), q.dtype
+            ),
             jax.ShapeDtypeStruct(kc.shape, kc.dtype),
             jax.ShapeDtypeStruct(vc.shape, vc.dtype),
         ]
@@ -2364,11 +2390,12 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
             ),
             interpret=interpret,
         )(lens, *operands)
+        out = res[0] if cat_q else heads_to_cat(res[0][:, :, None, :])
         if quant:
             sshape = k_scale.shape
-            return (res[0], res[1], res[2],
+            return (out, res[1], res[2],
                     res[3].reshape(sshape), res[4].reshape(sshape))
-        return res[0], res[1], res[2]
+        return out, res[1], res[2]
 
     if paged:
         # Pool-block indirection: slot-virtual block j lives at pool block

@@ -353,3 +353,41 @@ def test_gather_last_chunked_prefill(setup):
     reqs = [engine.submit(p, max_new_tokens=n_new) for p in PROMPTS]
     engine.run()
     assert [r.generated for r in reqs] == want
+
+
+def test_gqa_fold_kernel_matches_fallback():
+    """Round-5 GQA fold: the G-slot folded kernel must agree with the jnp
+    fallback for group > 1 (head-major q, masked extract)."""
+    import jax.numpy as jnp
+
+    from rten_tpu.kernels.flash_attention import (
+        decode_attention_append_cat,
+        decode_mha_append_cat,
+        heads_to_cat,
+    )
+
+    rng = np.random.default_rng(5)
+    B, Hq, Hkv, D, cap = 8, 16, 4, 64, 256
+    q = jnp.asarray(rng.standard_normal((B, Hq, 1, D)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)), jnp.float32)
+    k = heads_to_cat(
+        jnp.asarray(rng.integers(-127, 128, (B, Hkv, cap, D)), jnp.int8))
+    v = heads_to_cat(
+        jnp.asarray(rng.integers(-127, 128, (B, Hkv, cap, D)), jnp.int8))
+    ks = jnp.asarray(rng.uniform(0.005, 0.02, (B, Hkv, cap, 1)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.005, 0.02, (B, Hkv, cap, 1)), jnp.float32)
+    lens = jnp.asarray([0, 17, 31, 32, 128, 160, 254, 255], jnp.int32)
+    want = decode_attention_append_cat(
+        q, k, v, lens, ks, vs, k_new=kn, v_new=vn, use_flash=False)
+    got = decode_mha_append_cat(
+        q, k, v, lens, ks, vs, k_new=kn, v_new=vn, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(want[0]), rtol=2e-2, atol=1e-2)
+    for g, w in zip(got[1:3], want[1:3]):
+        g = np.asarray(g).astype(np.int16)
+        w = np.asarray(w).astype(np.int16)
+        assert np.abs(g - w).max() <= 1
+    for g, w in zip(got[3:], want[3:]):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=1e-6, atol=1e-8)
