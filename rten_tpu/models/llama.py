@@ -109,11 +109,13 @@ def build_graph_static_cache(
                 "capacity must be a multiple of block_size, and block_size "
                 f"a multiple of 8 (got {capacity=}, {block_size=})"
             )
-    if kernel_append and (deferred_kv or paged_blocks or kv_bits != 8):
+    if kernel_append and (deferred_kv or kv_bits != 8):
         raise ValueError(
             "kernel_append (in-kernel cache append) is incompatible with "
-            "deferred_kv, paged_blocks and int4 caches"
+            "deferred_kv and int4 caches"
         )
+    # paged_blocks + kernel_append (round 5): cat-layout block pools; the
+    # decode kernel appends through the block table (see models/gpt2.py).
     ka_attr = {"rten_kernel_append": 1} if kernel_append else {}
 
     ids = b.input("input_ids", DataType.Int32, ("slots", "seq"))
@@ -173,17 +175,19 @@ def build_graph_static_cache(
         v = proj(h, f"{p}.self_attn.v_proj")
         if kv_quant and paged_blocks:
             # int8 paged KV with in-op rotary (positions from past_lens).
+            pool_shape = (
+                (paged_blocks, block_size, Hkv * D) if kernel_append
+                else (paged_blocks, Hkv, block_size, D)
+            )
             past_k = b.input(
-                f"past_key_values.{i}.key", DataType.Int8,
-                (paged_blocks, Hkv, block_size, D),
+                f"past_key_values.{i}.key", DataType.Int8, pool_shape
             )
             k_sc = b.input(
                 f"past_key_values.{i}.key_scale", DataType.Float,
                 (paged_blocks, Hkv, 1, block_size),
             )
             past_v = b.input(
-                f"past_key_values.{i}.value", DataType.Int8,
-                (paged_blocks, Hkv, block_size, D),
+                f"past_key_values.{i}.value", DataType.Int8, pool_shape
             )
             v_sc = b.input(
                 f"past_key_values.{i}.value_scale", DataType.Float,
@@ -191,7 +195,7 @@ def build_graph_static_cache(
             )
             qattrs = {
                 "num_heads": Hq, "kv_num_heads": Hkv, "bits": kv_bits,
-                "do_rotary": 1, "rten_paged": 1,
+                "do_rotary": 1, "rten_paged": 1, **ka_attr,
             }
             if cfg.sliding_window:
                 qattrs["local_window_size"] = cfg.sliding_window
@@ -278,13 +282,15 @@ def build_graph_static_cache(
             continue
         kdt = kv_dtype or DataType.Float
         if paged_blocks:
+            pool_shape = (
+                (paged_blocks, block_size, Hkv * D) if kernel_append
+                else (paged_blocks, Hkv, block_size, D)
+            )
             past_k = b.input(
-                f"past_key_values.{i}.key", kdt,
-                (paged_blocks, Hkv, block_size, D),
+                f"past_key_values.{i}.key", kdt, pool_shape
             )
             past_v = b.input(
-                f"past_key_values.{i}.value", kdt,
-                (paged_blocks, Hkv, block_size, D),
+                f"past_key_values.{i}.value", kdt, pool_shape
             )
             attn, pk, pv = b.op(
                 "GroupQueryAttention",
@@ -293,6 +299,7 @@ def build_graph_static_cache(
                 {
                     "num_heads": Hq, "kv_num_heads": Hkv,
                     "rten_past_lens": 1, "do_rotary": 1, "rten_paged": 1,
+                    **ka_attr,
                     **({"local_window_size": cfg.sliding_window}
                        if cfg.sliding_window else {}),
                 },

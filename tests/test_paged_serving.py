@@ -534,3 +534,36 @@ def test_paged_append_second_wave_reuses_blocks(models):
         fr = feng.submit(prompt, max_new_tokens=7)
         feng.run()
         assert pr.generated == fr.generated
+
+
+def test_paged_kernel_append_llama_gqa_matches_flat():
+    """GQA (llama) paged + kernel_append == flat kernel_append tokens:
+    the block-table append kernel's non-cat_q path with in-op rotary."""
+    from rten_tpu.models import llama
+
+    lcfg = llama.LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        num_key_value_heads=2, max_position_embeddings=128,
+    )
+    w = llama.random_weights(lcfg, seed=5)
+    flat = llama.build_graph_static_cache(
+        lcfg, w, capacity=CAP, kv_quant=True, kernel_append=True
+    )
+    paged = llama.build_graph_static_cache(
+        lcfg, w, capacity=CAP, kv_quant=True, kernel_append=True,
+        paged_blocks=20, block_size=BS,
+    )
+
+    def run(graph):
+        eng = ContinuousBatchingEngine(
+            Model(graph, ModelOptions(optimize=True)),
+            n_layer=2, n_head=4, head_dim=lcfg.head_dim,
+            slots=2, capacity=CAP, prefill_bucket=8,
+            greedy_on_device=True, steps_per_dispatch=4,
+        )
+        reqs = [eng.submit(p, max_new_tokens=9) for p in PROMPTS[:3]]
+        eng.run()
+        return [r.generated for r in reqs]
+
+    assert run(paged) == run(flat)
