@@ -145,3 +145,20 @@ def test_speculative_with_shared_prefix():
     got = [eng.submit(p, max_new_tokens=10) for p in prompts]
     eng.run()
     assert [r.generated for r in got] == [r.generated for r in want]
+
+
+def test_speculative_rejects_sampler():
+    """speculative x sampled is a documented, TYPED error (round-4 verdict
+    #4): acceptance is defined against the target's argmax."""
+    from rten_tpu.generate.sampler import DeviceSampler
+    from rten_tpu.serving.speculative import SpeculativeEngine
+
+    cfg, weights = _cfg()
+    target = _model(cfg, weights)
+    draft = _model(*_cfg(seed=1))
+    with pytest.raises(ValueError, match="greedy-only"):
+        SpeculativeEngine(
+            target, draft, n_layer=cfg.n_layer, n_head=cfg.n_head,
+            head_dim=cfg.head_dim, slots=2, capacity=128, prefill_bucket=8,
+            device_sampler=DeviceSampler(temperature=0.8, top_k=4, seed=0),
+        )
