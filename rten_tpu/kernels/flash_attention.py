@@ -2219,6 +2219,284 @@ def _append_cat_fold_entry(*refs, quant: bool, **kw):
     )
 
 
+def _append_cat_fold_vec_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref,
+                                vs_ref, kn_ref, vn_ref, knc_ref, vnc_ref,
+                                lensv_ref, out_ref, kcw_ref, vcw_ref,
+                                ksw_ref, vsw_ref, kr_ref, vr_ref, ksr_ref,
+                                vsr_ref, krow_ref, vrow_ref, ksn_ref,
+                                vsn_ref, kbuf_ref, vbuf_ref, isem, sems, *,
+                                scale: float, cap: int,
+                                quant: bool, G: int, Hp: int,
+                                stream: bool = False):
+    """Vectorized G-slot fold (MHA/cat_q only): all compute batched over
+    the G slots — batched MXU dots + full-width VPU softmax — with the
+    fori_loop kept only for the per-slot dynamic-offset write staging.
+
+    Why: ablating the loop kernel on-chip showed the per-slot fori_loop
+    body is ISSUE-bound, not compute- or byte-bound — removing the whole
+    PV dot saved 4% while halving cap saved only the byte-proportional
+    ~24us (the stream itself runs near peak). Batching the ~15 small
+    per-slot ops into G-wide tensors removes the ~56us/layer fixed issue
+    cost; Mosaic lowers the batched dot_general natively.
+    ``lensv_ref`` re-feeds lens as a VMEM [G, 1] vector (SMEM scalar
+    prefetch cannot vector-load).
+
+    ``stream=True`` (the production configuration): kc/vc ride as full
+    HBM refs and the kernel runs its OWN double-buffered group-fetch
+    pipeline. Rationale, measured on-chip: with BlockSpec inputs ALIASED
+    to the cache outputs, Mosaic cannot prove the body's manual row
+    write-backs don't touch the next step's input block, so it serializes
+    block fetch behind the body — fetch-only runs 51.6us/layer and the
+    full kernel 99us (fetch + compute back to back, zero overlap). The
+    manual pipeline overlaps them legitimately: the fetched group b+1 and
+    the written rows of group b are DISJOINT slot ranges.
+    """
+    b = pl.program_id(0)
+    b0 = b * G
+    Hkv = kn_ref.shape[1]
+    D = kn_ref.shape[3]
+    HkvD = Hkv * D
+    H = Hkv
+
+    subq = jax.lax.broadcasted_iota(jnp.int32, (Hp, HkvD), 0)
+    laneq = jax.lax.broadcasted_iota(jnp.int32, (Hp, HkvD), 1)
+    diag = (laneq // D) == subq
+    segq = (
+        (jax.lax.broadcasted_iota(jnp.int32, (Hkv, HkvD), 1) // D)
+        == jax.lax.broadcasted_iota(jnp.int32, (Hkv, HkvD), 0)
+    ).astype(jnp.float32)
+
+    def padh(x):                        # [G, Hkv, w] -> [G, Hp, w]
+        return jnp.concatenate(
+            [x, jnp.zeros((G, Hp - Hkv) + x.shape[2:], x.dtype)], axis=1
+        )
+
+    lens3 = lensv_ref[:][:, :1, :1]                # [G, 1, 1]
+    q_all = q_ref[:]                               # [G, 1, HkvD]
+    qblk = jnp.where(
+        diag[None], jnp.broadcast_to(q_all, (G, Hp, HkvD)), 0.0
+    )
+    kn_cat = knc_ref[:].astype(jnp.float32)        # [G, 1, HkvD]
+    vn_cat = vnc_ref[:].astype(jnp.float32)
+    if quant:
+        knm = kn_ref[:][:, :, 0, :].astype(jnp.float32)    # [G, Hkv, D]
+        vnm = vn_ref[:][:, :, 0, :].astype(jnp.float32)
+        ks_new = jnp.maximum(
+            jnp.max(jnp.abs(knm), axis=-1, keepdims=True) / 127.0, 1e-8
+        )                                          # [G, Hkv, 1]
+        vs_new = jnp.maximum(
+            jnp.max(jnp.abs(vnm), axis=-1, keepdims=True) / 127.0, 1e-8
+        )
+        ks_cat = jax.lax.dot_general(
+            ks_new, segq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                          # [G, 1, HkvD]
+        vs_cat = jax.lax.dot_general(
+            vs_new, segq, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        k_row = jnp.clip(
+            jnp.round(kn_cat / ks_cat), -127, 127
+        ).astype(kr_ref.dtype)                     # [G, 1, HkvD]
+        v_row = jnp.clip(
+            jnp.round(vn_cat / vs_cat), -127, 127
+        ).astype(vr_ref.dtype)
+        ks_g = ks_ref[:][:, :, 0, :]               # [G, Hkv, cap]
+        vs_g = vs_ref[:][:, :, 0, :]
+    else:
+        k_row = kn_cat.astype(kr_ref.dtype)
+        v_row = vn_cat.astype(vr_ref.dtype)
+        ks_new = vs_new = ks_g = vs_g = None
+
+    if stream:
+        par = jax.lax.rem(b, 2)
+        nxt = jax.lax.rem(b + 1, 2)
+        nsteps = pl.num_programs(0)
+
+        def in_copies(step, buf):
+            g0 = step * G
+            return [
+                pltpu.make_async_copy(
+                    kc_ref.at[pl.ds(g0, G)], kbuf_ref.at[buf],
+                    isem.at[buf, 0],
+                ),
+                pltpu.make_async_copy(
+                    vc_ref.at[pl.ds(g0, G)], vbuf_ref.at[buf],
+                    isem.at[buf, 1],
+                ),
+            ]
+
+        @pl.when(b == 0)
+        def _prologue():
+            for cp in in_copies(0, 0):
+                cp.start()
+
+        @pl.when(b + 1 < nsteps)
+        def _prefetch_next():
+            for cp in in_copies(b + 1, nxt):
+                cp.start()
+
+        for cp in in_copies(b, par):
+            cp.wait()
+        kc = kbuf_ref[pl.ds(par, 1)][0]            # [G, cap, HkvD]
+        vc = vbuf_ref[pl.ds(par, 1)][0]
+    else:
+        par = None
+        kc = kc_ref[:]                             # [G, cap, HkvD]
+        vc = vc_ref[:]
+    s = jax.lax.dot_general(
+        qblk.astype(jnp.bfloat16), kc.astype(jnp.bfloat16),
+        (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    ) * scale                                      # [G, Hp, cap]
+    if quant:
+        s = s * padh(ks_g)
+    sub_b = jax.lax.broadcasted_iota(jnp.int32, (G, Hp, cap), 1)
+    lane_b = jax.lax.broadcasted_iota(jnp.int32, (G, Hp, cap), 2)
+    s = jnp.where((sub_b < H) & (lane_b < lens3), s, NEG_INF)
+    # new-token column: elementwise outer-reduce (a K=1 batched dot is
+    # Mosaic-hostile), same quantized-k semantics as the cached columns
+    sn = jnp.sum(
+        qblk * k_row.astype(jnp.float32), axis=2, keepdims=True
+    ) * scale                                      # [G, Hp, 1]
+    if quant:
+        sn = sn * padh(ks_new)
+    sn = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (G, Hp, 1), 1) < H, sn, NEG_INF
+    )
+    s_all = jnp.concatenate([s, sn], axis=2)       # [G, Hp, cap+1]
+    m = jnp.max(s_all, axis=2, keepdims=True)
+    p = jnp.exp(s_all - m)
+    p = jnp.where(jnp.broadcast_to(m, s_all.shape) <= NEG_INF / 2, 0.0, p)
+    l = jnp.sum(p, axis=2, keepdims=True)
+    p_r, p_n = p[:, :, :cap], p[:, :, cap:]
+    if quant:
+        p_r = p_r * padh(vs_g)
+        p_n = p_n * padh(vs_new)
+    acc = jax.lax.dot_general(
+        p_r.astype(jnp.bfloat16), vc.astype(jnp.bfloat16),
+        (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )                                              # [G, Hp, HkvD]
+    acc = acc + p_n * v_row.astype(jnp.float32)
+    l = jnp.where(l == 0.0, 1.0, l)
+    x = acc / l
+    out_ref[:] = jnp.sum(
+        jnp.where(diag[None], x, 0.0), axis=1, keepdims=True
+    ).astype(out_ref.dtype)
+
+    # Hand the batched rows/scales to the staging loop through VMEM
+    # scratch (Mosaic has no dynamic_slice on VALUES, only on refs).
+    krow_ref[:] = k_row
+    vrow_ref[:] = v_row
+    if quant:
+        ksn_ref[:] = ks_new
+        vsn_ref[:] = vs_new
+
+    def slot_copies(gi):
+        wpos = jnp.minimum(lens_ref[b0 + gi], cap - 1)
+        woff = pl.multiple_of((wpos // 32) * 32, 32)
+        bb = b0 + gi
+        cps = [
+            pltpu.make_async_copy(
+                kr_ref.at[gi], kcw_ref.at[bb, pl.ds(woff, 32), :],
+                sems.at[gi, 0],
+            ),
+            pltpu.make_async_copy(
+                vr_ref.at[gi], vcw_ref.at[bb, pl.ds(woff, 32), :],
+                sems.at[gi, 1],
+            ),
+        ]
+        if quant:
+            loff = pl.multiple_of((wpos // 128) * 128, 128)
+            cps += [
+                pltpu.make_async_copy(
+                    ksr_ref.at[gi], ksw_ref.at[bb, :, :, pl.ds(loff, 128)],
+                    sems.at[gi, 2],
+                ),
+                pltpu.make_async_copy(
+                    vsr_ref.at[gi], vsw_ref.at[bb, :, :, pl.ds(loff, 128)],
+                    sems.at[gi, 3],
+                ),
+            ]
+        return cps
+
+    def stage_body(gi, carry):
+        lens_b = lens_ref[b0 + gi]
+        wpos = jnp.minimum(lens_b, cap - 1)
+        woff = pl.multiple_of((wpos // 32) * 32, 32)
+        rsel = (
+            jax.lax.broadcasted_iota(jnp.int32, (32, HkvD), 0) == wpos % 32
+        )
+        k_row_g = krow_ref[pl.ds(gi, 1), :, :][0]
+        v_row_g = vrow_ref[pl.ds(gi, 1), :, :][0]
+        if stream:
+            kwin = kbuf_ref[
+                pl.ds(par, 1), pl.ds(gi, 1), pl.ds(woff, 32), :][0, 0]
+            vwin = vbuf_ref[
+                pl.ds(par, 1), pl.ds(gi, 1), pl.ds(woff, 32), :][0, 0]
+        else:
+            kwin = kc_ref[pl.ds(gi, 1), pl.ds(woff, 32), :][0]
+            vwin = vc_ref[pl.ds(gi, 1), pl.ds(woff, 32), :][0]
+        kr_ref[pl.ds(gi, 1), :, :] = jnp.where(
+            rsel, jnp.broadcast_to(k_row_g, (32, HkvD)), kwin,
+        )[None]
+        vr_ref[pl.ds(gi, 1), :, :] = jnp.where(
+            rsel, jnp.broadcast_to(v_row_g, (32, HkvD)), vwin,
+        )[None]
+        if quant:
+            loff = pl.multiple_of((wpos // 128) * 128, 128)
+            lsel = (
+                jax.lax.broadcasted_iota(jnp.int32, (Hkv, 1, 128), 2)
+                == wpos % 128
+            )
+            ks_new_g = ksn_ref[pl.ds(gi, 1), :, :][0]
+            vs_new_g = vsn_ref[pl.ds(gi, 1), :, :][0]
+            ksr_ref[pl.ds(gi, 1), :, :, :] = jnp.where(
+                lsel, ks_new_g[:, :, None],
+                ks_ref[pl.ds(gi, 1), :, :, pl.ds(loff, 128)][0],
+            )[None]
+            vsr_ref[pl.ds(gi, 1), :, :, :] = jnp.where(
+                lsel, vs_new_g[:, :, None],
+                vs_ref[pl.ds(gi, 1), :, :, pl.ds(loff, 128)][0],
+            )[None]
+        for cp in slot_copies(gi):
+            cp.start()
+        return carry
+
+    jax.lax.fori_loop(0, G, stage_body, 0)
+
+    def wait_body(gi, carry):
+        for cp in slot_copies(gi):
+            cp.wait()
+        return carry
+
+    jax.lax.fori_loop(0, G, wait_body, 0)
+
+
+def _append_cat_fold_vec_entry(*refs, quant: bool, stream: bool = False,
+                               **kw):
+    if quant:
+        (lens, q, kc, vc, ks, vs, kn, vn, knc, vnc, lensv,
+         out, kcw, vcw, ksw, vsw, kr, vr, ksr, vsr,
+         krow, vrow, ksn, vsn, *rest) = refs
+    else:
+        (lens, q, kc, vc, kn, vn, knc, vnc, lensv,
+         out, kcw, vcw, kr, vr, krow, vrow, *rest) = refs
+        ks = vs = ksw = vsw = ksr = vsr = ksn = vsn = None
+    if stream:
+        kbuf, vbuf, isem, sems = rest
+    else:
+        kbuf = vbuf = isem = None
+        (sems,) = rest
+    kw.pop("group", None)
+    return _append_cat_fold_vec_kernel(
+        lens, q, kc, vc, ks, vs, kn, vn, knc, vnc, lensv, out, kcw, vcw,
+        ksw, vsw, kr, vr, ksr, vsr, krow, vrow, ksn, vsn,
+        kbuf, vbuf, isem, sems, quant=quant, stream=stream, **kw
+    )
+
+
 def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
                           k_new, v_new, scale=None, block_k: int = 256,
                           window: int = 0, interpret: bool = False,
@@ -2295,26 +2573,54 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
         if G > 1 and B % G != 0:
             G = 1
     else:
+        # G=12 first: the vec fold chain-microbenches best at G=8 (94.5 vs
+        # 99.2 us/layer) but the ENGINE wave measures G=12 ahead (34.0k vs
+        # 30.7-32.3k tok/s) — admission/prefill interleaving changes the
+        # trade; trust the end-to-end number.
         G = next(
             (g for g in (12, 8, 6, 4, 3, 2) if B % g == 0), 1
         ) if (nkb == 1 and not paged and window == 0) else 1
     if (nkb == 1 and G > 1 and B % G == 0 and not paged
             and window == 0):
-        kernel = functools.partial(
-            _append_cat_fold_entry,
-            scale=float(scale), cap=cap, quant=quant, G=G, Hp=Hp,
-            group=group,
+        # Vectorized fold (MHA only): batched-over-G compute, loop only
+        # for write staging — the loop body's per-slot issue cost is the
+        # measured bound (see _append_cat_fold_vec_kernel docstring).
+        fold_vec = (
+            cat_q and os.environ.get("RTEN_FOLD_VEC", "1") != "0"
         )
+        # Manual double-buffered input streaming: measured NEUTRAL-to-worse
+        # vs the Mosaic block pipeline at G=8/12 (97.8-99.8 vs 94.5 us/layer
+        # on the 12-cache chain — the dynamic-parity buffer read costs a
+        # VMEM copy), kept as an experiment knob.
+        fold_stream = (
+            fold_vec and os.environ.get("RTEN_FOLD_STREAM", "0") == "1"
+        )
+        if fold_vec:
+            kernel = functools.partial(
+                _append_cat_fold_vec_entry,
+                scale=float(scale), cap=cap, quant=quant, G=G, Hp=Hp,
+                stream=fold_stream,
+            )
+        else:
+            kernel = functools.partial(
+                _append_cat_fold_entry,
+                scale=float(scale), cap=cap, quant=quant, G=G, Hp=Hp,
+                group=group,
+            )
         f3 = lambda b, lens: (b, 0, 0)
         f4 = lambda b, lens: (b, 0, 0, 0)
         # MHA: q/out ride cat rows [B, 1, Hkv*D]; GQA: head-major
         # squeezed [B, H, D] with the masked extract in-kernel.
         q_fold = qp if cat_q else q[:, :, 0, :]
+        kv_spec = (
+            pl.BlockSpec(memory_space=pltpu.ANY) if fold_stream
+            else pl.BlockSpec((G, cap, HkvD), f3)
+        )
         in_specs = [
             pl.BlockSpec((G, 1, HkvD), f3) if cat_q
             else pl.BlockSpec((G, H, D), f3),
-            pl.BlockSpec((G, cap, HkvD), f3),
-            pl.BlockSpec((G, cap, HkvD), f3),
+            kv_spec,
+            kv_spec,
         ]
         operands = [q_fold, kc, vc]
         if quant:
@@ -2332,6 +2638,13 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
             pl.BlockSpec((G, 1, HkvD), f3),
         ]
         operands += [knf, vnf, knc, vnc]
+        if fold_vec:
+            # lens again as a VMEM vector (SMEM prefetch can't vector-load;
+            # lane-padded to 128 to satisfy TPU block tiling)
+            in_specs += [pl.BlockSpec((G, 1, 128), f3)]
+            operands += [
+                jnp.broadcast_to(lens.reshape(B, 1, 1), (B, 1, 128))
+            ]
         out_specs = [
             pl.BlockSpec((G, 1, HkvD), f3) if cat_q
             else pl.BlockSpec((G, H, D), f3),
@@ -2364,6 +2677,23 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
                 pltpu.VMEM((G, Hkv, 1, 128), jnp.float32),
                 pltpu.VMEM((G, Hkv, 1, 128), jnp.float32),
             ]
+        if fold_vec:
+            # batched-phase -> staging-loop handoff buffers
+            scratch += [
+                pltpu.VMEM((G, 1, HkvD), kc.dtype),
+                pltpu.VMEM((G, 1, HkvD), vc.dtype),
+            ]
+            if quant:
+                scratch += [
+                    pltpu.VMEM((G, Hkv, 1), jnp.float32),
+                    pltpu.VMEM((G, Hkv, 1), jnp.float32),
+                ]
+            if fold_stream:
+                scratch += [
+                    pltpu.VMEM((2, G, cap, HkvD), kc.dtype),
+                    pltpu.VMEM((2, G, cap, HkvD), vc.dtype),
+                    pltpu.SemaphoreType.DMA((2, 2)),
+                ]
         scratch.append(pltpu.SemaphoreType.DMA((G, 4 if quant else 2)))
         res = pl.pallas_call(
             kernel,
