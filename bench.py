@@ -503,7 +503,18 @@ def main():
             skipped.append("device_trace")
     else:
         skipped.append("device_trace")
-    del engine  # free the chip before the hard-config subprocess
+    # Free the chip before the hard-config subprocess: drop every
+    # parent-side device reference and clear the jit executable caches
+    # (which pin weight constants), so the sync-bound hard config runs
+    # against a clean device. (The hard number remains dominated by
+    # tunnel RTT, which swings 2-3x hour to hour — same-code samples
+    # 3.0-8.8k tok/s — so treat single runs as noisy.)
+    del engine
+    import gc
+    import jax
+    gc.collect()
+    jax.clear_caches()
+    gc.collect()
 
     if os.environ.get("RTEN_BENCH_HARD", "1") != "0" and remaining() > 240:
         hard = run_hard_subprocess(max(120.0, remaining() - 90))
