@@ -2225,9 +2225,10 @@ def _append_cat_fold_vec_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref,
                                 ksw_ref, vsw_ref, kr_ref, vr_ref, ksr_ref,
                                 vsr_ref, krow_ref, vrow_ref, ksn_ref,
                                 vsn_ref, kbuf_ref, vbuf_ref, isem, sems, *,
+                                bt_ref=None, ksbuf_ref=None, vsbuf_ref=None,
                                 scale: float, cap: int,
                                 quant: bool, G: int, Hp: int,
-                                stream: bool = False):
+                                stream: bool = False, paged: bool = False):
     """Vectorized G-slot fold (MHA/cat_q only): all compute batched over
     the G slots — batched MXU dots + full-width VPU softmax — with the
     fori_loop kept only for the per-slot dynamic-offset write staging.
@@ -2301,8 +2302,9 @@ def _append_cat_fold_vec_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref,
         v_row = jnp.clip(
             jnp.round(vn_cat / vs_cat), -127, 127
         ).astype(vr_ref.dtype)
-        ks_g = ks_ref[:][:, :, 0, :]               # [G, Hkv, cap]
-        vs_g = vs_ref[:][:, :, 0, :]
+        if not paged:
+            ks_g = ks_ref[:][:, :, 0, :]           # [G, Hkv, cap]
+            vs_g = vs_ref[:][:, :, 0, :]
     else:
         k_row = kn_cat.astype(kr_ref.dtype)
         v_row = vn_cat.astype(vr_ref.dtype)
@@ -2314,17 +2316,36 @@ def _append_cat_fold_vec_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref,
         nsteps = pl.num_programs(0)
 
         def in_copies(step, buf):
-            g0 = step * G
-            return [
-                pltpu.make_async_copy(
-                    kc_ref.at[pl.ds(g0, G)], kbuf_ref.at[buf],
-                    isem.at[buf, 0],
-                ),
-                pltpu.make_async_copy(
-                    vc_ref.at[pl.ds(g0, G)], vbuf_ref.at[buf],
-                    isem.at[buf, 1],
-                ),
-            ]
+            if not paged:
+                g0 = step * G
+                return [
+                    pltpu.make_async_copy(
+                        kc_ref.at[pl.ds(g0, G)], kbuf_ref.at[buf],
+                        isem.at[buf, 0],
+                    ),
+                    pltpu.make_async_copy(
+                        vc_ref.at[pl.ds(g0, G)], vbuf_ref.at[buf],
+                        isem.at[buf, 1],
+                    ),
+                ]
+            # paged: gather each slot's single pool block (+ scale rows)
+            # through the block table — per-slot descriptors, one
+            # semaphore per stream so the waits drain in issue order
+            cps = []
+            for g in range(G):
+                blk = bt_ref[step * G + g]
+                cps.append(pltpu.make_async_copy(
+                    kc_ref.at[blk], kbuf_ref.at[buf, g], isem.at[buf, 0]))
+                cps.append(pltpu.make_async_copy(
+                    vc_ref.at[blk], vbuf_ref.at[buf, g], isem.at[buf, 1]))
+                if quant:
+                    cps.append(pltpu.make_async_copy(
+                        ks_ref.at[blk], ksbuf_ref.at[buf, g],
+                        isem.at[buf, 2]))
+                    cps.append(pltpu.make_async_copy(
+                        vs_ref.at[blk], vsbuf_ref.at[buf, g],
+                        isem.at[buf, 3]))
+            return cps
 
         @pl.when(b == 0)
         def _prologue():
@@ -2340,6 +2361,9 @@ def _append_cat_fold_vec_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref,
             cp.wait()
         kc = kbuf_ref[pl.ds(par, 1)][0]            # [G, cap, HkvD]
         vc = vbuf_ref[pl.ds(par, 1)][0]
+        if paged and quant:
+            ks_g = ksbuf_ref[pl.ds(par, 1)][0][:, :, 0, :]  # [G, Hkv, cap]
+            vs_g = vsbuf_ref[pl.ds(par, 1)][0][:, :, 0, :]
     else:
         par = None
         kc = kc_ref[:]                             # [G, cap, HkvD]
@@ -2396,7 +2420,8 @@ def _append_cat_fold_vec_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref,
     def slot_copies(gi):
         wpos = jnp.minimum(lens_ref[b0 + gi], cap - 1)
         woff = pl.multiple_of((wpos // 32) * 32, 32)
-        bb = b0 + gi
+        # paged: write-backs land in the slot's pool block via the table
+        bb = bt_ref[b0 + gi] if paged else b0 + gi
         cps = [
             pltpu.make_async_copy(
                 kr_ref.at[gi], kcw_ref.at[bb, pl.ds(woff, 32), :],
@@ -2452,13 +2477,19 @@ def _append_cat_fold_vec_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref,
             )
             ks_new_g = ksn_ref[pl.ds(gi, 1), :, :][0]
             vs_new_g = vsn_ref[pl.ds(gi, 1), :, :][0]
+            if paged:
+                kswin = ksbuf_ref[pl.ds(par, 1), pl.ds(gi, 1), :, :,
+                                  pl.ds(loff, 128)][0, 0]
+                vswin = vsbuf_ref[pl.ds(par, 1), pl.ds(gi, 1), :, :,
+                                  pl.ds(loff, 128)][0, 0]
+            else:
+                kswin = ks_ref[pl.ds(gi, 1), :, :, pl.ds(loff, 128)][0]
+                vswin = vs_ref[pl.ds(gi, 1), :, :, pl.ds(loff, 128)][0]
             ksr_ref[pl.ds(gi, 1), :, :, :] = jnp.where(
-                lsel, ks_new_g[:, :, None],
-                ks_ref[pl.ds(gi, 1), :, :, pl.ds(loff, 128)][0],
+                lsel, ks_new_g[:, :, None], kswin,
             )[None]
             vsr_ref[pl.ds(gi, 1), :, :, :] = jnp.where(
-                lsel, vs_new_g[:, :, None],
-                vs_ref[pl.ds(gi, 1), :, :, pl.ds(loff, 128)][0],
+                lsel, vs_new_g[:, :, None], vswin,
             )[None]
         for cp in slot_copies(gi):
             cp.start()
@@ -2475,7 +2506,12 @@ def _append_cat_fold_vec_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref,
 
 
 def _append_cat_fold_vec_entry(*refs, quant: bool, stream: bool = False,
-                               **kw):
+                               paged: bool = False, **kw):
+    if paged:
+        bt = refs[1]
+        refs = refs[:1] + refs[2:]
+    else:
+        bt = None
     if quant:
         (lens, q, kc, vc, ks, vs, kn, vn, knc, vnc, lensv,
          out, kcw, vcw, ksw, vsw, kr, vr, ksr, vsr,
@@ -2484,8 +2520,12 @@ def _append_cat_fold_vec_entry(*refs, quant: bool, stream: bool = False,
         (lens, q, kc, vc, kn, vn, knc, vnc, lensv,
          out, kcw, vcw, kr, vr, krow, vrow, *rest) = refs
         ks = vs = ksw = vsw = ksr = vsr = ksn = vsn = None
+    ksbuf = vsbuf = None
     if stream:
-        kbuf, vbuf, isem, sems = rest
+        if paged and quant:
+            kbuf, vbuf, ksbuf, vsbuf, isem, sems = rest
+        else:
+            kbuf, vbuf, isem, sems = rest
     else:
         kbuf = vbuf = isem = None
         (sems,) = rest
@@ -2493,7 +2533,8 @@ def _append_cat_fold_vec_entry(*refs, quant: bool, stream: bool = False,
     return _append_cat_fold_vec_kernel(
         lens, q, kc, vc, ks, vs, kn, vn, knc, vnc, lensv, out, kcw, vcw,
         ksw, vsw, kr, vr, ksr, vsr, krow, vrow, ksn, vsn,
-        kbuf, vbuf, isem, sems, quant=quant, stream=stream, **kw
+        kbuf, vbuf, isem, sems, bt_ref=bt, ksbuf_ref=ksbuf,
+        vsbuf_ref=vsbuf, quant=quant, stream=stream, paged=paged, **kw
     )
 
 
@@ -2568,6 +2609,20 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
     # resident block (cap <= block_k) and G | B. RTEN_APPEND_FOLD=G
     # overrides; 0/1 disables.
     fold_env = os.environ.get("RTEN_APPEND_FOLD")
+    # Vectorized fold (MHA only): batched-over-G compute, loop only
+    # for write staging — the loop body's per-slot issue cost is the
+    # measured bound (see _append_cat_fold_vec_kernel docstring).
+    fold_vec = (
+        cat_q and os.environ.get("RTEN_FOLD_VEC", "1") != "0"
+    )
+    # Paged fold (round 5): with ONE pool block per slot (BS == cap) the
+    # vec fold runs on block pools — the stream machinery gathers each
+    # slot's block/scales through the block table with per-slot DMAs and
+    # the write-backs land through the same indirection.
+    fold_paged = (
+        paged and fold_vec and block_table.shape[1] == 1 and window == 0
+        and os.environ.get("RTEN_FOLD_PAGED", "1") != "0"
+    )
     if fold_env is not None:
         G = int(fold_env)
         if G > 1 and B % G != 0:
@@ -2579,27 +2634,23 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
         # trade; trust the end-to-end number.
         G = next(
             (g for g in (12, 8, 6, 4, 3, 2) if B % g == 0), 1
-        ) if (nkb == 1 and not paged and window == 0) else 1
-    if (nkb == 1 and G > 1 and B % G == 0 and not paged
-            and window == 0):
-        # Vectorized fold (MHA only): batched-over-G compute, loop only
-        # for write staging — the loop body's per-slot issue cost is the
-        # measured bound (see _append_cat_fold_vec_kernel docstring).
-        fold_vec = (
-            cat_q and os.environ.get("RTEN_FOLD_VEC", "1") != "0"
-        )
+        ) if (nkb == 1 and (not paged or fold_paged)
+              and window == 0) else 1
+    if (nkb == 1 and G > 1 and B % G == 0 and window == 0
+            and (not paged or fold_paged)):
         # Manual double-buffered input streaming: measured NEUTRAL-to-worse
         # vs the Mosaic block pipeline at G=8/12 (97.8-99.8 vs 94.5 us/layer
         # on the 12-cache chain — the dynamic-parity buffer read costs a
-        # VMEM copy), kept as an experiment knob.
-        fold_stream = (
+        # VMEM copy), kept as an experiment knob. The paged fold REQUIRES
+        # it (BlockSpec cannot gather through a table).
+        fold_stream = paged or (
             fold_vec and os.environ.get("RTEN_FOLD_STREAM", "0") == "1"
         )
         if fold_vec:
             kernel = functools.partial(
                 _append_cat_fold_vec_entry,
                 scale=float(scale), cap=cap, quant=quant, G=G, Hp=Hp,
-                stream=fold_stream,
+                stream=fold_stream, paged=paged,
             )
         else:
             kernel = functools.partial(
@@ -2607,8 +2658,8 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
                 scale=float(scale), cap=cap, quant=quant, G=G, Hp=Hp,
                 group=group,
             )
-        f3 = lambda b, lens: (b, 0, 0)
-        f4 = lambda b, lens: (b, 0, 0, 0)
+        f3 = lambda b, *refs: (b, 0, 0)
+        f4 = lambda b, *refs: (b, 0, 0, 0)
         # MHA: q/out ride cat rows [B, 1, Hkv*D]; GQA: head-major
         # squeezed [B, H, D] with the masked extract in-kernel.
         q_fold = qp if cat_q else q[:, :, 0, :]
@@ -2624,12 +2675,19 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
         ]
         operands = [q_fold, kc, vc]
         if quant:
-            ksp = k_scale.reshape(B, Hkv, 1, cap)
-            vsp = v_scale.reshape(B, Hkv, 1, cap)
-            in_specs += [
-                pl.BlockSpec((G, Hkv, 1, cap), f4),
-                pl.BlockSpec((G, Hkv, 1, cap), f4),
-            ]
+            if paged:
+                ksp, vsp = k_scale, v_scale    # [NB, Hkv, 1, BS] pools
+                in_specs += [
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                    pl.BlockSpec(memory_space=pltpu.ANY),
+                ]
+            else:
+                ksp = k_scale.reshape(B, Hkv, 1, cap)
+                vsp = v_scale.reshape(B, Hkv, 1, cap)
+                in_specs += [
+                    pl.BlockSpec((G, Hkv, 1, cap), f4),
+                    pl.BlockSpec((G, Hkv, 1, cap), f4),
+                ]
             operands += [ksp, vsp]
         in_specs += [
             pl.BlockSpec((G, Hkv, 1, D), f4),
@@ -2658,7 +2716,8 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
             jax.ShapeDtypeStruct(kc.shape, kc.dtype),
             jax.ShapeDtypeStruct(vc.shape, vc.dtype),
         ]
-        aliases = {2: 1, 3: 2}
+        npf = 2 if paged else 1        # scalar-prefetch operand count
+        aliases = {npf + 1: 1, npf + 2: 2}
         scratch = [
             pltpu.VMEM((G, 32, HkvD), kc.dtype),
             pltpu.VMEM((G, 32, HkvD), vc.dtype),
@@ -2672,7 +2731,8 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
                 jax.ShapeDtypeStruct(ksp.shape, ksp.dtype),
                 jax.ShapeDtypeStruct(vsp.shape, vsp.dtype),
             ]
-            aliases = {2: 1, 3: 2, 4: 3, 5: 4}
+            aliases[npf + 3] = 3
+            aliases[npf + 4] = 4
             scratch += [
                 pltpu.VMEM((G, Hkv, 1, 128), jnp.float32),
                 pltpu.VMEM((G, Hkv, 1, 128), jnp.float32),
@@ -2692,13 +2752,21 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
                 scratch += [
                     pltpu.VMEM((2, G, cap, HkvD), kc.dtype),
                     pltpu.VMEM((2, G, cap, HkvD), vc.dtype),
-                    pltpu.SemaphoreType.DMA((2, 2)),
                 ]
+                if paged and quant:
+                    scratch += [
+                        pltpu.VMEM((2, G, Hkv, 1, cap), jnp.float32),
+                        pltpu.VMEM((2, G, Hkv, 1, cap), jnp.float32),
+                    ]
+                scratch.append(pltpu.SemaphoreType.DMA((2, 4)))
         scratch.append(pltpu.SemaphoreType.DMA((G, 4 if quant else 2)))
+        prefetch = (lens,) if not paged else (
+            lens, jnp.asarray(block_table[:, 0], jnp.int32)
+        )
         res = pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1,
+                num_scalar_prefetch=npf,
                 grid=(B // G,),
                 in_specs=in_specs,
                 out_specs=out_specs,
@@ -2719,7 +2787,7 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
                 transcendentals=B * H * cap,
             ),
             interpret=interpret,
-        )(lens, *operands)
+        )(*prefetch, *operands)
         out = res[0] if cat_q else heads_to_cat(res[0][:, :, None, :])
         if quant:
             sshape = k_scale.shape

@@ -387,44 +387,55 @@ def test_paged_append_kernel_on_tpu():
         decode_mha_append_cat,
     )
 
-    B, H, D, BSk, NB = 4, 12, 64, 64, 18
+    B, H, D = 4, 12, 64
     HkvD = H * D
-    q = jnp.asarray(RNG.standard_normal((B, H, 1, D)), jnp.float32)
-    kn = jnp.asarray(RNG.standard_normal((B, H, 1, D)), jnp.float32)
-    vn = jnp.asarray(RNG.standard_normal((B, H, 1, D)), jnp.float32)
-    pool_k = jnp.asarray(RNG.integers(-127, 128, (NB, BSk, HkvD)), jnp.int8)
-    pool_v = jnp.asarray(RNG.integers(-127, 128, (NB, BSk, HkvD)), jnp.int8)
-    ks = jnp.asarray(RNG.uniform(0.005, 0.02, (NB, H, 1, BSk)), jnp.float32)
-    vs = jnp.asarray(RNG.uniform(0.005, 0.02, (NB, H, 1, BSk)), jnp.float32)
-    bt = jnp.asarray(
-        RNG.permutation(np.arange(1, NB))[: B * 4].reshape(B, 4), jnp.int32)
-    lens = jnp.asarray([0, 17, 130, 255], jnp.int32)
-    got = decode_mha_append_cat(
-        q, pool_k, pool_v, lens, ks, vs, k_new=kn, v_new=vn, block_table=bt)
-    want = _append_cat_paged_fallback(
-        q, pool_k, pool_v, lens, ks, vs, k_new=kn, v_new=vn,
-        scale=1 / np.sqrt(D), window=0, use_flash=False, block_table=bt)
-    for g, w in zip(got[1:3], want[1:3]):
-        g = np.asarray(g).astype(np.int16)
-        w = np.asarray(w).astype(np.int16)
-        assert np.abs(g - w).max() <= 1
-    # Attention-output golden from the kernel's OWN appended pools: the
-    # append itself may legitimately round ±1 int8 code vs the fallback
-    # (checked above), and at lens==0 the one-token softmax would expose
-    # that full quant step in the output. Reading back what the kernel
-    # stored keeps the output tolerance at bf16-MXU level instead.
-    out, nk, nv, nks, nvs = (np.asarray(x) for x in got)
-    btn = np.asarray(bt)
-    for b in range(B):
-        L = int(lens[b]) + 1
-        ids = btn[b, np.arange(L) // BSk]
-        off = np.arange(L) % BSk
-        kd = nk[ids, off].reshape(L, H, D) * nks[ids, :, 0, off][:, :, None]
-        vd = nv[ids, off].reshape(L, H, D) * nvs[ids, :, 0, off][:, :, None]
-        qb = np.asarray(q)[b, :, 0, :]
-        s = np.einsum("hd,lhd->hl", qb, kd) / np.sqrt(D)
-        p = np.exp(s - s.max(axis=1, keepdims=True))
-        p /= p.sum(axis=1, keepdims=True)
-        np.testing.assert_allclose(
-            out[b, 0].reshape(H, D), np.einsum("hl,lhd->hd", p, vd),
-            rtol=2e-2, atol=8e-3)
+    # (BSk, MB) = (64, 4): per-slot grid kernel; (256, 1): the round-5
+    # paged VEC FOLD (per-slot DMA gather through the table).
+    for BSk, MB, NB in ((64, 4, 18), (256, 1, 6)):
+        q = jnp.asarray(RNG.standard_normal((B, H, 1, D)), jnp.float32)
+        kn = jnp.asarray(RNG.standard_normal((B, H, 1, D)), jnp.float32)
+        vn = jnp.asarray(RNG.standard_normal((B, H, 1, D)), jnp.float32)
+        pool_k = jnp.asarray(
+            RNG.integers(-127, 128, (NB, BSk, HkvD)), jnp.int8)
+        pool_v = jnp.asarray(
+            RNG.integers(-127, 128, (NB, BSk, HkvD)), jnp.int8)
+        ks = jnp.asarray(
+            RNG.uniform(0.005, 0.02, (NB, H, 1, BSk)), jnp.float32)
+        vs = jnp.asarray(
+            RNG.uniform(0.005, 0.02, (NB, H, 1, BSk)), jnp.float32)
+        bt = jnp.asarray(
+            RNG.permutation(np.arange(1, NB))[: B * MB].reshape(B, MB),
+            jnp.int32)
+        lens = jnp.asarray([0, 17, 130, 255], jnp.int32)
+        got = decode_mha_append_cat(
+            q, pool_k, pool_v, lens, ks, vs, k_new=kn, v_new=vn,
+            block_table=bt)
+        want = _append_cat_paged_fallback(
+            q, pool_k, pool_v, lens, ks, vs, k_new=kn, v_new=vn,
+            scale=1 / np.sqrt(D), window=0, use_flash=False, block_table=bt)
+        for g, w in zip(got[1:3], want[1:3]):
+            g = np.asarray(g).astype(np.int16)
+            w = np.asarray(w).astype(np.int16)
+            assert np.abs(g - w).max() <= 1
+        # Attention-output golden from the kernel's OWN appended pools: the
+        # append itself may legitimately round ±1 int8 code vs the fallback
+        # (checked above), and at lens==0 the one-token softmax would expose
+        # that full quant step in the output. Reading back what the kernel
+        # stored keeps the output tolerance at bf16-MXU level instead.
+        out, nk, nv, nks, nvs = (np.asarray(x) for x in got)
+        btn = np.asarray(bt)
+        for b in range(B):
+            L = int(lens[b]) + 1
+            ids = btn[b, np.arange(L) // BSk]
+            off = np.arange(L) % BSk
+            kd = nk[ids, off].reshape(L, H, D) \
+                * nks[ids, :, 0, off][:, :, None]
+            vd = nv[ids, off].reshape(L, H, D) \
+                * nvs[ids, :, 0, off][:, :, None]
+            qb = np.asarray(q)[b, :, 0, :]
+            s = np.einsum("hd,lhd->hl", qb, kd) / np.sqrt(D)
+            p = np.exp(s - s.max(axis=1, keepdims=True))
+            p /= p.sum(axis=1, keepdims=True)
+            np.testing.assert_allclose(
+                out[b, 0].reshape(H, D), np.einsum("hl,lhd->hd", p, vd),
+                rtol=2e-2, atol=8e-3)

@@ -567,3 +567,79 @@ def test_paged_kernel_append_llama_gqa_matches_flat():
         return [r.generated for r in reqs]
 
     assert run(paged) == run(flat)
+
+
+def test_paged_fold_kernel_interpret_matches_fallback():
+    """Round-5 paged VEC FOLD (MB == 1, one pool block per slot): the
+    stream machinery gathers blocks/scales through the table per slot
+    and write-backs land through the same indirection. Interpret vs the
+    jnp fallback: pools/scale pools exact, output at bf16-dot level."""
+    from rten_tpu.kernels.flash_attention import (
+        _append_cat_paged_fallback,
+        decode_mha_append_cat,
+    )
+
+    rng = np.random.default_rng(11)
+    B, H, D, BSk, NB = 12, 12, 64, 256, 20
+    HkvD = H * D
+    import jax.numpy as jnp
+
+    q = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((B, H, 1, D)), jnp.float32)
+    pool_k = jnp.asarray(rng.integers(-127, 128, (NB, BSk, HkvD)), jnp.int8)
+    pool_v = jnp.asarray(rng.integers(-127, 128, (NB, BSk, HkvD)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.005, 0.02, (NB, H, 1, BSk)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.005, 0.02, (NB, H, 1, BSk)), jnp.float32)
+    bt = jnp.asarray(
+        rng.permutation(np.arange(1, NB))[:B].reshape(B, 1), jnp.int32)
+    lens = jnp.asarray(rng.integers(0, BSk, (B,)), jnp.int32)
+    got = decode_mha_append_cat(
+        q, pool_k, pool_v, lens, ks, vs, k_new=kn, v_new=vn,
+        interpret=True, block_table=bt,
+    )
+    want = _append_cat_paged_fallback(
+        q, pool_k, pool_v, lens, ks, vs, k_new=kn, v_new=vn,
+        scale=1 / np.sqrt(D), window=0, use_flash=False, block_table=bt,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(want[0]), rtol=5e-3, atol=5e-3
+    )
+    for g, w in zip(got[1:], want[1:]):
+        g, w = np.asarray(g), np.asarray(w)
+        if g.dtype == np.int8:
+            assert np.abs(g.astype(np.int16) - w.astype(np.int16)).max() <= 1
+        else:
+            np.testing.assert_allclose(g, w, rtol=1e-6, atol=1e-8)
+
+
+def test_paged_fold_engine_tokens_match_flat():
+    """BS == cap paged serving (the fold-eligible configuration)
+    generates the same tokens as the flat kernel-append engine."""
+    from rten_tpu.dtypes import DataType
+
+    cfg = gpt2.GPT2Config(
+        vocab_size=128, n_positions=128, n_embd=32, n_layer=2, n_head=4
+    )
+    weights = gpt2.random_weights(cfg, seed=11)
+    flat = gpt2.build_graph_static_cache(
+        cfg, weights, capacity=CAP, kv_dtype=DataType.Int8,
+        kernel_append=True,
+    )
+    paged = gpt2.build_graph_static_cache(
+        cfg, weights, capacity=CAP, kv_dtype=DataType.Int8,
+        kernel_append=True, paged_blocks=8, block_size=CAP,
+    )
+
+    def run(graph):
+        eng = ContinuousBatchingEngine(
+            Model(graph, ModelOptions(optimize=True)),
+            n_layer=cfg.n_layer, n_head=cfg.n_head, head_dim=cfg.head_dim,
+            slots=2, capacity=CAP, prefill_bucket=8,
+            greedy_on_device=True, steps_per_dispatch=4,
+        )
+        reqs = [eng.submit(p, max_new_tokens=9) for p in PROMPTS[:3]]
+        eng.run()
+        return [r.generated for r in reqs]
+
+    assert run(paged) == run(flat)
