@@ -2228,8 +2228,9 @@ def _append_cat_fold_vec_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref,
                                 bt_ref=None, ksbuf_ref=None, vsbuf_ref=None,
                                 scale: float, cap: int,
                                 quant: bool, G: int, Hp: int,
+                                group: int = 1,
                                 stream: bool = False, paged: bool = False):
-    """Vectorized G-slot fold (MHA/cat_q only): all compute batched over
+    """Vectorized G-slot fold: all compute batched over
     the G slots — batched MXU dots + full-width VPU softmax — with the
     fori_loop kept only for the per-slot dynamic-offset write staging.
 
@@ -2257,26 +2258,46 @@ def _append_cat_fold_vec_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref,
     Hkv = kn_ref.shape[1]
     D = kn_ref.shape[3]
     HkvD = Hkv * D
-    H = Hkv
+    H = Hkv * group
+    cat_q = group == 1
 
     subq = jax.lax.broadcasted_iota(jnp.int32, (Hp, HkvD), 0)
     laneq = jax.lax.broadcasted_iota(jnp.int32, (Hp, HkvD), 1)
-    diag = (laneq // D) == subq
+    diag = (laneq // D) == (subq // group)
     segq = (
         (jax.lax.broadcasted_iota(jnp.int32, (Hkv, HkvD), 1) // D)
         == jax.lax.broadcasted_iota(jnp.int32, (Hkv, HkvD), 0)
     ).astype(jnp.float32)
+    oneh = (
+        jax.lax.broadcasted_iota(jnp.int32, (Hp, Hkv), 1)
+        == jax.lax.broadcasted_iota(jnp.int32, (Hp, Hkv), 0) // group
+    ).astype(jnp.float32)
 
     def padh(x):                        # [G, Hkv, w] -> [G, Hp, w]
-        return jnp.concatenate(
-            [x, jnp.zeros((G, Hp - Hkv) + x.shape[2:], x.dtype)], axis=1
-        )
+        # GQA: row h of the folded block belongs to kv-head h // group —
+        # expand by static sublane repeat, then pad to Hp.
+        if group > 1:
+            x = jnp.repeat(x, group, axis=1)
+        if Hp > x.shape[1]:
+            x = jnp.concatenate(
+                [x, jnp.zeros((G, Hp - x.shape[1]) + x.shape[2:], x.dtype)],
+                axis=1,
+            )
+        return x
 
     lens3 = lensv_ref[:][:, :1, :1]                # [G, 1, 1]
-    q_all = q_ref[:]                               # [G, 1, HkvD]
-    qblk = jnp.where(
-        diag[None], jnp.broadcast_to(q_all, (G, Hp, HkvD)), 0.0
-    )
+    if cat_q:
+        q_all = q_ref[:]                           # [G, 1, HkvD]
+        qblk = jnp.where(
+            diag[None], jnp.broadcast_to(q_all, (G, Hp, HkvD)), 0.0
+        )
+    else:
+        q_sm = q_ref[:]                            # [G, H, D] head-major
+        if Hp > H:
+            q_sm = jnp.concatenate(
+                [q_sm, jnp.zeros((G, Hp - H, D), q_sm.dtype)], axis=1
+            )
+        qblk = jnp.where(diag[None], jnp.tile(q_sm, (1, 1, Hkv)), 0.0)
     kn_cat = knc_ref[:].astype(jnp.float32)        # [G, 1, HkvD]
     vn_cat = vnc_ref[:].astype(jnp.float32)
     if quant:
@@ -2405,9 +2426,17 @@ def _append_cat_fold_vec_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref,
     acc = acc + p_n * v_row.astype(jnp.float32)
     l = jnp.where(l == 0.0, 1.0, l)
     x = acc / l
-    out_ref[:] = jnp.sum(
-        jnp.where(diag[None], x, 0.0), axis=1, keepdims=True
-    ).astype(out_ref.dtype)
+    if cat_q:
+        out_ref[:] = jnp.sum(
+            jnp.where(diag[None], x, 0.0), axis=1, keepdims=True
+        ).astype(out_ref.dtype)
+    else:
+        # masked extract: head h's output lives in lane block h // group
+        o = jnp.zeros((G, Hp, D), jnp.float32)
+        for kvh in range(Hkv):
+            o = o + (x[:, :, kvh * D:(kvh + 1) * D]
+                     * oneh[:, kvh:kvh + 1][None])
+        out_ref[:] = o[:, :H, :].astype(out_ref.dtype)
 
     # Hand the batched rows/scales to the staging loop through VMEM
     # scratch (Mosaic has no dynamic_slice on VALUES, only on refs).
@@ -2529,7 +2558,6 @@ def _append_cat_fold_vec_entry(*refs, quant: bool, stream: bool = False,
     else:
         kbuf = vbuf = isem = None
         (sems,) = rest
-    kw.pop("group", None)
     return _append_cat_fold_vec_kernel(
         lens, q, kc, vc, ks, vs, kn, vn, knc, vnc, lensv, out, kcw, vcw,
         ksw, vsw, kr, vr, ksr, vsr, krow, vrow, ksn, vsn,
@@ -2612,9 +2640,7 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
     # Vectorized fold (MHA only): batched-over-G compute, loop only
     # for write staging — the loop body's per-slot issue cost is the
     # measured bound (see _append_cat_fold_vec_kernel docstring).
-    fold_vec = (
-        cat_q and os.environ.get("RTEN_FOLD_VEC", "1") != "0"
-    )
+    fold_vec = os.environ.get("RTEN_FOLD_VEC", "1") != "0"
     # Paged fold (round 5): with ONE pool block per slot (BS == cap) the
     # vec fold runs on block pools — the stream machinery gathers each
     # slot's block/scales through the block table with per-slot DMAs and
@@ -2650,7 +2676,7 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
             kernel = functools.partial(
                 _append_cat_fold_vec_entry,
                 scale=float(scale), cap=cap, quant=quant, G=G, Hp=Hp,
-                stream=fold_stream, paged=paged,
+                group=group, stream=fold_stream, paged=paged,
             )
         else:
             kernel = functools.partial(
