@@ -2228,7 +2228,7 @@ def _append_cat_fold_vec_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref,
                                 bt_ref=None, ksbuf_ref=None, vsbuf_ref=None,
                                 scale: float, cap: int,
                                 quant: bool, G: int, Hp: int,
-                                group: int = 1,
+                                group: int = 1, window: int = 0,
                                 stream: bool = False, paged: bool = False):
     """Vectorized G-slot fold: all compute batched over
     the G slots — batched MXU dots + full-width VPU softmax — with the
@@ -2398,7 +2398,12 @@ def _append_cat_fold_vec_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref,
         s = s * padh(ks_g)
     sub_b = jax.lax.broadcasted_iota(jnp.int32, (G, Hp, cap), 1)
     lane_b = jax.lax.broadcasted_iota(jnp.int32, (G, Hp, cap), 2)
-    s = jnp.where((sub_b < H) & (lane_b < lens3), s, NEG_INF)
+    valid = (sub_b < H) & (lane_b < lens3)
+    if window:
+        # sliding window (S==1): the query sits at position lens and
+        # attends keys in (lens - window, lens]
+        valid &= lane_b > lens3 - window
+    s = jnp.where(valid, s, NEG_INF)
     # new-token column: elementwise outer-reduce (a K=1 batched dot is
     # Mosaic-hostile), same quantized-k semantics as the cached columns
     sn = jnp.sum(
@@ -2649,6 +2654,7 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
         paged and fold_vec and block_table.shape[1] == 1 and window == 0
         and os.environ.get("RTEN_FOLD_PAGED", "1") != "0"
     )
+    fold_window_ok = window == 0 or (fold_vec and not paged)
     if fold_env is not None:
         G = int(fold_env)
         if G > 1 and B % G != 0:
@@ -2661,8 +2667,8 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
         G = next(
             (g for g in (12, 8, 6, 4, 3, 2) if B % g == 0), 1
         ) if (nkb == 1 and (not paged or fold_paged)
-              and window == 0) else 1
-    if (nkb == 1 and G > 1 and B % G == 0 and window == 0
+              and fold_window_ok) else 1
+    if (nkb == 1 and G > 1 and B % G == 0 and fold_window_ok
             and (not paged or fold_paged)):
         # Manual double-buffered input streaming: measured NEUTRAL-to-worse
         # vs the Mosaic block pipeline at G=8/12 (97.8-99.8 vs 94.5 us/layer
@@ -2676,7 +2682,8 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
             kernel = functools.partial(
                 _append_cat_fold_vec_entry,
                 scale=float(scale), cap=cap, quant=quant, G=G, Hp=Hp,
-                group=group, stream=fold_stream, paged=paged,
+                group=group, window=window, stream=fold_stream,
+                paged=paged,
             )
         else:
             kernel = functools.partial(
