@@ -2243,15 +2243,17 @@ def _append_cat_fold_vec_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref,
     ``lensv_ref`` re-feeds lens as a VMEM [G, 1] vector (SMEM scalar
     prefetch cannot vector-load).
 
-    ``stream=True`` (the production configuration): kc/vc ride as full
-    HBM refs and the kernel runs its OWN double-buffered group-fetch
-    pipeline. Rationale, measured on-chip: with BlockSpec inputs ALIASED
-    to the cache outputs, Mosaic cannot prove the body's manual row
-    write-backs don't touch the next step's input block, so it serializes
-    block fetch behind the body — fetch-only runs 51.6us/layer and the
-    full kernel 99us (fetch + compute back to back, zero overlap). The
-    manual pipeline overlaps them legitimately: the fetched group b+1 and
-    the written rows of group b are DISJOINT slot ranges.
+    ``stream=True`` (experiment knob; REQUIRED for paged): kc/vc ride as
+    full HBM refs and the kernel runs its own double-buffered group-fetch
+    pipeline with STATIC parity branches (a dynamically-indexed buffer
+    read would materialize a whole-block VMEM copy before the dots).
+    Measured NEUTRAL vs the Mosaic block pipeline on flat caches (97.5
+    vs 99.2 us/layer on the 12-cache chain): a no-fetch ablation puts
+    COMPUTE alone at 74us/layer — the kernel is compute-bound (batched
+    M=Hp dots ~48us/layer MXU at the inherent skinny-M shape plus
+    s8->bf16 block converts ~39us VPU, partially overlapped), so fetch
+    overlap is not the lever. For paged pools the manual per-slot DMAs
+    are the only way to gather through the block table.
     """
     b = pl.program_id(0)
     b0 = b * G
@@ -2380,68 +2382,8 @@ def _append_cat_fold_vec_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref,
 
         for cp in in_copies(b, par):
             cp.wait()
-        kc = kbuf_ref[pl.ds(par, 1)][0]            # [G, cap, HkvD]
-        vc = vbuf_ref[pl.ds(par, 1)][0]
-        if paged and quant:
-            ks_g = ksbuf_ref[pl.ds(par, 1)][0][:, :, 0, :]  # [G, Hkv, cap]
-            vs_g = vsbuf_ref[pl.ds(par, 1)][0][:, :, 0, :]
     else:
         par = None
-        kc = kc_ref[:]                             # [G, cap, HkvD]
-        vc = vc_ref[:]
-    s = jax.lax.dot_general(
-        qblk.astype(jnp.bfloat16), kc.astype(jnp.bfloat16),
-        (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ) * scale                                      # [G, Hp, cap]
-    if quant:
-        s = s * padh(ks_g)
-    sub_b = jax.lax.broadcasted_iota(jnp.int32, (G, Hp, cap), 1)
-    lane_b = jax.lax.broadcasted_iota(jnp.int32, (G, Hp, cap), 2)
-    valid = (sub_b < H) & (lane_b < lens3)
-    if window:
-        # sliding window (S==1): the query sits at position lens and
-        # attends keys in (lens - window, lens]
-        valid &= lane_b > lens3 - window
-    s = jnp.where(valid, s, NEG_INF)
-    # new-token column: elementwise outer-reduce (a K=1 batched dot is
-    # Mosaic-hostile), same quantized-k semantics as the cached columns
-    sn = jnp.sum(
-        qblk * k_row.astype(jnp.float32), axis=2, keepdims=True
-    ) * scale                                      # [G, Hp, 1]
-    if quant:
-        sn = sn * padh(ks_new)
-    sn = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (G, Hp, 1), 1) < H, sn, NEG_INF
-    )
-    s_all = jnp.concatenate([s, sn], axis=2)       # [G, Hp, cap+1]
-    m = jnp.max(s_all, axis=2, keepdims=True)
-    p = jnp.exp(s_all - m)
-    p = jnp.where(jnp.broadcast_to(m, s_all.shape) <= NEG_INF / 2, 0.0, p)
-    l = jnp.sum(p, axis=2, keepdims=True)
-    p_r, p_n = p[:, :, :cap], p[:, :, cap:]
-    if quant:
-        p_r = p_r * padh(vs_g)
-        p_n = p_n * padh(vs_new)
-    acc = jax.lax.dot_general(
-        p_r.astype(jnp.bfloat16), vc.astype(jnp.bfloat16),
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    )                                              # [G, Hp, HkvD]
-    acc = acc + p_n * v_row.astype(jnp.float32)
-    l = jnp.where(l == 0.0, 1.0, l)
-    x = acc / l
-    if cat_q:
-        out_ref[:] = jnp.sum(
-            jnp.where(diag[None], x, 0.0), axis=1, keepdims=True
-        ).astype(out_ref.dtype)
-    else:
-        # masked extract: head h's output lives in lane block h // group
-        o = jnp.zeros((G, Hp, D), jnp.float32)
-        for kvh in range(Hkv):
-            o = o + (x[:, :, kvh * D:(kvh + 1) * D]
-                     * oneh[:, kvh:kvh + 1][None])
-        out_ref[:] = o[:, :H, :].astype(out_ref.dtype)
 
     # Hand the batched rows/scales to the staging loop through VMEM
     # scratch (Mosaic has no dynamic_slice on VALUES, only on refs).
@@ -2480,56 +2422,137 @@ def _append_cat_fold_vec_kernel(lens_ref, q_ref, kc_ref, vc_ref, ks_ref,
             ]
         return cps
 
-    def stage_body(gi, carry):
-        lens_b = lens_ref[b0 + gi]
-        wpos = jnp.minimum(lens_b, cap - 1)
-        woff = pl.multiple_of((wpos // 32) * 32, 32)
-        rsel = (
-            jax.lax.broadcasted_iota(jnp.int32, (32, HkvD), 0) == wpos % 32
-        )
-        k_row_g = krow_ref[pl.ds(gi, 1), :, :][0]
-        v_row_g = vrow_ref[pl.ds(gi, 1), :, :][0]
-        if stream:
-            kwin = kbuf_ref[
-                pl.ds(par, 1), pl.ds(gi, 1), pl.ds(woff, 32), :][0, 0]
-            vwin = vbuf_ref[
-                pl.ds(par, 1), pl.ds(gi, 1), pl.ds(woff, 32), :][0, 0]
-        else:
-            kwin = kc_ref[pl.ds(gi, 1), pl.ds(woff, 32), :][0]
-            vwin = vc_ref[pl.ds(gi, 1), pl.ds(woff, 32), :][0]
-        kr_ref[pl.ds(gi, 1), :, :] = jnp.where(
-            rsel, jnp.broadcast_to(k_row_g, (32, HkvD)), kwin,
-        )[None]
-        vr_ref[pl.ds(gi, 1), :, :] = jnp.where(
-            rsel, jnp.broadcast_to(v_row_g, (32, HkvD)), vwin,
-        )[None]
+    def run_compute(kc, vc, ks_g, vs_g, bufidx):
+        """The kc/vc-dependent phase: dots, softmax, out write, window
+        staging + write-back starts. ``bufidx`` is a STATIC buffer index
+        (stream parity branch) or None (Mosaic-pipelined inputs) — a
+        dynamically-indexed buffer read would materialize a whole-block
+        VMEM copy before the dots (the measured cost that made the
+        dynamic-parity stream variant neutral)."""
+        s = jax.lax.dot_general(
+            qblk.astype(jnp.bfloat16), kc.astype(jnp.bfloat16),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        ) * scale                                  # [G, Hp, cap]
         if quant:
-            loff = pl.multiple_of((wpos // 128) * 128, 128)
-            lsel = (
-                jax.lax.broadcasted_iota(jnp.int32, (Hkv, 1, 128), 2)
-                == wpos % 128
-            )
-            ks_new_g = ksn_ref[pl.ds(gi, 1), :, :][0]
-            vs_new_g = vsn_ref[pl.ds(gi, 1), :, :][0]
-            if paged:
-                kswin = ksbuf_ref[pl.ds(par, 1), pl.ds(gi, 1), :, :,
-                                  pl.ds(loff, 128)][0, 0]
-                vswin = vsbuf_ref[pl.ds(par, 1), pl.ds(gi, 1), :, :,
-                                  pl.ds(loff, 128)][0, 0]
-            else:
-                kswin = ks_ref[pl.ds(gi, 1), :, :, pl.ds(loff, 128)][0]
-                vswin = vs_ref[pl.ds(gi, 1), :, :, pl.ds(loff, 128)][0]
-            ksr_ref[pl.ds(gi, 1), :, :, :] = jnp.where(
-                lsel, ks_new_g[:, :, None], kswin,
-            )[None]
-            vsr_ref[pl.ds(gi, 1), :, :, :] = jnp.where(
-                lsel, vs_new_g[:, :, None], vswin,
-            )[None]
-        for cp in slot_copies(gi):
-            cp.start()
-        return carry
+            s = s * padh(ks_g)
+        sub_b = jax.lax.broadcasted_iota(jnp.int32, (G, Hp, cap), 1)
+        lane_b = jax.lax.broadcasted_iota(jnp.int32, (G, Hp, cap), 2)
+        valid = (sub_b < H) & (lane_b < lens3)
+        if window:
+            # sliding window (S==1): the query sits at position lens and
+            # attends keys in (lens - window, lens]
+            valid &= lane_b > lens3 - window
+        s = jnp.where(valid, s, NEG_INF)
+        # new-token column: elementwise outer-reduce (a K=1 batched dot
+        # is Mosaic-hostile), same quantized-k semantics as cached cols
+        sn = jnp.sum(
+            qblk * k_row.astype(jnp.float32), axis=2, keepdims=True
+        ) * scale                                  # [G, Hp, 1]
+        if quant:
+            sn = sn * padh(ks_new)
+        sn = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (G, Hp, 1), 1) < H,
+            sn, NEG_INF,
+        )
+        s_all = jnp.concatenate([s, sn], axis=2)   # [G, Hp, cap+1]
+        m = jnp.max(s_all, axis=2, keepdims=True)
+        p = jnp.exp(s_all - m)
+        p = jnp.where(
+            jnp.broadcast_to(m, s_all.shape) <= NEG_INF / 2, 0.0, p
+        )
+        l = jnp.sum(p, axis=2, keepdims=True)
+        p_r, p_n = p[:, :, :cap], p[:, :, cap:]
+        if quant:
+            p_r = p_r * padh(vs_g)
+            p_n = p_n * padh(vs_new)
+        acc = jax.lax.dot_general(
+            p_r.astype(jnp.bfloat16), vc.astype(jnp.bfloat16),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )                                          # [G, Hp, HkvD]
+        acc = acc + p_n * v_row.astype(jnp.float32)
+        l = jnp.where(l == 0.0, 1.0, l)
+        x = acc / l
+        if cat_q:
+            out_ref[:] = jnp.sum(
+                jnp.where(diag[None], x, 0.0), axis=1, keepdims=True
+            ).astype(out_ref.dtype)
+        else:
+            # masked extract: head h's output is in lane block h // group
+            o = jnp.zeros((G, Hp, D), jnp.float32)
+            for kvh in range(Hkv):
+                o = o + (x[:, :, kvh * D:(kvh + 1) * D]
+                         * oneh[:, kvh:kvh + 1][None])
+            out_ref[:] = o[:, :H, :].astype(out_ref.dtype)
 
-    jax.lax.fori_loop(0, G, stage_body, 0)
+        def stage_body(gi, carry):
+            lens_b = lens_ref[b0 + gi]
+            wpos = jnp.minimum(lens_b, cap - 1)
+            woff = pl.multiple_of((wpos // 32) * 32, 32)
+            rsel = (
+                jax.lax.broadcasted_iota(jnp.int32, (32, HkvD), 0)
+                == wpos % 32
+            )
+            k_row_g = krow_ref[pl.ds(gi, 1), :, :][0]
+            v_row_g = vrow_ref[pl.ds(gi, 1), :, :][0]
+            if bufidx is not None:
+                kwin = kbuf_ref[
+                    bufidx, pl.ds(gi, 1), pl.ds(woff, 32), :][0]
+                vwin = vbuf_ref[
+                    bufidx, pl.ds(gi, 1), pl.ds(woff, 32), :][0]
+            else:
+                kwin = kc_ref[pl.ds(gi, 1), pl.ds(woff, 32), :][0]
+                vwin = vc_ref[pl.ds(gi, 1), pl.ds(woff, 32), :][0]
+            kr_ref[pl.ds(gi, 1), :, :] = jnp.where(
+                rsel, jnp.broadcast_to(k_row_g, (32, HkvD)), kwin,
+            )[None]
+            vr_ref[pl.ds(gi, 1), :, :] = jnp.where(
+                rsel, jnp.broadcast_to(v_row_g, (32, HkvD)), vwin,
+            )[None]
+            if quant:
+                loff = pl.multiple_of((wpos // 128) * 128, 128)
+                lsel = (
+                    jax.lax.broadcasted_iota(jnp.int32, (Hkv, 1, 128), 2)
+                    == wpos % 128
+                )
+                ks_new_g = ksn_ref[pl.ds(gi, 1), :, :][0]
+                vs_new_g = vsn_ref[pl.ds(gi, 1), :, :][0]
+                if paged:
+                    kswin = ksbuf_ref[bufidx, pl.ds(gi, 1), :, :,
+                                      pl.ds(loff, 128)][0]
+                    vswin = vsbuf_ref[bufidx, pl.ds(gi, 1), :, :,
+                                      pl.ds(loff, 128)][0]
+                else:
+                    kswin = ks_ref[pl.ds(gi, 1), :, :, pl.ds(loff, 128)][0]
+                    vswin = vs_ref[pl.ds(gi, 1), :, :, pl.ds(loff, 128)][0]
+                ksr_ref[pl.ds(gi, 1), :, :, :] = jnp.where(
+                    lsel, ks_new_g[:, :, None], kswin,
+                )[None]
+                vsr_ref[pl.ds(gi, 1), :, :, :] = jnp.where(
+                    lsel, vs_new_g[:, :, None], vswin,
+                )[None]
+            for cp in slot_copies(gi):
+                cp.start()
+            return carry
+
+        jax.lax.fori_loop(0, G, stage_body, 0)
+
+    if stream:
+        # STATIC parity branches: each reads its buffer in place
+        for i in (0, 1):
+            @pl.when(par == i)
+            def _branch(i=i):
+                if paged and quant:
+                    run_compute(
+                        kbuf_ref[i], vbuf_ref[i],
+                        ksbuf_ref[i][:, :, 0, :],
+                        vsbuf_ref[i][:, :, 0, :], i,
+                    )
+                else:
+                    run_compute(kbuf_ref[i], vbuf_ref[i], ks_g, vs_g, i)
+    else:
+        run_compute(kc_ref[:], vc_ref[:], ks_g, vs_g, None)
 
     def wait_body(gi, carry):
         for cp in slot_copies(gi):
