@@ -352,7 +352,9 @@ def test_fold_append_kernel_on_tpu():
         heads_to_cat,
     )
 
-    for Hq, Hkv in ((12, 12), (16, 4)):
+    # (Hq, Hkv, window): MHA, GQA, and GQA + sliding-window (all three
+    # route through the vectorized fold on this shape).
+    for Hq, Hkv, window in ((12, 12, 0), (16, 4, 0), (16, 4, 32)):
         B, D, cap = 8, 64, 256
         q = jnp.asarray(RNG.standard_normal((B, Hq, 1, D)), jnp.float32)
         kn = jnp.asarray(RNG.standard_normal((B, Hkv, 1, D)), jnp.float32)
@@ -367,11 +369,15 @@ def test_fold_append_kernel_on_tpu():
             RNG.uniform(0.005, 0.02, (B, Hkv, cap, 1)), jnp.float32)
         lens = jnp.asarray(RNG.integers(0, cap, (B,)), jnp.int32)
         got = decode_mha_append_cat(
-            q, k, v, lens, ks, vs, k_new=kn, v_new=vn)  # fold default, G=8
+            q, k, v, lens, ks, vs, k_new=kn, v_new=vn, window=window)
         want = decode_attention_append_cat(
-            q, k, v, lens, ks, vs, k_new=kn, v_new=vn, use_flash=False)
+            q, k, v, lens, ks, vs, k_new=kn, v_new=vn, window=window,
+            use_flash=False)
+        # windowed sums average 8x fewer keys, so bf16-vs-f32 spread is
+        # wider (measured envelope ~0.18 vs 0.02 unwindowed)
+        atol = 2e-1 if window else 1e-2
         np.testing.assert_allclose(
-            np.asarray(got[0]), np.asarray(want[0]), rtol=2e-2, atol=1e-2)
+            np.asarray(got[0]), np.asarray(want[0]), rtol=2e-2, atol=atol)
         for g, w in zip(got[1:3], want[1:3]):
             g = np.asarray(g).astype(np.int16)
             w = np.asarray(w).astype(np.int16)
