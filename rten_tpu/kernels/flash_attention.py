@@ -2603,7 +2603,11 @@ def decode_mha_append_cat(q, kc, vc, lens, k_scale=None, v_scale=None, *,
     q [B,H,1,D]; kc/vc [B,cap,Hkv*D] caches holding rows < lens[b];
     k_new/v_new [B,Hkv,1,D] f32 rows for position lens[b]. Quantized
     caches (k_scale/v_scale lane-major per head) quantize the row
-    in-kernel. Returns (out, new_kc, new_vc[, new_ks, new_vs]) with out
+    in-kernel. Pass scales in the engine's canonical [B,Hkv,cap,1] (this
+    kernel canonicalizes by flat reshape, so the trailing-1 and 1-cap
+    forms coincide — but the jnp fallback writes by AXIS and requires
+    the canonical shape, so callers must not rely on the looser form).
+    Returns (out, new_kc, new_vc[, new_ks, new_vs]) with out
     in CAT layout [B, S, H*D] (== merged heads); cache outputs alias
     their inputs.
 

@@ -643,3 +643,44 @@ def test_paged_fold_engine_tokens_match_flat():
         return [r.generated for r in reqs]
 
     assert run(paged) == run(flat)
+
+
+def test_paged_fold_gqa_interpret_matches_fallback():
+    """GQA (group=4) through the paged vec fold (MB == 1)."""
+    from rten_tpu.kernels.flash_attention import (
+        _append_cat_paged_fallback,
+        decode_mha_append_cat,
+    )
+
+    rng = np.random.default_rng(13)
+    B, Hq, Hkv, D, BSk, NB = 4, 16, 4, 64, 256, 8
+    HkvD = Hkv * D
+    import jax.numpy as jnp
+
+    q = jnp.asarray(rng.standard_normal((B, Hq, 1, D)), jnp.float32)
+    kn = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)), jnp.float32)
+    vn = jnp.asarray(rng.standard_normal((B, Hkv, 1, D)), jnp.float32)
+    pool_k = jnp.asarray(rng.integers(-127, 128, (NB, BSk, HkvD)), jnp.int8)
+    pool_v = jnp.asarray(rng.integers(-127, 128, (NB, BSk, HkvD)), jnp.int8)
+    ks = jnp.asarray(rng.uniform(0.005, 0.02, (NB, Hkv, 1, BSk)), jnp.float32)
+    vs = jnp.asarray(rng.uniform(0.005, 0.02, (NB, Hkv, 1, BSk)), jnp.float32)
+    bt = jnp.asarray(
+        rng.permutation(np.arange(1, NB))[:B].reshape(B, 1), jnp.int32)
+    lens = jnp.asarray([0, 17, 130, 255], jnp.int32)
+    got = decode_mha_append_cat(
+        q, pool_k, pool_v, lens, ks, vs, k_new=kn, v_new=vn,
+        interpret=True, block_table=bt,
+    )
+    want = _append_cat_paged_fallback(
+        q, pool_k, pool_v, lens, ks, vs, k_new=kn, v_new=vn,
+        scale=1 / np.sqrt(D), window=0, use_flash=False, block_table=bt,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got[0]), np.asarray(want[0]), rtol=5e-3, atol=5e-3
+    )
+    for g, w in zip(got[1:], want[1:]):
+        g, w = np.asarray(g), np.asarray(w)
+        if g.dtype == np.int8:
+            assert np.abs(g.astype(np.int16) - w.astype(np.int16)).max() <= 1
+        else:
+            np.testing.assert_allclose(g, w, rtol=1e-6, atol=1e-8)
