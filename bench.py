@@ -45,7 +45,10 @@ NEW_TOKENS = 64
 # slots=96 is the measured throughput peak on the v5e tunnel (sweep r3:
 # 32->13.0k, 48->14.3k, 64->15.7k, 96->17.9k, 128->17.0k tok/s; TTFT grows
 # with the admission batch — 109ms at 96, still under round 2's 143ms).
-SLOTS = int(os.environ.get("RTEN_BENCH_SLOTS", "96"))
+# Round-5 vec-fold re-sweep (same tunnel window): 96 -> 31.7k,
+# 108 -> 35.8k, 120 -> 36.9k, 144 -> 33.4k; device tok/ms is flat
+# (96: 78.9, 120: 79.9) — the 120-slot win is dispatch amortization.
+SLOTS = int(os.environ.get("RTEN_BENCH_SLOTS", "120"))
 CAPACITY = int(os.environ.get("RTEN_BENCH_CAP", "256"))
 # timed requests: default one full wave of slots
 WAVE = int(os.environ.get("RTEN_BENCH_WAVE", str(SLOTS)))
@@ -325,9 +328,10 @@ def run_hard_config():
     # UNPINNED (round 5): the round-4 ">50min compile / crash" at
     # (slots 96, cap 1024, k 64) no longer reproduces — the full shape
     # compiled and ran in 80s on the round-5 kernels (tools note in
-    # BASELINE.md). The hard config now follows the headline slot count;
-    # its compile is additionally bounded by the subprocess timeout.
-    hard_slots = int(os.environ.get("RTEN_BENCH_HARD_SLOTS", str(SLOTS)))
+    # BASELINE.md). The hard config pins its own measured optimum: at
+    # cap 1024 slots=96 beats 120 (8.4k vs 5.2k, same tunnel window) —
+    # the larger admission wave hurts the sync-bound shape.
+    hard_slots = int(os.environ.get("RTEN_BENCH_HARD_SLOTS", "96"))
     cfg, engine = build_engine(
         capacity=1024,
         kv_quant=True,
