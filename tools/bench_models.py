@@ -232,9 +232,11 @@ def bench_llama_serving(iters):
     from rten_tpu.serving.roofline import decode_roofline_tps
 
     layers = int(os.environ.get("RTEN_LLAMA_LAYERS", "22"))
-    # slots=32 is the measured peak (r4 sweep: 16 -> 5.1k, 32 -> 7.6k,
-    # 64 -> 6.5k tok/s at cap 256).
-    slots = int(os.environ.get("RTEN_LLAMA_SLOTS", "32"))
+    # Round-5 vec-fold re-sweep: 32 -> 9.0k, 48 -> 12.6k, 64 -> 13.6k,
+    # 96 -> 17.6k (peak), 120 -> 17.5k tok/s — the r4 regression past 32
+    # slots (16 -> 5.1k, 32 -> 7.6k, 64 -> 6.5k) does not survive the
+    # vectorized fold, so scaling continues to 96.
+    slots = int(os.environ.get("RTEN_LLAMA_SLOTS", "96"))
     cap = int(os.environ.get("RTEN_LLAMA_CAP", "256"))
     k = int(os.environ.get("RTEN_LLAMA_K", "32"))
     prompt_len, new_tokens = 64, 64
