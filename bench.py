@@ -355,7 +355,12 @@ def run_hard_config():
     # Decode 2x the headline's tokens: the hard config's smaller wave
     # (slots=32) made the number swing 3.0-5.2k tok/s run-to-run on pure
     # dispatch/tunnel noise; a longer decode measures steady state.
-    hard_new = int(os.environ.get("RTEN_BENCH_HARD_NEW", str(2 * NEW_TOKENS)))
+    # 384-token decode (prompts end at lens 512 of the 1024 cap): the
+    # 128-token version timed ~2 dispatch drains, so admission + tunnel
+    # sync noise swung it 2.3-8.6k tok/s run to run; at 384 the
+    # steady-state dominates and back-to-back runs agree within 1%
+    # (11,226 / 11,103 tok/s).
+    hard_new = int(os.environ.get("RTEN_BENCH_HARD_NEW", str(6 * NEW_TOKENS)))
     reqs = [
         engine.submit(p, max_new_tokens=hard_new)
         for p in prompts(hard_slots)
